@@ -1,0 +1,156 @@
+"""Trailing-window feature computation (batch) — the engine's workhorse.
+
+Replaces the reference's three divergent per-event/per-row implementations
+(reference: flink_job/aml_stream_processor.py:130-201,
+flink_job/real_time_processor.py:153-230, notebooks/aml_analysis.ipynb cell 6)
+with ONE window-function pass: for every event, aggregates over that
+entity's events in the trailing interval ``(ts - W, ts]`` are computed by
+``Window.partitionBy(entity).orderBy(epoch_ms).rangeBetween(-W_ms, 0)`` —
+no per-row loop, one shuffle on the entity key shared by ALL windows and
+ALL metrics (Catalyst collapses same-spec window functions into a single
+WindowExec over a single sort).
+
+Semantics decisions (SURVEY.md §2.4):
+- stddev is **population** stddev (matches both Flink jobs; the notebook's
+  pandas sample-std is the outlier) — A5.
+- velocity = count / window_hours — A7 (parameterizable unit).
+- window bound is inclusive ``[ts - W, ts]`` in epoch-milliseconds on both
+  the engine and the DuckDB oracle side, so frames are bit-identical.
+
+Float determinism (oracle contract): SUM/AVG go through DECIMAL(25,2) so
+the result is exact and independent of partition / addition order, then
+cast back to DOUBLE. Variance-family stats are computed from exact decimal
+sums of x and x**2 then finished in double arithmetic — deterministic
+given identical expression trees in Spark and DuckDB.
+
+Scale notes (100 TB): one hash-shuffle on entity key; per-key state is the
+sorted partition slice (Spark's WindowExec spills via UnsafeExternalSorter).
+Hot keys (the reference injects 20-30% of traffic on 100 hot customers)
+are bounded by events-per-key×24h, not table size. Exact windowed distinct
+counts use collect_set (memory ∝ distinct per frame) — switch
+``distinct_exact=False`` for HLL-sketch approximation at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# canonical window sizes, seconds (reference: real_time_processor.py:157-173
+# uses 1m/5m/15m/1h/6h/24h; aml_stream_processor.py:147-149 uses 60s/5m/10m/1h)
+WINDOWS_6 = {
+    "1m": 60,
+    "5m": 300,
+    "15m": 900,
+    "1h": 3600,
+    "6h": 21600,
+    "24h": 86400,
+}
+
+DEC = "decimal(25,2)"
+DEC4 = "decimal(30,4)"
+
+
+@dataclass
+class TrailingWindowSpec:
+    """Configuration of a trailing-window feature pass."""
+
+    entity_col: str = "user_id"
+    ts_col: str = "ts"
+    amount_col: str = "value"
+    windows: dict[str, int] = field(default_factory=lambda: dict(WINDOWS_6))
+    distinct_cols: tuple[str, ...] = ()  # e.g. ("event_type",) → unique_* feats
+    distinct_exact: bool = True
+    velocity_unit_s: int = 3600  # denominator unit for velocity (per hour)
+
+
+def _ms(ts_col: str) -> Column:
+    return F.unix_millis(F.col(ts_col))
+
+
+def trailing_features(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
+    """Append ``{metric}_{window}`` columns for every event row.
+
+    Metrics per window W (reference names, feature_repo/definitions.py:32-41):
+    txn_count, txn_amount_sum, avg_txn_amount, max_txn_amount,
+    min_txn_amount, std_txn_amount (population), velocity_score,
+    unique_{col} for each distinct col.
+    """
+    # materialize the order key once: if every frame orders by the SAME
+    # attribute, EnsureRequirements drops the redundant per-Window sorts
+    # (one Exchange + one Sort feed all WindowExec nodes).
+    out = df.withColumn("_ts_ms", _ms(spec.ts_col))
+    amt_dec = F.col(spec.amount_col).cast(DEC)
+    amt_sq_dec = (F.col(spec.amount_col) * F.col(spec.amount_col)).cast(DEC4)
+    base = Window.partitionBy(spec.entity_col).orderBy(F.col("_ts_ms"))
+    for wname, wsecs in spec.windows.items():
+        w = base.rangeBetween(-wsecs * 1000, 0)
+        n = F.count(F.lit(1)).over(w)
+        s = F.sum(amt_dec).over(w).cast("double")
+        s2 = F.sum(amt_sq_dec).over(w).cast("double")
+        mean = s / n
+        # population variance via E[x^2] - E[x]^2 on exact sums
+        var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+        cols = {
+            f"txn_count_{wname}": n,
+            f"txn_amount_sum_{wname}": s,
+            f"avg_txn_amount_{wname}": mean,
+            f"max_txn_amount_{wname}": F.max(spec.amount_col).over(w),
+            f"min_txn_amount_{wname}": F.min(spec.amount_col).over(w),
+            f"std_txn_amount_{wname}": F.round(F.sqrt(var), 6),
+            f"velocity_score_{wname}": n.cast("double")
+            / F.lit(wsecs / spec.velocity_unit_s),
+        }
+        for dcol in spec.distinct_cols:
+            if spec.distinct_exact:
+                dexpr = F.size(F.collect_set(dcol).over(w)).cast("long")
+            else:
+                dexpr = F.approx_count_distinct(dcol, 0.02).over(w)
+            cols[f"unique_{dcol}_{wname}"] = dexpr
+        out = out.withColumns(cols)
+    return out.drop("_ts_ms")
+
+
+def trailing_features_sql_oracle(spec: TrailingWindowSpec, table: str = "events") -> str:
+    """The DuckDB-equivalent SQL for :func:`trailing_features` (ANSI window
+    frames over epoch-ms), used by __spark_entry__.oracle_sql."""
+    parts = []
+    for wname, wsecs in spec.windows.items():
+        wdef = (
+            f"(PARTITION BY {spec.entity_col} ORDER BY epoch_ms({spec.ts_col}) "
+            f"RANGE BETWEEN {wsecs * 1000} PRECEDING AND CURRENT ROW)"
+        )
+        a = spec.amount_col
+        n = f"COUNT(*) OVER {wdef}"
+        s = f"CAST(SUM(CAST({a} AS DECIMAL(25,2))) OVER {wdef} AS DOUBLE)"
+        s2 = f"CAST(SUM(CAST({a}*{a} AS DECIMAL(30,4))) OVER {wdef} AS DOUBLE)"
+        mean = f"({s}) / ({n})"
+        var = f"GREATEST(({s2}) / ({n}) - ({mean}) * ({mean}), 0.0)"
+        parts += [
+            f"{n} AS txn_count_{wname}",
+            f"{s} AS txn_amount_sum_{wname}",
+            f"{mean} AS avg_txn_amount_{wname}",
+            f"MAX({a}) OVER {wdef} AS max_txn_amount_{wname}",
+            f"MIN({a}) OVER {wdef} AS min_txn_amount_{wname}",
+            f"ROUND(SQRT({var}), 6) AS std_txn_amount_{wname}",
+            f"CAST({n} AS DOUBLE) / {wsecs / spec.velocity_unit_s} "
+            f"AS velocity_score_{wname}",
+        ]
+        for dcol in spec.distinct_cols:
+            # DuckDB lacks DISTINCT window aggregates; equivalent trick:
+            # count rows that are the first occurrence of their value within
+            # reach of the frame is not expressible either — use a correlated
+            # scalar subquery (fine at oracle scale, not the engine's plan).
+            parts.append(
+                f"(SELECT COUNT(DISTINCT e2.{dcol}) FROM {table} e2 "
+                f"WHERE e2.{spec.entity_col} = e.{spec.entity_col} "
+                f"AND epoch_ms(e2.{spec.ts_col}) BETWEEN "
+                f"epoch_ms(e.{spec.ts_col}) - {wsecs * 1000} "
+                f"AND epoch_ms(e.{spec.ts_col})) AS unique_{dcol}_{wname}"
+            )
+    select = ",\n  ".join(parts)
+    return (
+        f"SELECT e.event_id, e.{spec.entity_col},\n  {select}\n"
+        f"FROM {table} e"
+    )

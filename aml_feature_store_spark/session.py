@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+Local test profile: ``local[N]`` single-JVM. Cluster profile: the same
+builder options minus master; partition sizing scales with
+``spark.sql.shuffle.partitions`` which callers override per deployment.
+
+Scale notes (100 TB design):
+- AQE on: runtime coalescing, skew-join splitting, broadcast demotion.
+- ``spark.sql.shuffle.partitions`` is a *default*; large production jobs
+  should let AQE coalesce from a high initial number (e.g. 2000-8000)
+  rather than hand-tuning per query.
+- UTC session timezone is mandatory — the engine standardizes all event
+  time on UTC timestamps (SURVEY.md §7 "hard parts": the reference mixes
+  now()/utcnow()/epoch-ms; we do not).
+- Arrow enabled for the pandas-UDF slow path (D3-D7 operators only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "aml_feature_store_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # driver testdata stores ts as TIMESTAMP(NANOS) which Spark's µs
+        # TimestampType cannot read; read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,103 @@
+"""Unit tests for trailing-window features on hand-computed tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from aml_feature_store_spark.operators.windows import (
+    TrailingWindowSpec,
+    trailing_features,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), u, v) for i, (s, u, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+def test_trailing_counts_and_sums(spark):
+    # user 1: events at t=0, 30s, 3601s. 1h window at the 3rd event must
+    # include only events within [ts-3600s, ts] → itself + t=30s event.
+    df = _mk(spark, [(0, 1, 10.0), (30, 1, 20.0), (3601, 1, 40.0)])
+    spec = TrailingWindowSpec(windows={"1h": 3600})
+    out = {
+        r["event_id"]: r
+        for r in trailing_features(df, spec).collect()
+    }
+    assert out[0]["txn_count_1h"] == 1
+    assert out[1]["txn_count_1h"] == 2
+    assert out[1]["txn_amount_sum_1h"] == 30.0
+    assert out[2]["txn_count_1h"] == 2  # t=30s dropped (3601-3600 > 30? no: 1 <= 30 → kept)
+    # window is inclusive [ts-W, ts]: at t=3601 cutoff is 1 → event at 30 kept
+    assert out[2]["txn_amount_sum_1h"] == 60.0
+
+
+def test_window_boundary_inclusive(spark):
+    # event exactly W seconds earlier is INSIDE the frame (inclusive bound)
+    df = _mk(spark, [(0, 1, 5.0), (3600, 1, 7.0)])
+    spec = TrailingWindowSpec(windows={"1h": 3600})
+    out = sorted(trailing_features(df, spec).collect(), key=lambda r: r["event_id"])
+    assert out[1]["txn_count_1h"] == 2
+    assert out[1]["txn_amount_sum_1h"] == 12.0
+
+
+def test_users_partitioned_independently(spark):
+    df = _mk(spark, [(0, 1, 5.0), (1, 2, 100.0), (2, 1, 5.0)])
+    spec = TrailingWindowSpec(windows={"1m": 60})
+    out = {r["event_id"]: r for r in trailing_features(df, spec).collect()}
+    assert out[1]["txn_count_1m"] == 1
+    assert out[2]["txn_count_1m"] == 2
+    assert out[2]["txn_amount_sum_1m"] == 10.0
+
+
+def test_std_and_velocity(spark):
+    df = _mk(spark, [(0, 1, 10.0), (10, 1, 20.0)])
+    spec = TrailingWindowSpec(windows={"1h": 3600})
+    out = {r["event_id"]: r for r in trailing_features(df, spec).collect()}
+    # population stddev of {10,20} = 5
+    assert out[1]["std_txn_amount_1h"] == pytest.approx(5.0)
+    assert out[0]["std_txn_amount_1h"] == 0.0
+    # velocity = count per hour-equivalent window: 2 events / 1h
+    assert out[1]["velocity_score_1h"] == pytest.approx(2.0)
+
+
+def test_distinct_counts(spark):
+    rows = [
+        (0, 1, "a"),
+        (10, 1, "b"),
+        (20, 1, "a"),
+        (4000, 1, "c"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, 1.0, m)
+            for i, (s, u, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, value double, event_type string",
+    )
+    spec = TrailingWindowSpec(windows={"1h": 3600}, distinct_cols=("event_type",))
+    out = {r["event_id"]: r for r in trailing_features(df, spec).collect()}
+    assert out[2]["unique_event_type_1h"] == 2
+    # cutoff at t=4000 is t=400 → events at 0/10/20 evicted; frame = {c}
+    assert out[3]["unique_event_type_1h"] == 1
+
+
+def test_distinct_counts_eviction(spark):
+    rows = [(0, 1, "a"), (10, 1, "b"), (4000, 1, "c")]
+    df = spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, 1.0, m)
+            for i, (s, u, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, value double, event_type string",
+    )
+    spec = TrailingWindowSpec(windows={"1h": 3600}, distinct_cols=("event_type",))
+    out = {r["event_id"]: r for r in trailing_features(df, spec).collect()}
+    assert out[1]["unique_event_type_1h"] == 2
+    assert out[2]["unique_event_type_1h"] == 1
