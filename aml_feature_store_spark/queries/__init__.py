@@ -1,3 +1,3 @@
 """Modules whose import registers queries into the catalog."""
 
-from . import window_features  # noqa: F401
+from . import behavioral, stat_features, window_features  # noqa: F401

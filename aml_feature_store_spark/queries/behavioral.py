@@ -1,0 +1,164 @@
+"""Registered queries: derived time flags, conditional window counts,
+windowed distinct counts, JSON payload parsing (SURVEY §2.2 P4/P5, §2.4
+A6/A8, §2.8 F2/F4/F7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import register
+from ..schemas import EVENT_PROPS
+from ..sources import load_table
+
+_NIGHT = "(hour(ts) < 6 OR hour(ts) > 22)"
+
+
+@register(
+    "derived_time_flags",
+    oracle=f"""
+SELECT event_id, user_id, hour(ts) AS hour_of_day, isodow(ts) - 1 AS weekday,
+       isodow(ts) - 1 >= 5 AS is_weekend,
+       {_NIGHT} AS is_night,
+       hour(ts) BETWEEN 9 AND 17 AS is_business_hours
+FROM events
+""",
+)
+def derived_time_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/ordinal time-derived columns per event (P4, F2, F7).
+
+    Reference: offline_data/generate_sample_data.py:72-73 (is_weekend,
+    hour_of_day), producer/transaction_producer.py:134-136 (is_night).
+    weekday is 0=Mon..6=Sun on both engines (Spark weekday ≡ DuckDB
+    isodow−1) — the F2 dayofweek trap from SURVEY §2.8.
+    """
+    df = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    wd = F.weekday("ts")
+    return df.select(
+        "event_id",
+        "user_id",
+        hour.cast("long").alias("hour_of_day"),
+        wd.cast("long").alias("weekday"),
+        (wd >= 5).alias("is_weekend"),
+        ((hour < 6) | (hour > 22)).alias("is_night"),
+        hour.between(9, 17).alias("is_business_hours"),
+    )
+
+
+@register(
+    "conditional_window_counts",
+    oracle=f"""
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS txn_count_24h,
+  SUM(CASE WHEN {_NIGHT} THEN 1 ELSE 0 END) OVER w AS night_txn_count_24h,
+  SUM(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END) OVER w AS weekend_txn_count_24h,
+  SUM(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1 ELSE 0 END) OVER w
+    AS business_hours_txn_count_24h,
+  CAST(SUM(CASE WHEN {_NIGHT} THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+    / CAST(COUNT(*) OVER w AS DOUBLE) AS night_txn_ratio_24h,
+  CAST(SUM(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+    / CAST(COUNT(*) OVER w AS DOUBLE) AS weekend_txn_ratio_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+""",
+)
+def conditional_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Night/weekend/business-hours counts + ratios over a trailing 24h
+    window per user (A8, P5).
+
+    Reference: flink_job/aml_stream_processor.py:189-199 (night/weekend
+    loops per event) — here a single WindowExec with conditional sums.
+    """
+    df = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    night = (hour < 6) | (hour > 22)
+    weekend = F.weekday("ts") >= 5
+    business = hour.between(9, 17)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-86400000, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    nite = F.sum(F.when(night, 1).otherwise(0)).over(w)
+    wkd = F.sum(F.when(weekend, 1).otherwise(0)).over(w)
+    return df.select(
+        "event_id",
+        "user_id",
+        n.alias("txn_count_24h"),
+        nite.alias("night_txn_count_24h"),
+        wkd.alias("weekend_txn_count_24h"),
+        F.sum(F.when(business, 1).otherwise(0)).over(w).alias(
+            "business_hours_txn_count_24h"
+        ),
+        (nite.cast("double") / n.cast("double")).alias("night_txn_ratio_24h"),
+        (wkd.cast("double") / n.cast("double")).alias("weekend_txn_ratio_24h"),
+    )
+
+
+@register(
+    "unique_counts_windows",
+    oracle="""
+SELECT e.event_id, e.user_id,
+  (SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+   WHERE e2.user_id = e.user_id
+     AND epoch_ms(e2.ts) BETWEEN epoch_ms(e.ts) - 3600000 AND epoch_ms(e.ts))
+    AS unique_event_type_1h,
+  (SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+   WHERE e2.user_id = e.user_id
+     AND epoch_ms(e2.ts) BETWEEN epoch_ms(e.ts) - 86400000 AND epoch_ms(e.ts))
+    AS unique_event_type_24h
+FROM events e
+""",
+)
+def unique_counts_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct event_type count over trailing 1h/24h windows (A6/U1).
+
+    Engine plan: size(collect_set() OVER range-frame) — one window pass
+    (memory ∝ distinct values per frame). At 100 TB switch
+    TrailingWindowSpec.distinct_exact=False → HLL sketch
+    (approx_count_distinct, 2% tolerance). The oracle's correlated
+    subqueries are the semantic spec only, not the engine plan.
+    Reference: flink_job/aml_stream_processor.py:166-171 (set() over state).
+    """
+    df = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy(F.unix_millis(F.col("ts")))
+    w1 = base.rangeBetween(-3600000, 0)
+    w24 = base.rangeBetween(-86400000, 0)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w1)).cast("long").alias(
+            "unique_event_type_1h"
+        ),
+        F.size(F.collect_set("event_type").over(w24)).cast("long").alias(
+            "unique_event_type_24h"
+        ),
+    )
+
+
+@register(
+    "props_json_extract",
+    oracle=r"""
+SELECT event_id, user_id,
+       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS prop_k,
+       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS prop_k_bucket
+FROM events
+""",
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON payload parse of events.props (F4).
+
+    Engine uses from_json with a pinned schema (never schema_of_json on the
+    hot path); oracle uses regexp for dialect neutrality.
+    Reference: flink_job/aml_stream_processor.py:68-73 (json.loads per event).
+    """
+    df = load_table(spark, sf_dir, "events")
+    parsed = df.withColumn("_p", F.from_json("props", EVENT_PROPS))
+    return parsed.select(
+        "event_id",
+        "user_id",
+        F.col("_p.k").alias("prop_k"),
+        (F.col("_p.k") % 10).alias("prop_k_bucket"),
+    )

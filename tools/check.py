@@ -70,6 +70,10 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> list[str]:
                     f"col {c}: NOT EXACT ({'close' if close else f'{bad} rows differ'}) "
                     f"e.g. {svf[:3]} vs {ovf[:3]}"
                 )
+        elif pd.api.types.is_integer_dtype(sv) and pd.api.types.is_integer_dtype(ov):
+            if not np.array_equal(sv.to_numpy("int64"), ov.to_numpy("int64")):
+                n = (sv.to_numpy("int64") != ov.to_numpy("int64")).sum()
+                issues.append(f"col {c}: {n} int rows differ")
         else:
             eq = sv.reset_index(drop=True).equals(ov.reset_index(drop=True))
             if not eq:
