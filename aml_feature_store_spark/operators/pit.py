@@ -1,0 +1,144 @@
+"""Point-in-time (as-of) join — SURVEY §2.3 J2, the engine's key custom op.
+
+Semantics: for each spine row (entity, t) produce aggregates over that
+entity's events with event-time in ``[t − W, t]`` (and optionally the
+as-of-latest event row). The reference computes this with an O(n·m)
+per-row pandas loop (reference: feature_engineering/advanced_features.py:
+399-419, notebooks cell 8 l.11-35); Feast's get_historical_features has
+the same contract (feature_repo/definitions.py:27-46, ttl=24h).
+
+Spark-first physical strategy — **union-spine + range-frame window**:
+
+    1. events tagged is_spine=0, spine tagged is_spine=1, unioned by name;
+    2. one Window.partitionBy(entity).orderBy(epoch_ms).rangeBetween(-W, 0)
+       with aggregates conditioned on is_spine=0 (spine rows contribute
+       nothing to the aggregates but observe the frame);
+    3. filter is_spine=1.
+
+    Cost: ONE shuffle of (events ∪ spine) on the entity key + one sort —
+    no join explosion, no per-row re-scan. This is the plan that survives
+    100 TB: it is linear in input, partition-parallel by entity, and
+    spills via UnsafeExternalSorter. Events at exactly t are included
+    (range frames include peers — tie order is irrelevant by construction).
+
+A second strategy (broadcast-spine range join) would win only when the
+spine is tiny and events are huge-but-indexed; deferred.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+DEC = "decimal(25,2)"
+
+
+def point_in_time_features(
+    spine: DataFrame,
+    events: DataFrame,
+    entity_col: str = "user_id",
+    spine_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+    amount_col: str = "value",
+    spine_id_col: str = "event_id",
+    window_s: int = 86400,
+    suffix: str = "24h",
+) -> DataFrame:
+    """As-of aggregate features for every spine row.
+
+    Returns spine (id, entity, ts columns) + pit_count/pit_sum/pit_avg/
+    pit_max/pit_min aliased with ``suffix``. Empty frames yield count=0 and
+    NULL-free zero defaults (P6 semantics: reference
+    feature_engineering/advanced_features.py:210-227 zero-features).
+    """
+    ev = events.select(
+        F.col(entity_col).alias("_ent"),
+        F.unix_millis(F.col(event_ts_col)).alias("_ms"),
+        F.col(amount_col).alias("_amt"),
+        F.lit(0).alias("_is_spine"),
+        F.lit(None).cast("long").alias("_spine_id"),
+    )
+    sp = spine.select(
+        F.col(entity_col).alias("_ent"),
+        F.unix_millis(F.col(spine_ts_col)).alias("_ms"),
+        F.lit(None).cast("double").alias("_amt"),
+        F.lit(1).alias("_is_spine"),
+        F.col(spine_id_col).cast("long").alias("_spine_id"),
+    )
+    u = ev.unionByName(sp)
+    w = Window.partitionBy("_ent").orderBy("_ms").rangeBetween(-window_s * 1000, 0)
+    amt_ev = F.when(F.col("_is_spine") == 0, F.col("_amt"))
+    amt_dec = amt_ev.cast(DEC)
+    n = F.sum(F.when(F.col("_is_spine") == 0, 1).otherwise(0)).over(w)
+    s = F.sum(amt_dec).over(w).cast("double")
+    out = (
+        u.withColumns(
+            {
+                f"pit_count_{suffix}": n,
+                f"pit_sum_{suffix}": F.coalesce(s, F.lit(0.0)),
+                f"pit_avg_{suffix}": F.coalesce(s / n, F.lit(0.0)),
+                f"pit_max_{suffix}": F.max(amt_ev).over(w),
+                f"pit_min_{suffix}": F.min(amt_ev).over(w),
+            }
+        )
+        .filter(F.col("_is_spine") == 1)
+        .select(
+            F.col("_spine_id").alias(spine_id_col),
+            F.col("_ent").alias(entity_col),
+            F.col("_ms").alias("spine_ts_ms"),
+            f"pit_count_{suffix}",
+            f"pit_sum_{suffix}",
+            f"pit_avg_{suffix}",
+            f"pit_max_{suffix}",
+            f"pit_min_{suffix}",
+        )
+    )
+    return out
+
+
+def pit_oracle(
+    spine_sql: str,
+    entity: str = "user_id",
+    amount: str = "value",
+    spine_id: str = "event_id",
+    window_s: int = 86400,
+    suffix: str = "24h",
+    events_table: str = "events",
+) -> str:
+    """Correlated-subquery oracle for :func:`point_in_time_features` —
+    the semantic spec (DuckDB decorrelates it into a join)."""
+    wms = window_s * 1000
+    corr = (
+        f"FROM {events_table} ev WHERE ev.{entity} = s.{entity} "
+        f"AND epoch_ms(ev.ts) BETWEEN epoch_ms(s.ts) - {wms} AND epoch_ms(s.ts)"
+    )
+    return f"""
+WITH spine AS ({spine_sql})
+SELECT s.{spine_id}, s.{entity}, epoch_ms(s.ts) AS spine_ts_ms,
+  (SELECT COUNT(*) {corr}) AS pit_count_{suffix},
+  COALESCE((SELECT CAST(SUM(CAST(ev.{amount} AS DECIMAL(25,2))) AS DOUBLE) {corr}), 0.0)
+    AS pit_sum_{suffix},
+  COALESCE((SELECT CAST(SUM(CAST(ev.{amount} AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*) {corr}), 0.0)
+    AS pit_avg_{suffix},
+  (SELECT MAX(ev.{amount}) {corr}) AS pit_max_{suffix},
+  (SELECT MIN(ev.{amount}) {corr}) AS pit_min_{suffix}
+FROM spine s
+"""
+
+
+def latest_snapshot(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Latest row per entity (the online-store materialization primitive:
+    last-write-wins MERGE emulation; reference Redis HSET-latest semantics,
+    flink_job/aml_stream_processor.py:203-221)."""
+    w = Window.partitionBy(entity_col).orderBy(
+        F.unix_millis(F.col(ts_col)).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

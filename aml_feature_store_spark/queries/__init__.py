@@ -1,3 +1,10 @@
 """Modules whose import registers queries into the catalog."""
 
-from . import behavioral, stat_features, window_features  # noqa: F401
+from . import (  # noqa: F401
+    behavioral,
+    graph_features,
+    joins_scoring,
+    relational,
+    stat_features,
+    window_features,
+)

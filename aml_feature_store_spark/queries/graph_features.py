@@ -1,0 +1,98 @@
+"""Registered queries: graph features over the user↔prop_k bipartite graph
+(SURVEY §2.3 J5, §2.4 A27/A28).
+
+prop_k (the JSON payload key, 0-99) stands in for merchant_id: richer than
+event_type (5 values) and exercises the JSON parse on the edge-build path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..operators.graph import edge_list, node_degrees, shared_neighbor_pairs
+from ..schemas import EVENT_PROPS
+from ..sources import load_table
+
+_EDGES_SQL = r"""
+SELECT user_id AS src,
+       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS dst,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS weight,
+       COUNT(*) AS n_txn
+FROM events
+GROUP BY user_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    parsed = df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
+    return edge_list(parsed, src_col="user_id", dst_col="prop_k")
+
+
+@register("graph_edge_list", oracle=_EDGES_SQL)
+def graph_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted edge list (user → prop_k): Σamount + txn count per edge (J5).
+    Reference: advanced_features.py:30-50 networkx add_edge loop → ONE
+    groupBy; the graph is a DataFrame, not driver-side object state."""
+    return _edges(spark, sf_dir)
+
+
+@register(
+    "user_graph_degrees",
+    oracle=f"""
+WITH edges AS ({_EDGES_SQL}),
+n AS (SELECT (SELECT COUNT(DISTINCT src) FROM edges)
+           + (SELECT COUNT(DISTINCT dst) FROM edges) AS n_nodes)
+SELECT src AS node, COUNT(*) AS degree,
+       CAST(SUM(CAST(weight AS DECIMAL(25,2))) AS DOUBLE) AS weighted_degree,
+       SUM(n_txn) AS total_txns,
+       CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_nodes FROM n) - 1 AS DOUBLE)
+         AS degree_centrality
+FROM edges GROUP BY src
+""",
+)
+def user_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree / weighted degree / networkx-convention degree centrality per
+    user node (A27/A28; reference advanced_features.py:59-88)."""
+    return node_degrees(_edges(spark, sf_dir), side="src")
+
+
+@register(
+    "merchant_graph_features",
+    oracle=f"""
+WITH edges AS ({_EDGES_SQL})
+SELECT dst AS node, COUNT(*) AS unique_users,
+       CAST(SUM(CAST(weight AS DECIMAL(25,2))) AS DOUBLE) AS total_amount,
+       SUM(n_txn) AS total_txns
+FROM edges GROUP BY dst
+""",
+)
+def merchant_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merchant-side aggregates: unique customers, Σamount, txn count per
+    prop_k node (reference MerchantAggregator,
+    flink_job/aml_stream_processor.py:234-330)."""
+    e = _edges(spark, sf_dir)
+    return e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("unique_users"),
+        F.sum(F.col("weight").cast("decimal(25,2)")).cast("double").alias(
+            "total_amount"
+        ),
+        F.sum("n_txn").alias("total_txns"),
+    )
+
+
+@register(
+    "user_shared_k_pairs",
+    oracle=f"""
+WITH edges AS ({_EDGES_SQL})
+SELECT a.src AS u, b.src AS v, COUNT(*) AS shared_dsts
+FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+GROUP BY a.src, b.src
+""",
+)
+def user_shared_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop projection: user pairs sharing ≥1 prop_k with shared-neighbor
+    count — the edge self-join primitive for clustering/triangle metrics
+    (A28). Scale note: cap/sample hub nodes before this join at 100 TB."""
+    return shared_neighbor_pairs(_edges(spark, sf_dir))

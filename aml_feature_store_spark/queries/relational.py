@@ -1,0 +1,199 @@
+"""Registered queries: relational/OLAP surface — grouped aggregation, star
+joins, top-k per group, tumbling rollups, quantiles (SURVEY §2.4 A21-A25,
+§2.6 O1-O3, §2.5 W3). These run on the TPC-H-ish tables and double as the
+bench headliners (BASELINE.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+DEC = "decimal(25,2)"
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with
+    predicate pushed to the parquet scan (A1-A5 in grouped form).
+
+    Scale: partial+final hash aggregation (map-side combine) — the scan
+    filter appears in PushedFilters; 2 grouping keys → tiny shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(38,6)")
+    n = F.count(F.lit(1))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias(
+            "sum_base_price"
+        ),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / n.cast("double")).alias(
+            "avg_qty"
+        ),
+        (F.sum(F.col("l_discount").cast(DEC)).cast("double") / n.cast("double")).alias(
+            "avg_disc"
+        ),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: orders ⋈ customer ⋈ nation ⋈ region → revenue per
+    (region, nation). Dimensions are explicitly broadcast (J1/J3 pattern) —
+    the fact table never shuffles for the joins, only for the final 2-key
+    aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per customer (W3/O3 per-group top-k):
+    row_number + filter → Catalyst window-group-limit pushdown (no full
+    sort of the fact table). Reference: api/main.py:216-219 top-3
+    contributions; dashboard/app.py:330-332."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    oracle="""
+SELECT user_id, epoch_ms(ts) // 600000 AS bucket_10m, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS avg_value
+FROM events GROUP BY user_id, epoch_ms(ts) // 600000
+""",
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute rollup per user (A21/T6): floor-bucket on epoch-ms
+    ≡ groupBy(window(ts, '10 minutes')) — emitted as the bucket ordinal for
+    oracle parity. Reference: dashboard/app.py:268-275."""
+    df = load_table(spark, sf_dir, "events")
+    bucket = F.expr("unix_millis(ts) div 600000")
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("value").cast(DEC)).cast("double")
+    return df.groupBy("user_id", bucket.alias("bucket_10m")).agg(
+        n.alias("n_events"),
+        s.alias("sum_value"),
+        (s / n.cast("double")).alias("avg_value"),
+    )
+
+
+@register(
+    "quantiles_by_event_type",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95_value,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99_value
+FROM events GROUP BY event_type
+""",
+)
+def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95/p99 of amount per event type (A22).
+
+    Engine uses `percentile` (exact, Spark) ≡ DuckDB quantile_cont; at
+    100 TB switch to percentile_approx (declared tolerance) — reference:
+    dashboard/app.py:366-367 latency quantiles."""
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_value"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_value"),
+    )
+
+
+@register(
+    "mktsegment_acctbal_summary",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS total_acctbal,
+  MAX(c_acctbal) AS max_acctbal, MIN(c_acctbal) AS min_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def mktsegment_acctbal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style summary per segment (A23/A25 value_counts+stats)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+    )

@@ -1,0 +1,83 @@
+"""Unit tests: rule risk model (D1) and graph operators (J5/A27/A28)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aml_feature_store_spark.functions.risk import risk_score
+from aml_feature_store_spark.operators.graph import (
+    edge_list,
+    node_degrees,
+    shared_neighbor_pairs,
+)
+
+FEATURE_SCHEMA = (
+    "user_id long, txn_amount_sum_1h double, txn_count_1h long, "
+    "velocity_score_1h double, unique_event_type_1h long, "
+    "night_txn_count_24h long, night_txn_ratio_24h double"
+)
+
+
+def test_risk_score_zero_features(spark):
+    df = spark.createDataFrame([(1, 0.0, 0, 0.0, 0, 0, 0.0)], FEATURE_SCHEMA)
+    row = risk_score(df).collect()[0]
+    assert row["risk_score"] == 0.0
+    assert row["risk_level"] == "LOW"
+
+
+def test_risk_score_maxed_features_clamped(spark):
+    df = spark.createDataFrame(
+        [(1, 50000.0, 100, 10.0, 10, 50, 1.0)], FEATURE_SCHEMA
+    )
+    row = risk_score(df).collect()[0]
+    # all normalized terms cap at 1 → base = Σ weights = 1.0; bumps +0.6 → clamp 1
+    assert row["risk_score"] == 1.0
+    assert row["risk_level"] == "HIGH"
+
+
+def test_risk_bucketing_boundaries(spark):
+    # amount_sum normalizes to s/10000*0.25: pick values hitting each bucket
+    rows = [
+        (1, 4000.0, 0, 0.0, 0, 0, 0.0),   # 0.4*0.25 = 0.10 → LOW
+        (2, 10000.0, 4, 0.0, 0, 0, 0.0),  # 0.25 + 0.4*0.2 = 0.33 → MEDIUM
+        (3, 50000.0, 100, 10.0, 0, 0, 0.0),  # 0.25+0.2+0.2 + bumps 0.5 → HIGH
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    got = {r["user_id"]: r["risk_level"] for r in risk_score(df).collect()}
+    assert got == {1: "LOW", 2: "MEDIUM", 3: "HIGH"}
+
+
+def _txn_df(spark):
+    rows = [
+        # (user, k, value)
+        (1, 10, 100.0),
+        (1, 10, 50.0),
+        (1, 20, 25.0),
+        (2, 10, 10.0),
+        (3, 30, 5.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, prop_k long, value double")
+
+
+def test_edge_list_weights(spark):
+    e = {(r["src"], r["dst"]): r for r in edge_list(_txn_df(spark)).collect()}
+    assert e[(1, 10)]["weight"] == 150.0 and e[(1, 10)]["n_txn"] == 2
+    assert e[(1, 20)]["weight"] == 25.0
+    assert len(e) == 4
+
+
+def test_node_degrees_and_centrality(spark):
+    edges = edge_list(_txn_df(spark))
+    d = {r["node"]: r for r in node_degrees(edges, side="src").collect()}
+    assert d[1]["degree"] == 2 and d[1]["weighted_degree"] == 175.0
+    assert d[2]["degree"] == 1
+    # nodes: 3 users + 3 ks = 6 → centrality = degree/5
+    assert d[1]["degree_centrality"] == pytest.approx(2 / 5)
+
+
+def test_shared_neighbor_pairs(spark):
+    pairs = {
+        (r["u"], r["v"]): r["shared_dsts"]
+        for r in shared_neighbor_pairs(edge_list(_txn_df(spark))).collect()
+    }
+    assert pairs == {(1, 2): 1}  # users 1,2 share k=10; user 3 isolated
