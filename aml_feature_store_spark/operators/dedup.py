@@ -1,0 +1,332 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.11 X1/X2).
+
+Four strategies, all pure DataFrame plans:
+
+- **exact**: hash-groupBy on content digest (X1).
+- **n-gram Jaccard**: word-3-gram shingles → inverted-index self-join →
+  exact Jaccard on candidate pairs.
+- **MinHash + LSH**: md5-derived shingle hash → k min-hash signatures →
+  banded buckets → candidate pairs → exact-Jaccard verification. The md5
+  base hash makes the whole pipeline engine-portable (the DuckDB oracle
+  reproduces it bit-for-bit) and deterministic across runs/cluster sizes.
+- **SimHash**: 32-bit sign-aggregated fingerprint; near-dup = Hamming ≤ r.
+
+Scale notes (100 TB): the inverted-index join explodes on high-frequency
+shingles — MinHash-LSH is the scale path (candidates ∝ true near-dups,
+not pairs). Signatures are one groupBy over exploded shingles; banding is
+a second groupBy. Both partial-aggregate map-side. SimHash pair scan is
+O(n²) here for exactness; at scale, band the fingerprint bytes the same
+way LSH bands signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# MinHash parameters (shared with the oracle SQL — keep literal)
+MINHASH_K = 16
+LSH_BANDS = 8  # 2 rows per band
+MINHASH_P = 2147483647
+MINHASH_A = [
+    1048573, 2097143, 4194301, 8388593, 1610612741, 805306457, 402653189,
+    201326611, 100663319, 50331653, 25165843, 12582917, 6291469, 3145739,
+    1572869, 786433,
+]
+MINHASH_B = [
+    12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869, 3145739,
+    6291469, 12582917, 25165843, 50331653, 100663319, 201326611, 402653189,
+]
+
+SHINGLE_N = 3
+
+_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-3-gram shingles per document: (id, shingle)."""
+    sh = F.expr(
+        f"""CASE WHEN size({_TOKS}) >= {SHINGLE_N} THEN
+              transform(sequence(0, size({_TOKS}) - {SHINGLE_N}),
+                        i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))
+            ELSE array() END"""
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingles_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB CTE body producing the identical (id, shingle) relation."""
+    return f"""
+  SELECT DISTINCT {id_col},
+         toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] || ' '
+           || toks[CAST(i+2 AS INT)] AS shingle
+  FROM (SELECT {id_col},
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS toks
+        FROM {table}) t,
+       LATERAL (SELECT unnest(range(1, greatest(len(toks) - {SHINGLE_N - 2}, 1))) AS i) u
+"""
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                content_col: str = "text") -> DataFrame:
+    """Exact duplicate grouping by content digest (X1): every row annotated
+    with its group digest, group size, and canonical flag (min id wins)."""
+    w = Window.partitionBy("content_md5")
+    return docs.select(
+        F.col(id_col),
+        F.md5(content_col).alias("content_md5"),
+    ).select(
+        id_col,
+        "content_md5",
+        F.count(F.lit(1)).over(w).alias("dup_group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
+    )
+
+
+def exact_dedup_sql(table: str = "documents", id_col: str = "doc_id",
+                    content: str = "text") -> str:
+    return f"""
+SELECT {id_col}, md5({content}) AS content_md5,
+       COUNT(*) OVER (PARTITION BY md5({content})) AS dup_group_size,
+       {id_col} = MIN({id_col}) OVER (PARTITION BY md5({content})) AS is_canonical
+FROM {table}
+"""
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs via inverted-index self-join."""
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy(F.col(id_col)).agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "n": "n2"}), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "d1", "d2", "n_common", "jaccard"
+    )
+
+
+def jaccard_pairs_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    return f"""
+WITH s AS ({shingles_sql(table)}),
+inv AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id)
+SELECT d1, d2, n_common,
+       CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+FROM inv JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= {threshold}
+"""
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+_H_SPARK = "cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"
+_H_DUCK = "CAST(CAST(CONCAT('0x', substr(md5(shingle), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k=16 min-hash signature columns sig0..sig15 per document."""
+    h = F.expr(_H_SPARK)
+    withh = sh.withColumn("_h", h)
+    aggs = [
+        F.min((F.col("_h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(
+            f"sig{i}"
+        )
+        for i in range(MINHASH_K)
+    ]
+    return withh.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs (any identical band) verified with exact Jaccard.
+
+    Returns (d1, d2, est_sim, jaccard) for verified pairs ≥ threshold.
+    est_sim = fraction of the 16 signature components that agree.
+    """
+    sh = shingles(docs, id_col)
+    sig = minhash_signatures(sh, id_col)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        part = sig.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.concat_ws(":", *[c.cast("string") for c in cols]).alias("band_sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    l = bands.select(F.col(id_col).alias("d1"), "band_id", "band_sig")
+    r = bands.select(F.col(id_col).alias("d2"), "band_id", "band_sig")
+    cand = (
+        l.join(r, ["band_id", "band_sig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sig.select(
+        F.col(id_col).alias("d1"), *[F.col(f"sig{i}").alias(f"a{i}") for i in range(MINHASH_K)]
+    )
+    s2 = sig.select(
+        F.col(id_col).alias("d2"), *[F.col(f"sig{i}").alias(f"b{i}") for i in range(MINHASH_K)]
+    )
+    est = F.lit(0)
+    for i in range(MINHASH_K):
+        est = est + F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+    cand_est = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", (est.cast("double") / MINHASH_K).alias("est_sim"))
+    )
+    true_j = jaccard_pairs(sh, threshold=0.0, id_col=id_col).select(
+        "d1", "d2", "jaccard"
+    )
+    return (
+        cand_est.join(true_j, ["d1", "d2"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "est_sim", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    rows_per_band = MINHASH_K // LSH_BANDS
+    sig_exprs = ",\n         ".join(
+        f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS sig{i}"
+        for i in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, {concat} AS band_sig FROM sig".format(
+            b=b,
+            concat=" || ':' || ".join(
+                f"CAST(sig{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN s1.sig{i} = s2.sig{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH s AS ({shingles_sql(table)}),
+hashed AS (SELECT doc_id, {_H_DUCK} AS h FROM s),
+sig AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+inv AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+jac AS (
+  SELECT d1, d2,
+         CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+  FROM inv JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+)
+SELECT c.d1, c.d2,
+       CAST({est} AS DOUBLE) / {MINHASH_K} AS est_sim,
+       j.jaccard
+FROM cand c
+JOIN sig s1 ON c.d1 = s1.doc_id
+JOIN sig s2 ON c.d2 = s2.doc_id
+JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
+WHERE j.jaccard >= {threshold}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document from shingle hashes (sign aggregation)."""
+    sh = shingles(docs, id_col).withColumn("_h", F.expr(_H_SPARK))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"shiftright(_h, {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per = sh.groupBy(F.col(id_col)).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ r (exact pair scan — band the
+    fingerprint bytes at scale)."""
+    fp = simhash_fingerprints(docs, id_col)
+    a = fp.select(F.col(id_col).alias("d1"), F.col("simhash").alias("h1"))
+    b = fp.select(F.col(id_col).alias("d2"), F.col("simhash").alias("h2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = SIMHASH_MAX_HAMMING,
+                      table: str = "documents") -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH s AS ({shingles_sql(table)}),
+hashed AS (SELECT doc_id, {_H_DUCK} AS h FROM s),
+per AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM per)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

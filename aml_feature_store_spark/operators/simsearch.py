@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (SURVEY §2.11 X3).
+
+Brute-force cosine top-k as the exactness baseline, and an IVF-style
+(inverted-file) bucketed variant as the scale path. Embeddings are
+``array<float>`` columns; all math is done after an explicit cast to
+double so engine results are reproducible (float32 accumulation order
+would not be).
+
+Scale notes (100 TB): brute force is a broadcast of the query set against
+a partition-parallel scan of the corpus — linear, no shuffle, but O(Q·N)
+work. IVF cuts work to O(Q·N/k): assign corpus vectors to their nearest
+of k centroids (one broadcast-join pass, cacheable), probe only the
+query's closest centroid bucket(s). Recall < 1 by design — declared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), "
+    "(s, v) -> s + v)"
+)
+
+
+def _dbl(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add `_v` (double vector) and `_norm` columns."""
+    return df.withColumn("_v", F.expr(_dbl(vec_col))).withColumn(
+        "_norm", F.expr("sqrt(" + _DOT.format(a="_v", b="_v") + ")")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, vec_id, cosine, rank).
+
+    Query set is broadcast; corpus never shuffles. Cosine is rounded to
+    8 dp (absorbs sub-ulp fold differences) and ties break on vec_id so
+    the top-k set is fully deterministic.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    dot = F.expr(_DOT.format(a="_qv", b="_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", F.round(dot / (F.col("_qn") * F.col("_cn")), 8))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_sql(
+    n_queries: int = 5, k: int = 10, table: str = "embeddings"
+) -> str:
+    """DuckDB oracle for cosine_topk with queries = vec_id < n_queries."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8) AS cosine
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, vec_id, cosine,
+       rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic seed centroids (the first
+    n_centroids vectors by id — a k-means iteration can refine them, but
+    seed assignment keeps the op fully deterministic for testing).
+    Returns corpus + `centroid_id`."""
+    c = with_norm(corpus, vec_col)
+    cents = c.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("_v").alias("_cenv"),
+        F.col("_norm").alias("_cenn"),
+    )
+    dot = F.expr(_DOT.format(a="_v", b="_cenv"))
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(dot / (F.col("_norm") * F.col("_cenn")), 8)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id", F.col("_sim").alias("centroid_sim"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing only the query's nearest centroid bucket (recall<1
+    by design vs cosine_topk — the documented IVF trade)."""
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    # queries are corpus members here (self-search); probe their own bucket
+    q_assigned = assigned.join(
+        queries.select(F.col(id_col).alias("_qid")),
+        F.col(id_col) == F.col("_qid"),
+        "left_semi",
+    )
+    q = with_norm(q_assigned, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id").alias("_qcent"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(assigned, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("centroid_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    dot = F.expr(_DOT.format(a="_qv", b="_cv"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("_qcent"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("cosine", F.round(dot / (F.col("_qn") * F.col("_cn")), 8))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

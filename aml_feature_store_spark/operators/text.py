@@ -1,0 +1,195 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.11 X4).
+
+Quality scoring, token counting, language-ID heuristic, and content
+fingerprinting over a `text` column — all native column expressions
+(regexp + length arithmetic), zero UDFs, so the whole pass is one
+codegen'd Project and scales linearly with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+# BPE-ish tokenizer: letter runs | digit runs | single punctuation marks
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+# marker tokens per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "y"],
+}
+
+
+def _count_tokens_in(words: list[str]) -> Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter({_TOKS}, x -> array_contains(array({arr}), x)))"
+    ).cast("long")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document statistics + composite quality score.
+
+    n_words, distinct words, avg word length, punctuation/digit/upper
+    ratios, stopword ratio, token count (BPE-ish regex), and
+    quality_score = 0.4·cap(n_words/50) + 0.3·(1−punct_ratio)
+                  + 0.3·cap(distinct/25).
+    """
+    n_chars = F.length("text").cast("double")
+    n_words = F.expr(f"size({_TOKS})").cast("long")
+    n_distinct = F.expr(f"size(array_distinct({_TOKS}))").cast("long")
+    letters = n_chars - F.length(
+        F.regexp_replace("text", "[A-Za-z]", "")
+    ).cast("double")
+    digits = n_chars - F.length(F.regexp_replace("text", "[0-9]", "")).cast("double")
+    uppers = n_chars - F.length(F.regexp_replace("text", "[A-Z]", "")).cast("double")
+    punct = n_chars - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9 ]", "")
+    ).cast("double")
+    stop = _count_tokens_in(STOPWORDS)
+    n_tokens = F.size(
+        F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+    ).cast("long")
+    wl = F.expr(
+        f"aggregate({_TOKS}, 0L, (s, x) -> s + length(x))"
+    ).cast("double")
+    quality = (
+        F.least(n_words.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - punct / n_chars) * F.lit(0.3)
+        + F.least(n_distinct.cast("double") / F.lit(25.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        (wl / n_words.cast("double")).alias("avg_word_len"),
+        (punct / n_chars).alias("punct_ratio"),
+        (digits / n_chars).alias("digit_ratio"),
+        (uppers / F.greatest(letters, F.lit(1.0))).alias("upper_ratio"),
+        (stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+
+
+def text_stats_sql(table: str = "documents") -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x != '')")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         {toks} AS toks
+  FROM {table}
+), c AS (
+  SELECT doc_id, n_chars,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS wl,
+    n_chars - CAST(length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS letters,
+    n_chars - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+    n_chars - CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS uppers,
+    n_chars - CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)}, x))) AS BIGINT) AS stop,
+    CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM base
+)
+SELECT doc_id, n_words, n_distinct_words,
+  wl / CAST(n_words AS DOUBLE) AS avg_word_len,
+  punct / n_chars AS punct_ratio,
+  digits / n_chars AS digit_ratio,
+  uppers / GREATEST(letters, 1.0) AS upper_ratio,
+  CAST(stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+  n_tokens,
+  LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+    + (1.0 - punct / n_chars) * 0.3
+    + LEAST(CAST(n_distinct_words AS DOUBLE) / 25.0, 1.0) * 0.3 AS quality_score
+FROM c
+"""
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language-ID heuristic: score = count of language-marker
+    tokens; argmax with fixed precedence (en>de>fr>es), 'und' (undetermined)
+    when all scores are 0. Deterministic and fully relational."""
+    scores = {
+        lang: _count_tokens_in(markers) for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_predicted"),
+    )
+    return out
+
+
+def language_id_sql(table: str = "documents") -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x != '')")
+    score_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(m)}, x))) AS BIGINT)"
+        f" AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH base AS (SELECT doc_id, lang, {toks} AS toks FROM {table}),
+sc AS (
+  SELECT doc_id, lang AS lang_actual,
+    {score_cols}
+  FROM base
+)
+SELECT doc_id, lang_actual, {", ".join(f"score_{l}" for l in langs)},
+       {case} AS lang_predicted
+FROM sc
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: md5 of case/punctuation-normalized text + the
+    minimum shingle hash (winnowing-style anchor) per document."""
+    from .dedup import _H_SPARK, shingles
+
+    norm_md5 = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    base = docs.select("doc_id", norm_md5.alias("norm_md5"))
+    minsh = (
+        shingles(docs)
+        .withColumn("_h", F.expr(_H_SPARK))
+        .groupBy("doc_id")
+        .agg(F.min("_h").alias("min_shingle_hash"))
+    )
+    return base.join(minsh, "doc_id", "left")
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    from .dedup import _H_DUCK, shingles_sql
+
+    return f"""
+WITH s AS ({shingles_sql(table)}),
+m AS (SELECT doc_id, MIN({_H_DUCK}) AS min_shingle_hash FROM s GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS norm_md5,
+       m.min_shingle_hash
+FROM {table} d LEFT JOIN m ON d.doc_id = m.doc_id
+"""

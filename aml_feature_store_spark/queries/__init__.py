@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     behavioral,
     graph_features,
     joins_scoring,
+    llm_pipeline,
     relational,
     stat_features,
     window_features,

@@ -1,0 +1,146 @@
+"""Unit tests: dedup, similarity search, text analysis, multimodal (X1-X5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aml_feature_store_spark.operators import dedup, multimodal, simsearch, text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_dedup_groups(spark):
+    d = _docs(spark, ["same text here", "same text here", "different one"])
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(d).collect()}
+    assert out[0]["dup_group_size"] == 2 and out[1]["dup_group_size"] == 2
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    assert out[2]["dup_group_size"] == 1 and out[2]["is_canonical"]
+
+
+def test_shingles_are_word_3grams(spark):
+    d = _docs(spark, ["a b c d", "x y"])
+    sh = {(r["doc_id"], r["shingle"]) for r in dedup.shingles(d).collect()}
+    assert sh == {(0, "a b c"), (0, "b c d")}  # short doc yields none
+
+
+def test_jaccard_identical_docs(spark):
+    t = "alpha beta gamma delta epsilon zeta"
+    d = _docs(spark, [t, t, "unrelated totally different words here now"])
+    pairs = dedup.jaccard_pairs(dedup.shingles(d), threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["d1"], p["d2"]) == (0, 1) and p["jaccard"] == 1.0
+
+
+def test_minhash_lsh_finds_identical(spark):
+    t = "one two three four five six seven eight nine ten"
+    d = _docs(spark, [t, t, "totally different text with other words in it"])
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["est_sim"] == 1.0 and pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_zero_hamming(spark):
+    t = "one two three four five six seven"
+    d = _docs(spark, [t, t])
+    pairs = dedup.simhash_pairs(d).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def _vecs(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    corpus = _vecs(
+        spark,
+        [
+            [1, 0, 0, 0],   # query
+            [1, 0.01, 0, 0],  # nearly parallel
+            [0.7, 0.7, 0, 0],
+            [0, 1, 0, 0],   # orthogonal
+            [-1, 0, 0, 0],  # opposite
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 0)
+    out = simsearch.cosine_topk(corpus, q, k=4).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3, 4]
+    by_id = {r["vec_id"]: r["cosine"] for r in out}
+    assert by_id[3] == pytest.approx(0.0)
+    assert by_id[4] == pytest.approx(-1.0)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(3)
+    corpus = _vecs(
+        spark, [[rng.gauss(0, 1) for _ in range(8)] for _ in range(120)]
+    )
+    q = corpus.filter(F.col("vec_id") < 3)
+    exact = simsearch.cosine_topk(corpus, q, k=5).collect()
+    approx = simsearch.ivf_topk(corpus, q, k=5, n_centroids=4).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(ap) > 0
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4  # ANN trade-off, deterministic given seed data
+    # determinism: same call twice → same result
+    again = {(r["query_id"], r["vec_id"]) for r in
+             simsearch.ivf_topk(corpus, q, k=5, n_centroids=4).collect()}
+    assert ap == again
+
+
+def test_text_stats_basic(spark):
+    d = _docs(spark, ["Hello World, this is GREAT stuff 123!"])
+    r = text.text_stats(d).collect()[0]
+    assert r["n_words"] == 7  # hello world this is great stuff 123
+    assert r["n_tokens"] == 9  # 6 letter runs + '123' + ',' + '!'
+    assert 0 < r["quality_score"] <= 1.0
+    assert r["punct_ratio"] > 0
+
+
+def test_language_id_markers(spark):
+    d = _docs(spark, ["the cat of a house", "der hund und die katze",
+                      "le chat et la maison", "xyz qrs"])
+    out = {r["doc_id"]: r["lang_predicted"] for r in text.language_id(d).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    d = _docs(spark, ["Hello, World one two three!", "hello world ONE two THREE"])
+    rows = {r["doc_id"]: r for r in text.fingerprints(d).collect()}
+    assert rows[0]["norm_md5"] == rows[1]["norm_md5"]
+
+
+def test_multimodal_plumbing(spark):
+    d = _docs(spark, ["abcdef", "Z"])
+    b = multimodal.binarize_documents(d)
+    rows = {r["doc_id"]: r for r in b.collect()}
+    assert rows[0]["n_bytes"] == 6 and rows[0]["header_hex"] == "61626364"
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.extract_image_features(b).collect()
+    }
+    assert feats[0]["header_hex"] == "61626364"
+    assert feats[0]["mean_byte"] == pytest.approx(
+        sum(b"abcdef") / 6.0
+    )
+    assert feats[0]["width"] == ord("a") % 64 + 1
+    assert feats[1]["height"] == 0  # single-byte payload edge case
+
+
+def test_real_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode_stub()
