@@ -7,5 +7,6 @@ from . import (  # noqa: F401
     llm_pipeline,
     relational,
     stat_features,
+    streaming_queries,
     window_features,
 )

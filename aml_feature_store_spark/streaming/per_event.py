@@ -1,0 +1,179 @@
+"""Per-event trailing-window features over a stream (SURVEY §2.9 T3/T4/T5).
+
+The reference's core streaming semantic: on EVERY event, emit that
+entity's full feature vector over multiple trailing windows (reference:
+flink_job/aml_stream_processor.py:64-201 ListState; flink_job/
+real_time_processor.py:78-230 MapState). Spark has no built-in operator
+for this — sliding windows emit per-window, not per-event — so this is a
+custom stateful processor on ``applyInPandasWithState``:
+
+- keyed state = the entity's event buffer (ts_ms, value) within the
+  largest window (the ListState equivalent, with watermark-free manual
+  eviction exactly like the reference's purge, but event-time-correct);
+- per micro-batch: merge batch rows into the buffer in event-time order,
+  emit one output row per input event with all window aggregates;
+- events sharing the same ts are processed as one group (each sees the
+  others), matching the batch range-frame peer semantics — so
+  stream output ≡ batch window output when per-key arrival respects
+  event-time order (the online/offline consistency property the
+  reference only simulates, README.md:163).
+
+Scale notes: state per key is bounded by (max window × per-key rate),
+NOT stream length — eviction runs every batch. Arrow-batched transfer;
+compute is O(batch × log buffer) via binary search on the sorted buffer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_WINDOWS = {"5m": 300, "1h": 3600}
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ms", T.ArrayType(T.LongType())),
+        T.StructField("val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def output_schema(windows: dict[str, int]) -> T.StructType:
+    fields = [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+    for w in windows:
+        fields += [
+            T.StructField(f"txn_count_{w}", T.LongType()),
+            T.StructField(f"txn_amount_sum_{w}", T.DoubleType()),
+            T.StructField(f"avg_txn_amount_{w}", T.DoubleType()),
+            T.StructField(f"max_txn_amount_{w}", T.DoubleType()),
+            T.StructField(f"min_txn_amount_{w}", T.DoubleType()),
+        ]
+    return T.StructType(fields)
+
+
+def _processor(windows: dict[str, int]):
+    max_w_ms = max(windows.values()) * 1000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ms_buf, val_buf = state.get
+            ms_buf = np.asarray(ms_buf, dtype=np.int64)
+            val_buf = np.asarray(val_buf, dtype=np.float64)
+        else:
+            ms_buf = np.empty(0, dtype=np.int64)
+            val_buf = np.empty(0, dtype=np.float64)
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_ms", "event_id"], ignore_index=True)
+
+        out_rows: list[dict[str, Any]] = []
+        # process groups of equal ts together so same-ts peers see each
+        # other (matches batch RANGE-frame semantics)
+        for ts_ms, grp in batch.groupby("ts_ms", sort=True):
+            ins = np.searchsorted(ms_buf, np.int64(ts_ms), side="right")
+            g_ms = np.full(len(grp), np.int64(ts_ms))
+            ms_buf = np.concatenate([ms_buf[:ins], g_ms, ms_buf[ins:]])
+            val_buf = np.concatenate(
+                [val_buf[:ins], grp["value"].to_numpy(np.float64), val_buf[ins:]]
+            )
+            csum = np.concatenate([[0.0], np.cumsum(val_buf)])
+            for _, row in grp.iterrows():
+                out: dict[str, Any] = {
+                    "user_id": user_id,
+                    "event_id": int(row["event_id"]),
+                    "ts_ms": int(ts_ms),
+                }
+                for wname, wsecs in windows.items():
+                    lo = np.searchsorted(ms_buf, ts_ms - wsecs * 1000, "left")
+                    hi = np.searchsorted(ms_buf, np.int64(ts_ms), "right")
+                    n = int(hi - lo)
+                    # amounts have 2 decimals: rounding the f64 running sum
+                    # recovers the EXACT decimal sum (error ≪ 0.005), which
+                    # makes stream output bit-identical to the batch/oracle
+                    # decimal-sum plan — avg must divide the rounded sum
+                    s = round(float(csum[hi] - csum[lo]), 2)
+                    seg = val_buf[lo:hi]
+                    out[f"txn_count_{wname}"] = n
+                    out[f"txn_amount_sum_{wname}"] = s
+                    out[f"avg_txn_amount_{wname}"] = s / n if n else 0.0
+                    out[f"max_txn_amount_{wname}"] = float(seg.max()) if n else 0.0
+                    out[f"min_txn_amount_{wname}"] = float(seg.min()) if n else 0.0
+                out_rows.append(out)
+
+        # evict state older than the largest window behind max event-time
+        if len(ms_buf):
+            cutoff = ms_buf[-1] - max_w_ms
+            keep = ms_buf >= cutoff
+            ms_buf, val_buf = ms_buf[keep], val_buf[keep]
+        state.update((ms_buf.tolist(), val_buf.tolist()))
+        yield pd.DataFrame(out_rows, columns=[f.name for f in output_schema(windows)])
+
+    return fn
+
+
+def per_event_features(
+    stream: DataFrame, windows: dict[str, int] | None = None
+) -> DataFrame:
+    """Apply the per-event stateful processor to a streaming DataFrame with
+    columns (user_id, event_id, ts, value). Returns the streaming output."""
+    windows = windows or DEFAULT_WINDOWS
+    prepared = stream.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _processor(windows),
+        outputStructType=output_schema(windows),
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bounded(
+    spark,
+    source_dir: str,
+    windows: dict[str, int] | None = None,
+    query_name: str = "per_event_features",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive the per-event processor over a bounded file stream to
+    completion (availableNow) and return the materialized result."""
+    import tempfile
+
+    from ..schemas import EVENTS_RAW
+
+    reader = spark.readStream.schema(EVENTS_RAW)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = per_event_features(events, windows)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_per_event_")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,180 @@
+"""Streaming tests (SURVEY §5.4): per-event stateful features must equal
+the batch window computation on the same events (online/offline
+consistency), across single- and multi-batch arrival; online store merge
+semantics; burst scenario."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aml_feature_store_spark.operators.windows import (
+    TrailingWindowSpec,
+    trailing_features,
+)
+from aml_feature_store_spark.streaming.online_store import OnlineStore
+from aml_feature_store_spark.streaming.per_event import run_bounded
+
+SF_DIR = "/root/testdata/sf0.001"
+WINDOWS = {"5m": 300, "1h": 3600}
+
+
+def _batch_reference(spark, src_dir):
+    from aml_feature_store_spark.sources import load_table
+
+    df = load_table(spark, src_dir, "events")
+    spec = TrailingWindowSpec(windows=WINDOWS)
+    out = trailing_features(df, spec)
+    cols = ["event_id", "user_id"]
+    for w in WINDOWS:
+        cols += [f"txn_count_{w}", f"txn_amount_sum_{w}", f"avg_txn_amount_{w}",
+                 f"max_txn_amount_{w}", f"min_txn_amount_{w}"]
+    return {r["event_id"]: r for r in out.select(*cols).collect()}
+
+
+def _assert_consistent(stream_rows, want):
+    assert len(stream_rows) == len(want)
+    for r in stream_rows:
+        w = want[r["event_id"]]
+        for wname in WINDOWS:
+            assert r[f"txn_count_{wname}"] == w[f"txn_count_{wname}"], r["event_id"]
+            assert r[f"txn_amount_sum_{wname}"] == pytest.approx(
+                w[f"txn_amount_sum_{wname}"], abs=1e-6
+            )
+            assert r[f"avg_txn_amount_{wname}"] == pytest.approx(
+                w[f"avg_txn_amount_{wname}"], rel=1e-9
+            )
+            assert r[f"max_txn_amount_{wname}"] == w[f"max_txn_amount_{wname}"]
+            assert r[f"min_txn_amount_{wname}"] == w[f"min_txn_amount_{wname}"]
+
+
+def test_stream_equals_batch_single_batch(spark):
+    got = run_bounded(
+        spark, SF_DIR, WINDOWS, query_name="pe_single"
+    ).collect()
+    _assert_consistent(got, _batch_reference(spark, SF_DIR))
+
+
+def test_stream_equals_batch_multi_batch(spark, tmp_path):
+    """Split events into time-ordered files → several micro-batches →
+    state must carry the buffer across batches."""
+    from aml_feature_store_spark.sources import load_table
+
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts").toPandas()
+    n = len(ev)
+    # re-encode ts as ns ints to mirror the source layout
+    ev["ts"] = (ev["ts"].astype("int64"))
+    for i, chunk in enumerate([ev[: n // 3], ev[n // 3 : 2 * n // 3], ev[2 * n // 3 :]]):
+        chunk.to_parquet(f"{src}/part{i}.parquet", index=False)
+        os.utime(f"{src}/part{i}.parquet", (1e9 + i, 1e9 + i))
+    got = run_bounded(
+        spark, src, WINDOWS, query_name="pe_multi", max_files_per_trigger=1
+    ).collect()
+    _assert_consistent(got, _batch_reference(spark, SF_DIR))
+
+
+def test_burst_scenario(spark, tmp_path):
+    """Reference burst scenario (producer/transaction_producer.py:218-243):
+    50 txns in 30 s for one customer → count_5m must reach 50."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, int((t0 + dt.timedelta(milliseconds=600 * i)).timestamp() * 1e9), 7,
+         "purchase", 100.0, "{}")
+        for i in range(50)
+    ]
+    import pandas as pd
+
+    src = str(tmp_path / "burst")
+    os.makedirs(src)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(f"{src}/burst.parquet", index=False)
+    got = run_bounded(spark, src, WINDOWS, query_name="pe_burst").collect()
+    last = max(got, key=lambda r: r["event_id"])
+    assert last["txn_count_5m"] == 50
+    assert last["txn_amount_sum_5m"] == pytest.approx(5000.0)
+
+
+def test_online_store_merge_latest_wins(spark, tmp_path):
+    path = str(tmp_path / "online")
+    store = OnlineStore(spark, path, entity_col="user_id", ts_col="feature_ts")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b1 = spark.createDataFrame(
+        [(1, t, 10.0), (2, t, 20.0)], "user_id long, feature_ts timestamp, f double"
+    )
+    store.merge(b1)
+    b2 = spark.createDataFrame(
+        [(1, t + dt.timedelta(hours=1), 11.0), (3, t, 30.0)],
+        "user_id long, feature_ts timestamp, f double",
+    )
+    store.merge(b2)
+    rows = {r["user_id"]: r for r in store.read(ttl_s=10 * 86400).collect()}
+    assert rows[1]["f"] == 11.0  # updated
+    assert rows[2]["f"] == 20.0 and rows[3]["f"] == 30.0
+
+
+def test_online_store_ttl_filters_stale(spark, tmp_path):
+    path = str(tmp_path / "online_ttl")
+    store = OnlineStore(spark, path, entity_col="user_id", ts_col="feature_ts")
+    t = dt.datetime(2024, 1, 2, 12, 0, 0)
+    store.merge(
+        spark.createDataFrame(
+            [(1, t, 1.0), (2, t - dt.timedelta(days=2), 2.0)],
+            "user_id long, feature_ts timestamp, f double",
+        )
+    )
+    live = {r["user_id"] for r in store.read(ttl_s=86400).collect()}
+    assert live == {1}
+    # point lookup J1
+    assert store.lookup([1]).count() == 1
+    assert store.lookup([2]).count() == 0
+
+
+def test_sliding_features_bounded_stream(spark, tmp_path):
+    """Sliding-window streaming agg runs to completion and produces per
+    (window, user) rows consistent with a batch groupBy."""
+    from aml_feature_store_spark.schemas import EVENTS_RAW
+    from aml_feature_store_spark.sources import load_table
+    from aml_feature_store_spark.streaming.sliding import tumbling_rollup
+
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(SF_DIR.rstrip("/"))
+    # restrict the file-stream to events.parquet only via exact dir: copy
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), src)
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = tumbling_rollup(events, length="10 minutes")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_slide_")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("slide_out")
+    batch = load_table(spark, SF_DIR, "events").groupBy(
+        F.window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # append-mode emits only windows closed by the watermark; every emitted
+    # row must match the batch computation (subset equality)
+    got_map = {
+        (r["window_start"], r["user_id"]): r["txn_count"] for r in got.collect()
+    }
+    assert len(got_map) > 0
+    batch_map = {
+        (r["w"]["start"], r["user_id"]): r["n"] for r in batch.collect()
+    }
+    for k, v in got_map.items():
+        assert batch_map[k] == v, k
