@@ -1,0 +1,202 @@
+"""Drift detection + model evaluation as native SQL (SURVEY §2.10 D7,
+§3 feedback loop; reference: feedback/feedback_system.py:166-273).
+
+- **KS statistic** between two samples (reference period vs current
+  period) computed from empirical CDFs with window functions — no scipy:
+  D = max over observed values of |F1(x) − F2(x)|.
+- **AUC** via the rank/Mann-Whitney formulation:
+  AUC = (Σ ranks(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻), with average ranks
+  for ties (rank = (rank_min + rank_max)/2 ≡ avg of row_numbers).
+- **Precision/recall/F1/accuracy** at a threshold from integer confusion
+  counts.
+
+All deterministic integer/exact arithmetic until a final double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D for value_col between group_a/b rows.
+
+    Single pass: counts per (value, group) → cumulative counts over value
+    order → D = max |cumA/nA − cumB/nB| evaluated at every observed value.
+    Returns one row: (n_a, n_b, ks_stat).
+    """
+    tagged = df.select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("in_a"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("in_b"),
+    ).filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    per_v = tagged.groupBy("v").agg(
+        F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d = F.abs(
+        F.col("cuma").cast("double") / F.col("na").cast("double")
+        - F.col("cumb").cast("double") / F.col("nb").cast("double")
+    )
+    return cum.groupBy("na", "nb").agg(F.max(d).alias("ks_stat")).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_stat"
+    )
+
+
+def ks_statistic_sql(
+    table: str, value: str, group: str, group_a: str, group_b: str
+) -> str:
+    return f"""
+WITH tagged AS (
+  SELECT {value} AS v,
+         CASE WHEN {group} = {group_a} THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN {group} = {group_b} THEN 1 ELSE 0 END AS in_b
+  FROM {table}
+  WHERE {group} = {group_a} OR {group} = {group_b}
+), per_v AS (
+  SELECT v, SUM(in_a) AS ca, SUM(in_b) AS cb FROM tagged GROUP BY v
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM per_v
+)
+SELECT na AS n_a, nb AS n_b,
+       MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
+FROM cum GROUP BY na, nb
+"""
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC AUC via average ranks (ties handled like scipy/sklearn).
+
+    avg rank over score order = (2·cum_before + cnt + 1)/2 per tied score
+    group; Σ over positive rows. Exact rational arithmetic until the final
+    division. Returns one row (n_pos, n_neg, auc).
+    """
+    per_s = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    # sum of avg-ranks of positives within a tie group of size cnt starting
+    # after `before` rows: pos * (before + (cnt+1)/2); scale ×2 to stay int
+    with_rank = per_s.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before"),
+        F.sum(F.when(F.col("pos") > 0, F.col("pos")).otherwise(0)).over(wall).alias(
+            "npos_t"
+        ),
+        F.sum(F.col("cnt") - F.col("pos")).over(wall).alias("nneg_t"),
+    )
+    two_ranksum = F.sum(
+        F.col("pos") * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
+    )
+    agg = with_rank.groupBy("npos_t", "nneg_t").agg(two_ranksum.alias("r2"))
+    npos, nneg = F.col("npos_t"), F.col("nneg_t")
+    auc = (
+        F.col("r2").cast("double") / F.lit(2.0)
+        - (npos * (npos + 1)).cast("double") / F.lit(2.0)
+    ) / (npos * nneg).cast("double")
+    return agg.select(
+        npos.alias("n_pos"), nneg.alias("n_neg"), auc.alias("auc")
+    )
+
+
+def binary_auc_sql(source_sql: str, score: str, label: str) -> str:
+    return f"""
+WITH src AS ({source_sql}),
+per_s AS (
+  SELECT {score} AS s, COUNT(*) AS cnt,
+         SUM(CASE WHEN {label} THEN 1 ELSE 0 END) AS pos
+  FROM src GROUP BY {score}
+), r AS (
+  SELECT cnt, pos,
+    COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+    SUM(pos) OVER () AS npos_t,
+    SUM(cnt - pos) OVER () AS nneg_t
+  FROM per_s
+), agg AS (
+  SELECT npos_t, nneg_t,
+         SUM(pos * (2 * before + cnt + 1)) AS r2
+  FROM r GROUP BY npos_t, nneg_t
+)
+SELECT npos_t AS n_pos, nneg_t AS n_neg,
+  (CAST(r2 AS DOUBLE) / 2.0 - CAST(npos_t * (npos_t + 1) AS DOUBLE) / 2.0)
+    / CAST(npos_t * nneg_t AS DOUBLE) AS auc
+FROM agg
+"""
+
+
+def classification_metrics(
+    df: DataFrame, score_col: str, label_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Confusion counts + precision/recall/F1/accuracy at a threshold
+    (reference: feedback_system.py model_performance columns)."""
+    pred = F.col(score_col) >= F.lit(threshold)
+    lab = F.col(label_col)
+    tp = F.sum(F.when(pred & lab, 1).otherwise(0)).alias("tp")
+    fp = F.sum(F.when(pred & ~lab, 1).otherwise(0)).alias("fp")
+    fn = F.sum(F.when(~pred & lab, 1).otherwise(0)).alias("fn")
+    tn = F.sum(F.when(~pred & ~lab, 1).otherwise(0)).alias("tn")
+    agg = df.agg(tp, fp, fn, tn)
+
+    def d(c: Column) -> Column:
+        return c.cast("double")
+
+    prec = d(F.col("tp")) / d(F.col("tp") + F.col("fp"))
+    rec = d(F.col("tp")) / d(F.col("tp") + F.col("fn"))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (F.lit(2.0) * prec * rec / (prec + rec)).alias("f1"),
+        (d(F.col("tp") + F.col("tn"))
+         / d(F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))).alias(
+            "accuracy"
+        ),
+    )
+
+
+def classification_metrics_sql(
+    source_sql: str, score: str, label: str, threshold: float = 0.5
+) -> str:
+    return f"""
+WITH src AS ({source_sql}),
+c AS (
+  SELECT
+    SUM(CASE WHEN {score} >= {threshold} AND {label} THEN 1 ELSE 0 END) AS tp,
+    SUM(CASE WHEN {score} >= {threshold} AND NOT {label} THEN 1 ELSE 0 END) AS fp,
+    SUM(CASE WHEN {score} < {threshold} AND {label} THEN 1 ELSE 0 END) AS fn,
+    SUM(CASE WHEN {score} < {threshold} AND NOT {label} THEN 1 ELSE 0 END) AS tn
+  FROM src
+)
+SELECT tp, fp, fn, tn,
+  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+  2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+      * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+      / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+         + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))) AS f1,
+  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
+FROM c
+"""

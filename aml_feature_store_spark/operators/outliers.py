@@ -1,0 +1,100 @@
+"""Per-entity DBSCAN outlier features (SURVEY §2.4 A26, §2.10 D3).
+
+The reference runs sklearn DBSCAN per customer on standardized
+(amount, hour) pairs and keeps the outlier ratio + cluster count
+(reference: feature_engineering/advanced_features.py:274-297). Not
+expressible relationally → ``groupBy(entity).applyInPandas`` with a
+self-contained numpy DBSCAN (no sklearn in this container; the algorithm
+is standard: Ester et al., KDD'96).
+
+Scale notes: per-group O(n²) distance matrix — the reference caps work
+the same way (skips groups < min_samples); at 100 TB bound the per-entity
+sample (e.g. latest N events) before this operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("n_clusters", T.LongType()),
+        T.StructField("outlier_ratio", T.DoubleType()),
+    ]
+)
+
+
+def _dbscan_labels(x: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Plain numpy DBSCAN: labels ≥0 clusters, -1 noise."""
+    n = len(x)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    neigh = d2 <= eps * eps
+    counts = neigh.sum(1)
+    core = counts >= min_samples
+    labels = np.full(n, -1, dtype=np.int64)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        # BFS expand
+        stack = [i]
+        labels[i] = cluster
+        while stack:
+            j = stack.pop()
+            if not core[j]:
+                continue
+            for k in np.nonzero(neigh[j])[0]:
+                if labels[k] == -1:
+                    labels[k] = cluster
+                    stack.append(k)
+        cluster += 1
+    return labels
+
+
+def dbscan_outlier_features(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "value",
+    eps: float = 0.5,
+    min_samples: int = 5,
+) -> DataFrame:
+    """Outlier ratio + cluster count per entity on standardized
+    (amount, hour-of-day) — groups smaller than min_samples yield the
+    zero-features default (reference :292-297 semantics)."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf["user_id"].iloc[0])
+        n = len(pdf)
+        if n < min_samples:
+            return pd.DataFrame(
+                [{"user_id": uid, "n_points": n, "n_clusters": 0,
+                  "outlier_ratio": 0.0}]
+            )
+        x = pdf[["value", "hour"]].to_numpy(np.float64)
+        mu = x.mean(0)
+        sd = x.std(0)
+        sd[sd == 0] = 1.0
+        labels = _dbscan_labels((x - mu) / sd, eps, min_samples)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "n_points": n,
+                    "n_clusters": int(labels.max() + 1) if labels.max() >= 0 else 0,
+                    "outlier_ratio": float((labels == -1).mean()),
+                }
+            ]
+        )
+
+    prep = df.select(
+        F.col(entity_col).alias("user_id"),
+        F.col(amount_col).alias("value"),
+        F.hour(ts_col).cast("double").alias("hour"),
+    )
+    return prep.groupBy("user_id").applyInPandas(per_group, schema=OUT_SCHEMA)

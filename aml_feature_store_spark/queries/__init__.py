@@ -1,6 +1,7 @@
 """Modules whose import registers queries into the catalog."""
 
 from . import (  # noqa: F401
+    advanced,
     behavioral,
     graph_features,
     joins_scoring,

@@ -1,0 +1,337 @@
+"""Registered queries: drift/model-eval, sessionization, DBSCAN outliers,
+feature-target correlation, clustering coefficient, embedding near-dup,
+pandas-UDF batch scoring (SURVEY §2.4 A24/A26/A28, §2.9 T10, §2.10 D3/D5/D7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..functions.risk import risk_score_sql
+from ..operators import drift, outliers, sessionize
+from ..sources import load_table
+from .joins_scoring import _ONLINE_FEATURES_SQL, _online_features, risk_score
+
+DEC = "decimal(25,2)"
+
+# --- D7: KS drift between first/second half of the month --------------------
+
+_PERIOD = "CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END"
+
+
+@register(
+    "ks_drift_value",
+    oracle=drift.ks_statistic_sql(
+        f"(SELECT value, {_PERIOD} AS period FROM events)",
+        "value",
+        "period",
+        "'ref'",
+        "'cur'",
+    ),
+)
+def ks_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic of amount distribution, days 1-15 vs 16-31
+    (D7 feature drift; reference feedback_system.py:204-229 scipy ks_2samp
+    → empirical-CDF window computation, no scipy)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "period", F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur")
+    )
+    return drift.ks_statistic(ev, "value", "period", "ref", "cur")
+
+
+# --- model evaluation: AUC + confusion metrics ------------------------------
+
+_SCORED_SQL = risk_score_sql(_ONLINE_FEATURES_SQL.strip())
+_LABEL = "night_txn_count_24h >= 1"
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return risk_score(_online_features(spark, sf_dir)).withColumn(
+        "label", F.col("night_txn_count_24h") >= 1
+    )
+
+
+@register(
+    "model_auc",
+    oracle=drift.binary_auc_sql(_SCORED_SQL.strip(), "risk_score", _LABEL),
+)
+def model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the rule risk score against a held-out proxy label via
+    the rank/Mann-Whitney formulation with tie-averaged ranks (reference:
+    feedback_system.py:166-202 AUC drift check, sklearn-free)."""
+    return drift.binary_auc(_scored(spark, sf_dir), "risk_score", "label")
+
+
+@register(
+    "model_eval_metrics",
+    oracle=drift.classification_metrics_sql(
+        _SCORED_SQL.strip(), "risk_score", _LABEL, threshold=0.5
+    ),
+)
+def model_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts + precision/recall/F1/accuracy at threshold 0.5
+    (the model_performance row of the feedback loop, S8)."""
+    return drift.classification_metrics(
+        _scored(spark, sf_dir), "risk_score", "label", threshold=0.5
+    )
+
+
+# --- T10: sessionization ----------------------------------------------------
+
+
+@register("user_sessions", oracle=sessionize.sessionize_sql(gap_s=1800))
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization per user: lag + cumsum flags + session
+    aggregates (T10; streaming twin = session_window)."""
+    return sessionize.sessionize(load_table(spark, sf_dir, "events"), gap_s=1800)
+
+
+# --- A26/D3: DBSCAN outliers (not SQL-expressible → rows-only) --------------
+
+
+@register("dbscan_outlier_features", oracle=None)
+def dbscan_outlier_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DBSCAN outlier ratio + cluster count on standardized
+    (amount, hour) via applyInPandas + numpy DBSCAN (A26/D3). Rows-only:
+    iterative algorithm; semantics pinned by unit tests."""
+    return outliers.dbscan_outlier_features(load_table(spark, sf_dir, "events"))
+
+
+# --- A24: feature-target correlation ----------------------------------------
+
+
+@register(
+    "feature_target_correlation",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(25,2))) AS sx,
+    SUM(CAST(value * value AS DECIMAL(30,4))) AS sx2,
+    SUM(CAST(hour(ts) AS BIGINT)) AS sh,
+    SUM(CAST(hour(ts) * hour(ts) AS BIGINT)) AS sh2,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS sy,
+    SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(25,2)) ELSE 0 END) AS sxy,
+    SUM(CASE WHEN event_type = 'purchase' THEN CAST(hour(ts) AS BIGINT) ELSE 0 END) AS shy
+  FROM events
+)
+SELECT
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * SQRT(CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS corr_value_target,
+  (CAST(n AS DOUBLE) * CAST(shy AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (SQRT(CAST(n AS DOUBLE) * CAST(sh2 AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))
+     * SQRT(CAST(n AS DOUBLE) * CAST(sy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS corr_hour_target
+FROM s
+""",
+)
+def feature_target_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of (amount, hour) with the purchase indicator
+    from exact power sums — the notebook's corrwith(target) (A24; binary
+    y ⇒ Σy² = Σy)."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    h = F.hour("ts").cast("long")
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,4)")).alias("sx2"),
+        F.sum(h).alias("sh"),
+        F.sum(h * h).alias("sh2"),
+        F.sum(y).alias("sy"),
+        F.sum(F.when(y == 1, F.col("value").cast(DEC)).otherwise(F.lit(0).cast(DEC))).alias("sxy"),
+        F.sum(F.when(y == 1, h).otherwise(0)).alias("shy"),
+    )
+
+    def d(c):
+        return c.cast("double")
+
+    n = d(F.col("n"))
+    corr_v = (n * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))) / (
+        F.sqrt(n * d(F.col("sx2")) - d(F.col("sx")) * d(F.col("sx")))
+        * F.sqrt(n * d(F.col("sy")) - d(F.col("sy")) * d(F.col("sy")))
+    )
+    corr_h = (n * d(F.col("shy")) - d(F.col("sh")) * d(F.col("sy"))) / (
+        F.sqrt(n * d(F.col("sh2")) - d(F.col("sh")) * d(F.col("sh")))
+        * F.sqrt(n * d(F.col("sy")) - d(F.col("sy")) * d(F.col("sy")))
+    )
+    return s.select(
+        corr_v.alias("corr_value_target"), corr_h.alias("corr_hour_target")
+    )
+
+
+# --- A28: local clustering coefficient on the projected user graph ----------
+
+_PAIRS_SQL = r"""
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM (SELECT DISTINCT user_id,
+               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        FROM events) a
+  JOIN (SELECT DISTINCT user_id,
+               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        FROM events) b
+    ON a.k = b.k AND a.user_id < b.user_id
+"""
+
+
+@register(
+    "user_clustering_coeff",
+    oracle=f"""
+WITH p AS ({_PAIRS_SQL}),
+e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+deg AS (SELECT u AS node, COUNT(*) AS degree FROM e GROUP BY u),
+tri AS (
+  SELECT t.node, COUNT(*) AS triangles FROM (
+    SELECT p1.u AS node FROM p p1 JOIN p p2 ON p1.v = p2.u
+      JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v
+    UNION ALL
+    SELECT p1.v FROM p p1 JOIN p p2 ON p1.v = p2.u
+      JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v
+    UNION ALL
+    SELECT p2.v FROM p p1 JOIN p p2 ON p1.v = p2.u
+      JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v
+  ) t GROUP BY t.node
+)
+SELECT d.node, d.degree,
+  COALESCE(t.triangles, 0) AS triangles,
+  CASE WHEN d.degree >= 2 THEN
+    2.0 * CAST(COALESCE(t.triangles, 0) AS DOUBLE)
+      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+  ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.node = t.node
+""",
+)
+def user_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per user on the shared-prop_k projected
+    graph via triangle counting with edge self-joins (A28 — the
+    decomposable part of the reference's networkx centralities; global
+    betweenness/closeness stay out of scope by design)."""
+    from ..schemas import EVENT_PROPS
+
+    ev = load_table(spark, sf_dir, "events")
+    uk = ev.select(
+        "user_id", F.from_json("props", EVENT_PROPS)["k"].alias("k")
+    ).distinct()
+    a = uk.select(F.col("user_id").alias("u"), "k")
+    b = uk.select(F.col("user_id").alias("v"), "k")
+    p = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    p1 = p.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    p2 = p.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    p3 = p.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = p1.join(p2, "b").join(p3, ["a", "c"])
+    tri_nodes = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0) * F.coalesce("triangles", F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+    return out
+
+
+# --- X3 adjunct: embedding near-duplicate pairs -----------------------------
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 8) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 8) >= 0.4
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4): the semantic-dedup
+    companion to the lexical X2 ops. All-pairs here; at scale the same
+    predicate runs on LSH/IVF candidate buckets."""
+    from ..operators.simsearch import with_norm
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(_va, _vb, (x, y) -> x * y), cast(0.0 as double), "
+        "(s, v) -> s + v)"
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 8))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    return pairs.select("v1", "v2", "cosine")
+
+
+# --- D5: vectorized pandas-UDF batch scoring --------------------------------
+
+_LOGIT_W = {"txn_count_1h": 0.3, "txn_amount_sum_1h": 0.0002,
+            "night_txn_ratio_24h": 2.0}
+_LOGIT_B = -2.0
+
+
+@register(
+    "pandas_udf_model_scores",
+    oracle=f"""
+SELECT user_id,
+  ROUND(1.0 / (1.0 + EXP(-({_LOGIT_B}
+    + txn_count_1h * {_LOGIT_W['txn_count_1h']}
+    + txn_amount_sum_1h * {_LOGIT_W['txn_amount_sum_1h']}
+    + night_txn_ratio_24h * {_LOGIT_W['night_txn_ratio_24h']}))), 6) AS model_score
+FROM ({_ONLINE_FEATURES_SQL.strip()})
+""",
+)
+def pandas_udf_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas-UDF model scoring (D5): stands in for
+    sklearn/XGBoost predict_proba over feature batches — a fixed-weight
+    logistic here so the oracle can verify the plumbing end-to-end."""
+
+    @F.pandas_udf("double")
+    def logit_score(cnt: pd.Series, amt: pd.Series, night: pd.Series) -> pd.Series:
+        import numpy as np
+
+        z = (
+            _LOGIT_B
+            + cnt * _LOGIT_W["txn_count_1h"]
+            + amt * _LOGIT_W["txn_amount_sum_1h"]
+            + night * _LOGIT_W["night_txn_ratio_24h"]
+        )
+        return (1.0 / (1.0 + np.exp(-z))).round(6)
+
+    feats = _online_features(spark, sf_dir)
+    return feats.select(
+        "user_id",
+        logit_score(
+            F.col("txn_count_1h").cast("double"),
+            "txn_amount_sum_1h",
+            "night_txn_ratio_24h",
+        ).alias("model_score"),
+    )
