@@ -1,0 +1,88 @@
+"""Synthetic transaction generator (SURVEY §2.1 S9) — distributed, seeded.
+
+Re-expresses the reference's pandas generator (reference:
+offline_data/generate_sample_data.py:7-104: 50k txns, 1k customers, 500
+merchants, lognormal(3, 1.5) amounts min 1.0, 80% of IPs from a hot pool,
+5% suspicious with uniform 5k-50k amounts skewed to night hours, hot-key
+customers taking 20% of traffic, seed 42) as ``spark.range(n)`` + column
+expressions — no driver-side loop, so it scales to any row count and any
+cluster, deterministic per (seed, n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def generate_transactions(
+    spark: SparkSession,
+    n: int = 50_000,
+    n_customers: int = 1_000,
+    n_merchants: int = 500,
+    n_days: int = 30,
+    suspicious_rate: float = 0.05,
+    hot_customers: int = 100,
+    hot_traffic_share: float = 0.2,
+    seed: int = 42,
+    start: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Deterministic synthetic transaction log with the reference's shape."""
+    df = spark.range(n)
+    u = lambda k: F.rand(seed + k)  # noqa: E731
+    # hot-key skew: hot_traffic_share of rows drawn from the hot pool
+    cust_idx = F.when(
+        u(1) < hot_traffic_share,
+        (u(2) * hot_customers).cast("int"),
+    ).otherwise((u(3) * n_customers).cast("int"))
+    suspicious = u(4) < suspicious_rate
+    amount_normal = F.round(
+        F.greatest(F.exp(F.randn(seed + 5) * 1.5 + 3.0), F.lit(1.0)), 2
+    )
+    amount_susp = F.round(u(6) * (50_000 - 5_000) + 5_000, 2)
+    # suspicious events skew to night hours 2-5
+    ts_uniform = F.to_timestamp(F.lit(start)) + F.make_dt_interval(
+        days=F.lit(0), hours=F.lit(0), mins=F.lit(0),
+        secs=u(7) * (n_days * 86400),
+    )
+    night_secs = (
+        F.floor(u(8) * n_days).cast("double") * 86400
+        + (F.lit(2 * 3600) + u(9) * (3 * 3600))
+    )
+    ts_susp = F.to_timestamp(F.lit(start)) + F.make_dt_interval(
+        days=F.lit(0), hours=F.lit(0), mins=F.lit(0), secs=night_secs
+    )
+    ip_hot = F.concat(F.lit("192.168.1."), (u(10) * 50 + 1).cast("int").cast("string"))
+    ip_cold = F.concat(
+        (u(11) * 254 + 1).cast("int").cast("string"), F.lit("."),
+        (u(12) * 254 + 1).cast("int").cast("string"), F.lit("."),
+        (u(13) * 254 + 1).cast("int").cast("string"), F.lit("."),
+        (u(14) * 254 + 1).cast("int").cast("string"),
+    )
+    ts = F.when(suspicious, ts_susp).otherwise(ts_uniform)
+    out = df.select(
+        F.sha2(F.concat(F.lit("txn-"), F.col("id").cast("string")), 256)
+        .substr(1, 32)
+        .alias("transaction_id"),
+        F.format_string("CUST_%06d", cust_idx + 1).alias("customer_id"),
+        F.format_string(
+            "MERCH_%05d", (u(15) * n_merchants).cast("int") + 1
+        ).alias("merchant_id"),
+        F.when(suspicious, amount_susp).otherwise(amount_normal).alias("amount"),
+        F.when(u(16) < 0.8, ip_hot).otherwise(ip_cold).alias("ip_address"),
+        ts.alias("event_timestamp"),
+        (F.weekday(ts) >= 5).alias("is_weekend"),
+        F.hour(ts).alias("hour_of_day"),
+        suspicious.alias("is_suspicious"),
+    )
+    return out
+
+
+def write_event_log(df: DataFrame, path: str, ts_col: str = "event_timestamp") -> None:
+    """Offline-store layout (S2): append-only parquet partitioned by event
+    date so time predicates become partition pruning at 100 TB."""
+    (
+        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .write.mode("append")
+        .partitionBy("event_date")
+        .parquet(path)
+    )

@@ -1,0 +1,103 @@
+"""Hand-computed tests: KS statistic, AUC, classification metrics,
+sessionization, DBSCAN outliers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from aml_feature_store_spark.operators import drift, outliers, sessionize
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_ks_identical_distributions_zero(spark):
+    rows = [(float(v), g) for v in range(10) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = drift.ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert r["ks_stat"] == 0.0
+    assert r["n_a"] == 10 and r["n_b"] == 10
+
+
+def test_ks_disjoint_distributions_one(spark):
+    rows = [(float(v), "a") for v in range(5)] + [(float(v + 100), "b") for v in range(5)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = drift.ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert r["ks_stat"] == 1.0
+
+
+def test_ks_known_value(spark):
+    # a = {1,2,3,4}, b = {3,4,5,6}: D = max|Fa-Fb| = 0.5 (at v=2 and v=4)
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "a"),
+            (3.0, "b"), (4.0, "b"), (5.0, "b"), (6.0, "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = drift.ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert r["ks_stat"] == pytest.approx(0.5)
+
+
+def test_auc_perfect_and_reverse(spark):
+    rows = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    assert drift.binary_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    rows_r = [(s, not y) for s, y in rows]
+    df_r = spark.createDataFrame(rows_r, "s double, y boolean")
+    assert drift.binary_auc(df_r, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_auc_with_ties_is_half(spark):
+    # all scores equal → AUC must be exactly 0.5 under tie-averaged ranks
+    rows = [(0.5, True), (0.5, False), (0.5, True), (0.5, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    assert drift.binary_auc(df, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_classification_metrics(spark):
+    rows = [(0.9, True), (0.8, False), (0.3, True), (0.1, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = drift.classification_metrics(df, "s", "y", threshold=0.5).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 1, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.5
+    assert r["f1"] == pytest.approx(0.5)
+    assert r["accuracy"] == 0.5
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s), u, v) for i, (s, u, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    # gaps: 60s, 2000s (split), 60s → two sessions of 2 events each
+    df = _ev(spark, [(0, 1, 1.0), (60, 1, 2.0), (2060, 1, 3.0), (2120, 1, 4.0)])
+    out = sorted(
+        sessionize.sessionize(df, gap_s=1800).collect(),
+        key=lambda r: r["session_id"],
+    )
+    assert len(out) == 2
+    assert out[0]["n_events"] == 2 and out[0]["sum_value"] == 3.0
+    assert out[1]["n_events"] == 2 and out[1]["sum_value"] == 7.0
+    assert out[0]["duration_s"] == 60.0
+
+
+def test_sessionize_single_events(spark):
+    df = _ev(spark, [(0, 1, 1.0), (10000, 2, 2.0)])
+    out = sessionize.sessionize(df, gap_s=1800).collect()
+    assert len(out) == 2 and all(r["n_events"] == 1 for r in out)
+
+
+def test_dbscan_small_group_defaults(spark):
+    df = _ev(spark, [(0, 1, 10.0), (60, 1, 11.0)])  # < min_samples
+    r = outliers.dbscan_outlier_features(df).collect()[0]
+    assert r["n_points"] == 2 and r["n_clusters"] == 0 and r["outlier_ratio"] == 0.0
+
+
+def test_dbscan_detects_outlier(spark):
+    # 10 tightly clustered values + 1 extreme at the same hour
+    rows = [(i * 10, 1, 100.0 + (i % 3)) for i in range(10)] + [(100, 1, 100000.0)]
+    df = _ev(spark, rows)
+    r = outliers.dbscan_outlier_features(df, eps=0.5, min_samples=4).collect()[0]
+    assert r["n_clusters"] == 1
+    assert r["outlier_ratio"] == pytest.approx(1 / 11)
