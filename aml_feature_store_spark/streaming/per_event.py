@@ -25,6 +25,7 @@ compute is O(batch × log buffer) via binary search on the sorted buffer.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -79,41 +80,47 @@ def _processor(windows: dict[str, int]):
             val_buf = np.empty(0, dtype=np.float64)
 
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_ms", "event_id"], ignore_index=True)
+        batch = batch.dropna(subset=["ts_ms", "event_id"]).sort_values(
+            ["ts_ms", "event_id"], ignore_index=True
+        )
+        b_ms = batch["ts_ms"].to_numpy(np.int64)
+        b_val = batch["value"].to_numpy(np.float64)
 
-        out_rows: list[dict[str, Any]] = []
-        # process groups of equal ts together so same-ts peers see each
-        # other (matches batch RANGE-frame semantics)
-        for ts_ms, grp in batch.groupby("ts_ms", sort=True):
-            ins = np.searchsorted(ms_buf, np.int64(ts_ms), side="right")
-            g_ms = np.full(len(grp), np.int64(ts_ms))
-            ms_buf = np.concatenate([ms_buf[:ins], g_ms, ms_buf[ins:]])
-            val_buf = np.concatenate(
-                [val_buf[:ins], grp["value"].to_numpy(np.float64), val_buf[ins:]]
+        # merge the whole batch into the buffer up front, then evaluate
+        # every event's frames vectorized against the merged arrays. The
+        # frame [ts−W, ts] only sees rows with ms ≤ ts, so later-ts batch
+        # rows in the buffer cannot leak into earlier frames; equal-ts
+        # peers see each other — exactly the batch RANGE-frame semantics,
+        # for in-order AND out-of-order arrival within a batch.
+        order = np.argsort(np.concatenate([ms_buf, b_ms]), kind="stable")
+        ms_buf = np.concatenate([ms_buf, b_ms])[order]
+        val_buf = np.concatenate([val_buf, b_val])[order]
+        csum = np.concatenate([[0.0], np.cumsum(val_buf)])
+
+        cols: dict[str, Any] = {
+            "user_id": np.full(len(batch), user_id, dtype=np.int64),
+            "event_id": batch["event_id"].to_numpy(np.int64),
+            "ts_ms": b_ms,
+        }
+        hi = np.searchsorted(ms_buf, b_ms, side="right")
+        for wname, wsecs in windows.items():
+            lo = np.searchsorted(ms_buf, b_ms - wsecs * 1000, side="left")
+            n = hi - lo
+            # amounts have 2 decimals: rounding the f64 running sum
+            # recovers the EXACT decimal sum (error ≪ 0.005), making
+            # stream output bit-identical to the batch/oracle decimal-sum
+            # plan — avg divides the rounded sum
+            s = np.round(csum[hi] - csum[lo], 2)
+            cols[f"txn_count_{wname}"] = n.astype(np.int64)
+            cols[f"txn_amount_sum_{wname}"] = s
+            cols[f"avg_txn_amount_{wname}"] = np.where(n > 0, s / n, 0.0)
+            cols[f"max_txn_amount_{wname}"] = np.array(
+                [val_buf[l:h].max() if h > l else 0.0 for l, h in zip(lo, hi)]
             )
-            csum = np.concatenate([[0.0], np.cumsum(val_buf)])
-            for _, row in grp.iterrows():
-                out: dict[str, Any] = {
-                    "user_id": user_id,
-                    "event_id": int(row["event_id"]),
-                    "ts_ms": int(ts_ms),
-                }
-                for wname, wsecs in windows.items():
-                    lo = np.searchsorted(ms_buf, ts_ms - wsecs * 1000, "left")
-                    hi = np.searchsorted(ms_buf, np.int64(ts_ms), "right")
-                    n = int(hi - lo)
-                    # amounts have 2 decimals: rounding the f64 running sum
-                    # recovers the EXACT decimal sum (error ≪ 0.005), which
-                    # makes stream output bit-identical to the batch/oracle
-                    # decimal-sum plan — avg must divide the rounded sum
-                    s = round(float(csum[hi] - csum[lo]), 2)
-                    seg = val_buf[lo:hi]
-                    out[f"txn_count_{wname}"] = n
-                    out[f"txn_amount_sum_{wname}"] = s
-                    out[f"avg_txn_amount_{wname}"] = s / n if n else 0.0
-                    out[f"max_txn_amount_{wname}"] = float(seg.max()) if n else 0.0
-                    out[f"min_txn_amount_{wname}"] = float(seg.min()) if n else 0.0
-                out_rows.append(out)
+            cols[f"min_txn_amount_{wname}"] = np.array(
+                [val_buf[l:h].min() if h > l else 0.0 for l, h in zip(lo, hi)]
+            )
+        out_df = pd.DataFrame(cols)
 
         # evict state older than the largest window behind max event-time
         if len(ms_buf):
@@ -121,7 +128,7 @@ def _processor(windows: dict[str, int]):
             keep = ms_buf >= cutoff
             ms_buf, val_buf = ms_buf[keep], val_buf[keep]
         state.update((ms_buf.tolist(), val_buf.tolist()))
-        yield pd.DataFrame(out_rows, columns=[f.name for f in output_schema(windows)])
+        yield out_df[[f.name for f in output_schema(windows)]]
 
     return fn
 
@@ -155,10 +162,26 @@ def run_bounded(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drive the per-event processor over a bounded file stream to
-    completion (availableNow) and return the materialized result."""
+    completion (availableNow) and return the materialized result.
+
+    ``source_dir`` may be a directory of event-shaped parquet files, or a
+    testdata sf dir — in the latter case only events.parquet is streamed
+    (the file source would otherwise read every table in the dir)."""
+    import glob
+    import shutil
     import tempfile
 
     from ..schemas import EVENTS_RAW
+
+    others = [
+        p
+        for p in glob.glob(os.path.join(source_dir, "*.parquet"))
+        if not p.endswith(os.sep + "events.parquet")
+    ]
+    if others and os.path.exists(os.path.join(source_dir, "events.parquet")):
+        isolated = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(os.path.join(source_dir, "events.parquet"), isolated)
+        source_dir = isolated
 
     reader = spark.readStream.schema(EVENTS_RAW)
     if max_files_per_trigger:

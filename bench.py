@@ -31,6 +31,13 @@ HEADLINE = [
     "top_orders_per_customer",
     "time_bucket_rollup",
     "quantiles_by_event_type",
+    "user_sessions",
+    "ks_drift_value",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "knn_cosine_bruteforce",
+    "streaming_per_event_features",
 ]
 
 
