@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     advanced,
     behavioral,
+    coverage,
     graph_features,
     joins_scoring,
     llm_pipeline,

@@ -1,0 +1,182 @@
+"""Registered queries: remaining §2 surface — cumulative windows (W4),
+global top-k (O2), pivot, ROLLUP grouping sets, timestamp scalar functions
+(F1/F3), salted skew-safe aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import register
+from ..operators.skew import salted_agg_sum_count
+from ..sources import load_table
+
+DEC = "decimal(25,2)"
+
+
+@register(
+    "running_totals_per_user",
+    oracle="""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER
+    (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_amount,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    AS txn_index
+FROM events
+""",
+)
+def running_totals_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative amount + ordinal per user (W4 rowsBetween-unbounded frame;
+    reference nb:cell6 l.71 Gini cumsum)."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis(F.col("ts")), F.col("event_id")
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_amount"),
+        F.row_number().over(w).alias("txn_index"),
+    )
+
+
+@register(
+    "top_events_global",
+    oracle="""
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id LIMIT 20
+""",
+)
+def top_events_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 by amount (O2): orderBy+limit compiles to
+    TakeOrderedAndProject — no full sort materialization."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+SELECT user_id,
+  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY user_id
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → count columns per user (wide feature encoding;
+    explicit value list so the plan is a single aggregation, no
+    distinct-scan first)."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "revenue_rollup_region_nation",
+    oracle="""
+SELECT COALESCE(r.r_name, 'ALL') AS region, COALESCE(n.n_name, 'ALL') AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the star join: (region, nation), (region),
+    () subtotals in one pass — the dashboard drill-down shape (A21/A25)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "timestamp_functions",
+    oracle="""
+SELECT event_id,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso_ts,
+  epoch_ms(ts) AS epoch_millis,
+  CAST(epoch_ms(ts + INTERVAL 1 HOUR) AS BIGINT) AS epoch_plus_1h,
+  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  hour(ts) * 3600 + minute(ts) * 60 + CAST(floor(second(ts)) AS INT)
+    AS seconds_of_day
+FROM events
+""",
+)
+def timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp scalar-function surface (F1/F3): ISO formatting, epoch-ms
+    round-trip, interval arithmetic, date truncation, seconds-of-day —
+    the parse/format pairs the reference scatters across producer/jobs
+    (ISO8601+'Z' wire format, epoch-ms state keys)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")).alias(
+            "iso_ts"
+        ),
+        F.unix_millis(F.col("ts")).alias("epoch_millis"),
+        F.unix_millis(F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias(
+            "epoch_plus_1h"
+        ),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        (
+            F.hour("ts") * 3600 + F.minute("ts") * 60
+            + F.floor(F.second("ts")).cast("int")
+        ).cast("int").alias("seconds_of_day"),
+    )
+
+
+@register(
+    "salted_user_totals",
+    oracle="""
+SELECT user_id,
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n_rows,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level salted aggregation (§4 hot-key pattern): salt →
+    partial agg → merge. Decimal/integer partials make the result
+    IDENTICAL to the direct groupBy, which is what the oracle states."""
+    return salted_agg_sum_count(
+        load_table(spark, sf_dir, "events"), "user_id", "value", n_salts=16
+    )
