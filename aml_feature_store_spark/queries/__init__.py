@@ -11,4 +11,5 @@ from . import (  # noqa: F401
     stat_features,
     streaming_queries,
     window_features,
+    windowed_stats,
 )

@@ -1,0 +1,93 @@
+"""Physical-plan quality gates (SURVEY 'optimize for scale — concretely'):
+pushdown, column pruning, broadcast joins, shuffle counts. These keep the
+plans honest as the engine evolves — a regression here is a 100TB
+regression even if results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from aml_feature_store_spark.catalog import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes of a type (details section lists each once)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+def _codegen(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, qs):
+    plan = _plan(qs["pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns must not be read
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read
+
+
+def test_regional_revenue_broadcasts_dims(spark, qs):
+    plan = _plan(qs["regional_revenue"](spark, SF))
+    assert _nodes(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_trailing_multiwindow_single_shuffle(spark, qs):
+    plan = _plan(qs["trailing_multiwindow_features"](spark, SF))
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Sort") == 1  # one sort feeds all three frames
+    assert _nodes(plan, "Window") == 3
+
+
+def test_trailing_reads_only_needed_columns(spark, qs):
+    plan = _plan(qs["trailing_1h_features"](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read and "event_type" not in read
+
+
+def test_pit_join_is_single_window_pass(spark, qs):
+    plan = _plan(qs["pit_join_purchases_24h"](spark, SF))
+    # union-spine strategy: no join operator at all
+    assert "Join" not in plan
+    assert _nodes(plan, "Window") == 1
+
+
+def test_top_orders_uses_window_group_limit(spark, qs):
+    plan = _plan(qs["top_orders_per_customer"](spark, SF))
+    assert "WindowGroupLimit" in plan  # top-k pushdown, no full per-group sort
+
+
+def test_top_events_global_take_ordered(spark, qs):
+    plan = _plan(qs["top_events_global"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_risk_model(spark, qs):
+    plan = _codegen(qs["risk_scores"](spark, SF))
+    # at least one fused codegen subtree; model math lives JVM-side
+    assert "WholeStageCodegen subtrees" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
