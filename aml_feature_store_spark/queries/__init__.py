@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     joins_scoring,
     llm_pipeline,
     relational,
+    serving,
     stat_features,
     streaming_queries,
     window_features,
