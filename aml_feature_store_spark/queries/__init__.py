@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     graph_features,
     joins_scoring,
     llm_pipeline,
+    merchant_features,
     relational,
     serving,
     stat_features,
