@@ -62,6 +62,99 @@ def node_degrees(edges: DataFrame, side: str = "src") -> DataFrame:
     )
 
 
+CENTRALITY_SCHEMA = "node long, closeness_centrality double, betweenness_centrality double"
+
+
+def global_centralities(
+    pairs: DataFrame,
+    max_nodes: int = 20_000,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Closeness + betweenness centrality on an undirected pair list
+    (A28's inherently-global metrics; reference advanced_features.py:59-72
+    networkx calls).
+
+    These do NOT decompose into relational operators — this is the
+    documented applyInPandas escape hatch: the pair list collects into a
+    single group (guarded by ``max_nodes``) and Brandes' algorithm (2001,
+    O(V·E)) runs in numpy. At 100 TB run per connected component or on a
+    degree-capped subgraph; the engine refuses silently-unbounded inputs.
+
+    Conventions match networkx: closeness = (n_reachable−1)/Σdist scaled
+    by (n_reachable−1)/(N−1); betweenness normalized by 2/((N−1)(N−2)).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([pdf["u"], pdf["v"]], ignore_index=True))
+        n = len(nodes)
+        if n > max_nodes:
+            raise ValueError(
+                f"graph has {n} nodes > max_nodes={max_nodes}; run per "
+                "component or cap degrees first"
+            )
+        idx = {x: i for i, x in enumerate(nodes)}
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for a, b in zip(pdf["u"], pdf["v"]):
+            ia, ib = idx[a], idx[b]
+            adj[ia].append(ib)
+            adj[ib].append(ia)
+        closeness = np.zeros(n)
+        betweenness = np.zeros(n)
+        for s in range(n):
+            # Brandes single-source shortest-path accumulation
+            dist = np.full(n, -1, dtype=np.int64)
+            sigma = np.zeros(n)
+            dist[s] = 0
+            sigma[s] = 1.0
+            order: list[int] = []
+            preds: list[list[int]] = [[] for _ in range(n)]
+            queue = [s]
+            while queue:
+                nxt: list[int] = []
+                for x in queue:
+                    order.append(x)
+                    for y in adj[x]:
+                        if dist[y] == -1:
+                            dist[y] = dist[x] + 1
+                            nxt.append(y)
+                        if dist[y] == dist[x] + 1:
+                            sigma[y] += sigma[x]
+                            preds[y].append(x)
+                queue = nxt
+            reach = dist >= 0
+            nr = int(reach.sum())
+            if nr > 1:
+                total = float(dist[reach].sum())
+                closeness[s] = ((nr - 1) / total) * ((nr - 1) / (n - 1))
+            delta = np.zeros(n)
+            for w in reversed(order):
+                for p in preds[w]:
+                    delta[p] += (sigma[p] / sigma[w]) * (1.0 + delta[w])
+                if w != s:
+                    betweenness[w] += delta[w]
+        if n > 2:
+            betweenness = betweenness / ((n - 1) * (n - 2))  # undirected: /2 ×2 paths
+        return pd.DataFrame(
+            {
+                "node": nodes.astype("int64"),
+                "closeness_centrality": np.round(closeness, 6),
+                "betweenness_centrality": np.round(betweenness, 6),
+            }
+        )
+
+    from pyspark.sql import functions as FF
+
+    prepared = pairs.select(
+        FF.col(u_col).alias("u"), FF.col(v_col).alias("v"), FF.lit(0).alias("_g")
+    )
+    return prepared.groupBy("_g").applyInPandas(
+        lambda pdf: compute(pdf), schema=CENTRALITY_SCHEMA
+    )
+
+
 def shared_neighbor_pairs(edges: DataFrame) -> DataFrame:
     """Unipartite projection: (src_a, src_b) pairs sharing ≥1 dst, with the
     shared-neighbor count — the 2-hop self-join primitive behind

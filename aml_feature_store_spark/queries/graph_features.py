@@ -82,6 +82,18 @@ def merchant_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("graph_global_centralities", oracle=None)
+def graph_global_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + betweenness centrality over the projected user graph
+    (A28's global metrics): numpy Brandes inside a guarded applyInPandas —
+    the documented non-relational escape hatch; rows-only check, semantics
+    pinned by unit tests on known graphs."""
+    from ..operators.graph import global_centralities, shared_neighbor_pairs
+
+    pairs = shared_neighbor_pairs(_edges(spark, sf_dir)).select("u", "v")
+    return global_centralities(pairs)
+
+
 @register(
     "user_shared_k_pairs",
     oracle=f"""
