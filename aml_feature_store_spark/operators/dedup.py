@@ -342,7 +342,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
     return (
         a.crossJoin(b)
         .filter(F.col("d1") < F.col("d2"))
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )

@@ -40,7 +40,7 @@ def running_totals_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("double")
         .alias("running_amount"),
-        F.row_number().over(w).alias("txn_index"),
+        F.row_number().over(w).cast("long").alias("txn_index"),
     )
 
 

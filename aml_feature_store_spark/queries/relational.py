@@ -123,7 +123,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rk"),
+            F.row_number().over(w).cast("long").alias("rk"),
         )
         .filter(F.col("rk") <= 3)
     )

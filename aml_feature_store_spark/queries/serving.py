@@ -112,7 +112,7 @@ def risk_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contribution").desc(), F.col("feature")
     )
     return (
-        unpivoted.withColumn("rk", F.row_number().over(w))
+        unpivoted.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("user_id", "feature", "contribution", "rk")
     )
