@@ -18,6 +18,23 @@ from aml_feature_store_spark import catalog  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# session confs the engine's semantics rely on; all runtime-settable, so
+# they apply even when the caller built its own SparkSession
+_REQUIRED_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: per-event multi-window trailing features on sf0.001."""
@@ -25,11 +42,20 @@ def entry(spark: SparkSession) -> DataFrame:
         trailing_multiwindow_features,
     )
 
-    return trailing_multiwindow_features(spark, SMOKE_SF_DIR)
+    return trailing_multiwindow_features(_ensure_conf(spark), SMOKE_SF_DIR)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_ensure_conf(spark), sf_dir)
+
+    run.__doc__ = fn.__doc__
+    run.__name__ = getattr(fn, "__name__", "query")
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return catalog.queries()
+    return {name: _wrap(fn) for name, fn in catalog.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
