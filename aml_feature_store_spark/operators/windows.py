@@ -112,6 +112,137 @@ def trailing_features(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
     return out.drop("_ts_ms")
 
 
+def trailing_sums_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
+    """Big-frame strategy for the invertible window aggregates
+    (count/sum/avg/velocity): cumulative sums + shadow probes.
+
+    Spark's WindowExec recomputes sliding-frame aggregates per row —
+    O(rows × frame). For wide windows on hot keys (24 h × thousands of
+    events) that dominates. This strategy is O(rows) regardless of frame
+    width:
+
+      sum[t−W, t] = cum(t) − cum(t−W−1ms)
+
+    computed with ONE unbounded-preceding range frame (incrementally
+    maintained by Spark) over the events unioned with one "shadow" probe
+    row per (event, window) at ts−W−1ms, then a join to reattach each
+    event's probe values. Decimal accumulation keeps the subtraction
+    exact, so results are bit-identical to :func:`trailing_features` for
+    the covered metrics (non-invertible min/max/std stay on the
+    frame-based operator).
+    Reference semantics: same per-event trailing windows
+    (flink_job/real_time_processor.py:153-210).
+    """
+    ms = _ms(spec.ts_col)
+    base = df.select(
+        F.col(spec.entity_col).alias("_ent"),
+        F.col("event_id"),
+        ms.alias("_ms"),
+        F.col(spec.amount_col).alias("_amt"),
+    )
+    real = base.select(
+        "_ent", "event_id", "_ms", "_amt", F.lit(None).cast("string").alias("_win")
+    )
+    shadows = None
+    for wname, wsecs in spec.windows.items():
+        s = base.select(
+            "_ent",
+            "event_id",
+            (F.col("_ms") - F.lit(wsecs * 1000 + 1)).alias("_ms"),
+            F.lit(None).cast("double").alias("_amt"),
+            F.lit(wname).alias("_win"),
+        )
+        shadows = s if shadows is None else shadows.unionByName(s)
+    u = real.unionByName(shadows)
+    w = (
+        Window.partitionBy("_ent")
+        .orderBy("_ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    amt_dec = F.when(F.col("_win").isNull(), F.col("_amt")).cast(DEC)
+    cnt_flag = F.when(F.col("_win").isNull(), 1).otherwise(0)
+    cum = u.select(
+        "_ent",
+        "event_id",
+        "_win",
+        F.sum(amt_dec).over(w).alias("_cum_s"),
+        F.sum(cnt_flag).over(w).alias("_cum_n"),
+    )
+    reals = cum.filter(F.col("_win").isNull()).select(
+        F.col("_ent"),
+        "event_id",
+        F.col("_cum_s").alias("_at_s"),
+        F.col("_cum_n").alias("_at_n"),
+    )
+    probes = cum.filter(F.col("_win").isNotNull()).select(
+        "event_id",
+        "_win",
+        F.coalesce(F.col("_cum_s"), F.lit(0).cast(DEC)).alias("_before_s"),
+        F.col("_cum_n").alias("_before_n"),
+    )
+    out = reals
+    for wname, wsecs in spec.windows.items():
+        p = probes.filter(F.col("_win") == wname).select(
+            "event_id",
+            F.col("_before_s").alias(f"_bs_{wname}"),
+            F.col("_before_n").alias(f"_bn_{wname}"),
+        )
+        out = out.join(p, "event_id")
+        n = F.col("_at_n") - F.col(f"_bn_{wname}")
+        s = (
+            F.coalesce(F.col("_at_s"), F.lit(0).cast(DEC))
+            - F.col(f"_bs_{wname}")
+        ).cast("double")
+        out = out.withColumns(
+            {
+                f"txn_count_{wname}": n,
+                f"txn_amount_sum_{wname}": s,
+                f"avg_txn_amount_{wname}": s / n,
+                f"velocity_score_{wname}": n.cast("double")
+                / F.lit(wsecs / spec.velocity_unit_s),
+            }
+        )
+    keep = [F.col("_ent").alias(spec.entity_col), "event_id"] + [
+        c
+        for wname in spec.windows
+        for c in (
+            f"txn_count_{wname}",
+            f"txn_amount_sum_{wname}",
+            f"avg_txn_amount_{wname}",
+            f"velocity_score_{wname}",
+        )
+    ]
+    return out.select(*keep)
+
+
+def trailing_sums_scalable_oracle(
+    spec: TrailingWindowSpec, table: str = "events"
+) -> str:
+    """Oracle: the PLAIN range-frame formulation — the cumsum strategy must
+    produce identical values, that is the whole point."""
+    parts = []
+    for wname, wsecs in spec.windows.items():
+        wdef = (
+            f"(PARTITION BY {spec.entity_col} ORDER BY epoch_ms({spec.ts_col}) "
+            f"RANGE BETWEEN {wsecs * 1000} PRECEDING AND CURRENT ROW)"
+        )
+        a = spec.amount_col
+        n = f"COUNT(*) OVER {wdef}"
+        s = f"CAST(SUM(CAST({a} AS DECIMAL(25,2))) OVER {wdef} AS DOUBLE)"
+        parts += [
+            f"{n} AS txn_count_{wname}",
+            f"{s} AS txn_amount_sum_{wname}",
+            f"({s}) / ({n}) AS avg_txn_amount_{wname}",
+            f"CAST({n} AS DOUBLE) / {wsecs / spec.velocity_unit_s} "
+            f"AS velocity_score_{wname}",
+        ]
+    return (
+        f"SELECT e.{spec.entity_col}, e.event_id,\n  "
+        + ",\n  ".join(parts)
+        + f"\nFROM {table} e"
+    )
+
+
 def trailing_features_sql_oracle(spec: TrailingWindowSpec, table: str = "events") -> str:
     """The DuckDB-equivalent SQL for :func:`trailing_features` (ANSI window
     frames over epoch-ms), used by __spark_entry__.oracle_sql."""

@@ -14,6 +14,8 @@ from ..operators.windows import (
     TrailingWindowSpec,
     trailing_features,
     trailing_features_sql_oracle,
+    trailing_sums_scalable,
+    trailing_sums_scalable_oracle,
 )
 from ..sources import load_table
 
@@ -60,6 +62,20 @@ def _multi_cols() -> list[str]:
             f"velocity_score_{w}",
         ]
     return cols
+
+
+@register(
+    "trailing_sums_cumsum_strategy",
+    oracle=trailing_sums_scalable_oracle(SPEC_MULTI),
+)
+def trailing_sums_cumsum_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-frame physical strategy for the invertible trailing-window
+    aggregates: cumulative sums + shadow probes, O(rows) independent of
+    frame width (vs WindowExec's O(rows × frame)). Same semantics, same
+    oracle family as trailing_multiwindow_features — two physical plans,
+    one logical operator."""
+    df = load_table(spark, sf_dir, "events")
+    return trailing_sums_scalable(df, SPEC_MULTI)
 
 
 @register(

@@ -178,3 +178,49 @@ def test_sliding_features_bounded_stream(spark, tmp_path):
     }
     for k, v in got_map.items():
         assert batch_map[k] == v, k
+
+
+def test_dual_sink_topology(spark, tmp_path):
+    """T2: ONE input stream drives BOTH keyed feature families (customer +
+    merchant) through foreachBatch into two online stores — the
+    reference's dual key_by topology (aml_stream_processor.py:363-370)."""
+    from aml_feature_store_spark.schemas import EVENTS_RAW
+    from aml_feature_store_spark.streaming.online_store import OnlineStore
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), src)
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    cust = OnlineStore(spark, str(tmp_path / "cust"), "user_id", "feature_ts")
+    merch = OnlineStore(spark, str(tmp_path / "merch"), "event_type", "feature_ts")
+
+    def route(batch_df, _epoch):
+        c = batch_df.groupBy("user_id").agg(
+            F.max("ts").alias("feature_ts"),
+            F.count(F.lit(1)).alias("txn_count"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias(
+                "txn_amount_sum"
+            ),
+        )
+        m = batch_df.groupBy("event_type").agg(
+            F.max("ts").alias("feature_ts"),
+            F.count(F.lit(1)).alias("txn_count"),
+            F.countDistinct("user_id").alias("unique_customers"),
+        )
+        cust.merge(c)
+        merch.merge(m)
+
+    q = (
+        events.writeStream.foreachBatch(route)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dual_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    c_rows = cust.read(ttl_s=100 * 86400)
+    m_rows = {r["event_type"]: r for r in merch.read(ttl_s=100 * 86400).collect()}
+    assert c_rows.count() == 15  # sf0.001 has 15 users
+    assert set(m_rows) == {"click", "error", "purchase", "signup", "view"}
+    assert all(r["unique_customers"] <= 15 for r in m_rows.values())
