@@ -163,6 +163,15 @@ def timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("seeded_sample", oracle=None)
+def seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (O4; reference advanced_features.py:399
+    df.sample(n, random_state=42)). Deterministic per (seed, Spark
+    version), engine-specific sampling → rows-only check."""
+    df = load_table(spark, sf_dir, "events")
+    return df.sample(fraction=0.1, seed=42).select("event_id", "user_id", "value")
+
+
 @register(
     "salted_user_totals",
     oracle="""
