@@ -47,11 +47,14 @@ def node_degrees(edges: DataFrame, side: str = "src") -> DataFrame:
     bipartite graph (networkx convention the reference relies on,
     advanced_features.py:64-69).
     """
-    # bipartite: node universe = distinct src ∪ distinct dst (disjoint types)
-    n_nodes = (
-        edges.select("src").distinct().count()
-        + edges.select("dst").distinct().count()
-    )
+    # bipartite: node universe = distinct src ∪ distinct dst (disjoint
+    # types); one aggregation action, and the edge list is persisted since
+    # both this action and the returned degree plan consume it
+    edges = edges.persist()
+    row = edges.agg(
+        F.countDistinct("src").alias("_ns"), F.countDistinct("dst").alias("_nd")
+    ).first()
+    n_nodes = row["_ns"] + row["_nd"]
     return edges.groupBy(F.col(side).alias("node")).agg(
         F.count(F.lit(1)).alias("degree"),
         F.sum(F.col("weight").cast(DEC)).cast("double").alias("weighted_degree"),
