@@ -85,6 +85,61 @@ def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "windowed_hhi_24h",
+    oracle="""
+WITH pairs AS (
+  SELECT e1.event_id, e1.user_id, e2.event_type AS cat
+  FROM events e1 JOIN events e2
+    ON e1.user_id = e2.user_id
+   AND epoch_ms(e2.ts) BETWEEN epoch_ms(e1.ts) - 86400000 AND epoch_ms(e1.ts)
+), cnt AS (
+  SELECT event_id, user_id, cat, COUNT(*) AS c
+  FROM pairs GROUP BY event_id, user_id, cat
+), agg AS (
+  SELECT event_id, user_id, SUM(c * c) AS sq, SUM(c) AS tot
+  FROM cnt GROUP BY event_id, user_id
+)
+SELECT event_id, user_id, tot AS txn_count_24h,
+       CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+         AS hhi_event_type_24h
+FROM agg
+""",
+)
+def windowed_hhi_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-concentration HHI within each event's trailing 24h window
+    (merchant_concentration_hhi per window, nb:cell6 l.78-81): interval
+    self-join → two-level count → exact integer-sum HHI per event."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    e1 = ev.select("event_id", "user_id", ms.alias("_ms"))
+    e2 = ev.select(
+        F.col("user_id").alias("_u2"),
+        ms.alias("_ms2"),
+        F.col("event_type").alias("cat"),
+    )
+    pairs = e1.join(
+        e2,
+        (F.col("user_id") == F.col("_u2"))
+        & (F.col("_ms2") >= F.col("_ms") - 86400000)
+        & (F.col("_ms2") <= F.col("_ms")),
+    )
+    cnt = pairs.groupBy("event_id", "user_id", "cat").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = cnt.groupBy("event_id", "user_id").agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
+        F.sum("_c").alias("_tot"),
+    )
+    tot = F.col("_tot").cast("double")
+    return agg.select(
+        "event_id",
+        "user_id",
+        F.col("_tot").alias("txn_count_24h"),
+        (F.col("_sq").cast("double") / (tot * tot)).alias("hhi_event_type_24h"),
+    )
+
+
+@register(
     "streaming_graph_edges",
     oracle=r"""
 SELECT user_id AS src,
