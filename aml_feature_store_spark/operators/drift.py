@@ -110,10 +110,13 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
     agg = with_rank.groupBy("npos_t", "nneg_t").agg(two_ranksum.alias("r2"))
     npos, nneg = F.col("npos_t"), F.col("nneg_t")
-    auc = (
+    auc_raw = (
         F.col("r2").cast("double") / F.lit(2.0)
         - (npos * (npos + 1)).cast("double") / F.lit(2.0)
-    ) / (npos * nneg).cast("double")
+    )
+    auc = F.when((npos * nneg) != 0, auc_raw / (npos * nneg).cast("double")).otherwise(
+        F.lit(0.5)
+    )
     return agg.select(
         npos.alias("n_pos"), nneg.alias("n_neg"), auc.alias("auc")
     )
@@ -138,8 +141,10 @@ per_s AS (
   FROM r GROUP BY npos_t, nneg_t
 )
 SELECT npos_t AS n_pos, nneg_t AS n_neg,
-  (CAST(r2 AS DOUBLE) / 2.0 - CAST(npos_t * (npos_t + 1) AS DOUBLE) / 2.0)
-    / CAST(npos_t * nneg_t AS DOUBLE) AS auc
+  CASE WHEN npos_t * nneg_t != 0 THEN
+    (CAST(r2 AS DOUBLE) / 2.0 - CAST(npos_t * (npos_t + 1) AS DOUBLE) / 2.0)
+      / CAST(npos_t * nneg_t AS DOUBLE)
+  ELSE 0.5 END AS auc
 FROM agg
 """
 
@@ -160,8 +165,12 @@ def classification_metrics(
     def d(c: Column) -> Column:
         return c.cast("double")
 
-    prec = d(F.col("tp")) / d(F.col("tp") + F.col("fp"))
-    rec = d(F.col("tp")) / d(F.col("tp") + F.col("fn"))
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) != 0, d(F.col("tp")) / d(F.col("tp") + F.col("fp"))
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        (F.col("tp") + F.col("fn")) != 0, d(F.col("tp")) / d(F.col("tp") + F.col("fn"))
+    ).otherwise(F.lit(0.0))
     return agg.select(
         "tp",
         "fp",
@@ -169,7 +178,9 @@ def classification_metrics(
         "tn",
         prec.alias("precision"),
         rec.alias("recall"),
-        (F.lit(2.0) * prec * rec / (prec + rec)).alias("f1"),
+        F.when(prec + rec != 0.0, F.lit(2.0) * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
         (d(F.col("tp") + F.col("tn"))
          / d(F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))).alias(
             "accuracy"
@@ -191,12 +202,15 @@ c AS (
   FROM src
 )
 SELECT tp, fp, fn, tn,
-  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
-  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
-  2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
-      * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
-      / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
-         + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))) AS f1,
+  CASE WHEN tp + fp != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS precision,
+  CASE WHEN tp + fn != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS recall,
+  CASE WHEN (CASE WHEN tp + fp != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+          + (CASE WHEN tp + fn != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END) != 0.0 THEN
+    2.0 * (CASE WHEN tp + fp != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+        * (CASE WHEN tp + fn != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)
+        / ((CASE WHEN tp + fp != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+           + (CASE WHEN tp + fn != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END))
+  ELSE 0.0 END AS f1,
   CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
 FROM c
 """

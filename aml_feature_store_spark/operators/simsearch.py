@@ -58,7 +58,13 @@ def cosine_topk(
     dot = F.expr(_DOT.format(a="_qv", b="_cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .withColumn("cosine", F.round(dot / (F.col("_qn") * F.col("_cn")), 8))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_qn") * F.col("_cn")) != 0.0,
+                F.round(dot / (F.col("_qn") * F.col("_cn")), 8),
+            ).otherwise(F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -83,7 +89,9 @@ WITH e AS (
   FROM e
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8) AS cosine
+         CASE WHEN q.nrm * c.nrm != 0.0
+           THEN ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 8)
+           ELSE 0.0 END AS cosine
   FROM n q JOIN n c ON q.vec_id != c.vec_id
   WHERE q.vec_id < {n_queries}
 )
@@ -114,7 +122,11 @@ def ivf_assign(
     )
     dot = F.expr(_DOT.format(a="_v", b="_cenv"))
     scored = c.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", F.round(dot / (F.col("_norm") * F.col("_cenn")), 8)
+        "_sim",
+        F.when(
+            (F.col("_norm") * F.col("_cenn")) != 0.0,
+            F.round(dot / (F.col("_norm") * F.col("_cenn")), 8),
+        ).otherwise(F.lit(0.0)),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_sim").desc(), F.col("centroid_id")
@@ -162,7 +174,13 @@ def ivf_topk(
             (F.col("centroid_id") == F.col("_qcent"))
             & (F.col("query_id") != F.col("vec_id")),
         )
-        .withColumn("cosine", F.round(dot / (F.col("_qn") * F.col("_cn")), 8))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_qn") * F.col("_cn")) != 0.0,
+                F.round(dot / (F.col("_qn") * F.col("_cn")), 8),
+            ).otherwise(F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")

@@ -56,7 +56,9 @@ def gini_per_entity(
     return agg.select(
         entity_col,
         F.col("_n").alias("txn_count"),
-        ((F.lit(2.0) * s1) / (n * s) - (n + F.lit(1.0)) / n).alias("gini_amount"),
+        F.when(s != 0.0, (F.lit(2.0) * s1) / (n * s) - (n + F.lit(1.0)) / n)
+        .otherwise(F.lit(0.0))
+        .alias("gini_amount"),
     )
 
 
@@ -74,8 +76,10 @@ WITH ranked AS (
   FROM ranked GROUP BY {entity}
 )
 SELECT {entity}, n AS txn_count,
-       (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
-         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini_amount
+       CASE WHEN CAST(s AS DOUBLE) != 0.0 THEN
+         (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+       ELSE 0.0 END AS gini_amount
 FROM agg
 """
 
@@ -212,7 +216,9 @@ def interarrival_stats(
         F.round(F.sqrt(var_ms) / F.lit(1000.0), 6).alias("std_gap_s"),
         (_d(F.col("_min")) / F.lit(1000.0)).alias("min_gap_s"),
         (_d(F.col("_max")) / F.lit(1000.0)).alias("max_gap_s"),
-        F.round(F.sqrt(var_ms) / mean_ms, 6).alias("regularity_score"),
+        F.when(mean_ms != 0.0, F.round(F.sqrt(var_ms) / mean_ms, 6))
+        .otherwise(F.lit(0.0))
+        .alias("regularity_score"),
         (_d(F.col("_b")) / n).alias("burst_ratio"),
     )
 
@@ -241,9 +247,11 @@ SELECT {entity}, n AS n_gaps,
          AS std_gap_s,
        CAST(mn AS DOUBLE) / 1000.0 AS min_gap_s,
        CAST(mx AS DOUBLE) / 1000.0 AS max_gap_s,
-       ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
-         - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
-         / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS regularity_score,
+       CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) != 0.0 THEN
+         ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       ELSE 0.0 END AS regularity_score,
        CAST(b AS DOUBLE) / CAST(n AS DOUBLE) AS burst_ratio
 FROM agg
 """
@@ -356,7 +364,9 @@ def population_zscore(
     return per.select(
         entity_col,
         F.col("_mean").alias("avg_amount"),
-        F.round((F.col("_mean") - mu) / F.sqrt(var), 6).alias("amount_zscore"),
+        F.when(var > 0.0, F.round((F.col("_mean") - mu) / F.sqrt(var), 6))
+        .otherwise(F.lit(0.0))
+        .alias("amount_zscore"),
         F.round(F.percent_rank().over(worder), 6).alias("amount_percentile"),
     )
 
@@ -379,10 +389,12 @@ WITH per AS (
   FROM m
 )
 SELECT {entity}, mean AS avg_amount,
-       ROUND((mean - CAST(sp AS DOUBLE) / CAST(np AS DOUBLE))
-         / SQRT(GREATEST(CAST(s2p AS DOUBLE) / CAST(np AS DOUBLE)
-             - (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)), 0.0)), 6)
-         AS amount_zscore,
+       CASE WHEN GREATEST(CAST(s2p AS DOUBLE) / CAST(np AS DOUBLE)
+             - (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)), 0.0) > 0.0 THEN
+         ROUND((mean - CAST(sp AS DOUBLE) / CAST(np AS DOUBLE))
+           / SQRT(GREATEST(CAST(s2p AS DOUBLE) / CAST(np AS DOUBLE)
+               - (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)), 0.0)), 6)
+       ELSE 0.0 END AS amount_zscore,
        ROUND(pr, 6) AS amount_percentile
 FROM pop
 """
@@ -425,7 +437,9 @@ def moments_per_entity(
     return agg.select(
         entity_col,
         F.col("_n").alias("txn_count"),
-        F.round(F.sqrt(var) / m, 6).alias("amount_cv"),
+        F.when(m != 0.0, F.round(F.sqrt(var) / m, 6))
+        .otherwise(F.lit(0.0))
+        .alias("amount_cv"),
         F.when(var > 0, F.round(m3 / F.pow(F.sqrt(var), F.lit(3.0)), 6))
         .otherwise(F.lit(0.0))
         .alias("amount_skewness"),
@@ -508,11 +522,15 @@ def behavioral_vector_fused(
     # (single event) are dropped, matching interarrival_stats
     core = agg.filter(F.col("_gn") > 0).select(
         entity_col,
-        ((F.lit(2.0) * s1g) / (n * s) - (n + F.lit(1.0)) / n).alias("gini_amount"),
+        F.when(s != 0.0, (F.lit(2.0) * s1g) / (n * s) - (n + F.lit(1.0)) / n)
+        .otherwise(F.lit(0.0))
+        .alias("gini_amount"),
         (gmean / F.lit(1000.0)).alias("avg_gap_s"),
         F.round(F.sqrt(gvar) / F.lit(1000.0), 6).alias("std_gap_s"),
         (_d(F.col("_gb")) / gn).alias("burst_ratio"),
-        F.round(F.sqrt(gvar) / gmean, 6).alias("regularity_score"),
+        F.when(gmean != 0.0, F.round(F.sqrt(gvar) / gmean, 6))
+        .otherwise(F.lit(0.0))
+        .alias("regularity_score"),
         F.when(F.col("_n") > 1, num / den_i).otherwise(F.lit(0.0)).alias(
             "amount_trend_slope"
         ),
@@ -521,7 +539,9 @@ def behavioral_vector_fused(
         .otherwise(F.lit(0.0))
         .alias("amount_trend_strength"),
         F.col("_n").alias("txn_count"),
-        F.round(F.sqrt(var) / m, 6).alias("amount_cv"),
+        F.when(m != 0.0, F.round(F.sqrt(var) / m, 6))
+        .otherwise(F.lit(0.0))
+        .alias("amount_cv"),
         F.when(var > 0, F.round(m3 / F.pow(F.sqrt(var), F.lit(3.0)), 6))
         .otherwise(F.lit(0.0))
         .alias("amount_skewness"),
@@ -576,7 +596,7 @@ WITH agg AS (
   FROM mm
 )
 SELECT {entity}, n AS txn_count,
-       ROUND(SQRT(var) / m, 6) AS amount_cv,
+       CASE WHEN m != 0.0 THEN ROUND(SQRT(var) / m, 6) ELSE 0.0 END AS amount_cv,
        CASE WHEN var > 0 THEN ROUND(m3 / POW(SQRT(var), 3.0), 6) ELSE 0.0 END
          AS amount_skewness,
        CASE WHEN var > 0 THEN ROUND(m4 / (var * var) - 3.0, 6) ELSE 0.0 END

@@ -67,11 +67,15 @@ def text_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct_words"),
-        (wl / n_words.cast("double")).alias("avg_word_len"),
+        F.when(n_words > 0, wl / n_words.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("avg_word_len"),
         (punct / n_chars).alias("punct_ratio"),
         (digits / n_chars).alias("digit_ratio"),
         (uppers / F.greatest(letters, F.lit(1.0))).alias("upper_ratio"),
-        (stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+        F.when(n_words > 0, stop.cast("double") / n_words.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
         n_tokens.alias("n_tokens"),
         quality.alias("quality_score"),
     )
@@ -100,11 +104,11 @@ WITH base AS (
   FROM base
 )
 SELECT doc_id, n_words, n_distinct_words,
-  wl / CAST(n_words AS DOUBLE) AS avg_word_len,
+  CASE WHEN n_words > 0 THEN wl / CAST(n_words AS DOUBLE) ELSE 0.0 END AS avg_word_len,
   punct / n_chars AS punct_ratio,
   digits / n_chars AS digit_ratio,
   uppers / GREATEST(letters, 1.0) AS upper_ratio,
-  CAST(stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+  CASE WHEN n_words > 0 THEN CAST(stop AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
   n_tokens,
   LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
     + (1.0 - punct / n_chars) * 0.3

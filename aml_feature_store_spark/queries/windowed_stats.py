@@ -36,8 +36,10 @@ WITH pairs AS (
   FROM ranked GROUP BY event_id, user_id
 )
 SELECT event_id, user_id, n AS txn_count_24h,
-  (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
-    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini_amount_24h
+  CASE WHEN CAST(s AS DOUBLE) != 0.0 THEN
+    (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+  ELSE 0.0 END AS gini_amount_24h
 FROM agg
 """,
 )
@@ -78,9 +80,9 @@ def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("_n").alias("txn_count_24h"),
-        ((F.lit(2.0) * s1) / (n * s) - (n + F.lit(1.0)) / n).alias(
-            "gini_amount_24h"
-        ),
+        F.when(s != 0.0, (F.lit(2.0) * s1) / (n * s) - (n + F.lit(1.0)) / n)
+        .otherwise(F.lit(0.0))
+        .alias("gini_amount_24h"),
     )
 
 

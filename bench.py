@@ -31,6 +31,9 @@ HEADLINE = [
     "top_orders_per_customer",
     "time_bucket_rollup",
     "quantiles_by_event_type",
+    "trailing_sums_cumsum_strategy",
+    "windowed_gini_24h",
+    "windowed_hhi_24h",
     "user_sessions",
     "ks_drift_value",
     "dedup_minhash_lsh",
