@@ -74,7 +74,7 @@ WITH tagged AS (
          SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
   FROM per_v
 )
-SELECT na AS n_a, nb AS n_b,
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
              - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
 FROM cum GROUP BY na, nb
@@ -140,7 +140,7 @@ per_s AS (
          SUM(pos * (2 * before + cnt + 1)) AS r2
   FROM r GROUP BY npos_t, nneg_t
 )
-SELECT npos_t AS n_pos, nneg_t AS n_neg,
+SELECT CAST(npos_t AS BIGINT) AS n_pos, CAST(nneg_t AS BIGINT) AS n_neg,
   CASE WHEN npos_t * nneg_t != 0 THEN
     (CAST(r2 AS DOUBLE) / 2.0 - CAST(npos_t * (npos_t + 1) AS DOUBLE) / 2.0)
       / CAST(npos_t * nneg_t AS DOUBLE)
@@ -201,7 +201,8 @@ c AS (
     SUM(CASE WHEN {score} < {threshold} AND NOT {label} THEN 1 ELSE 0 END) AS tn
   FROM src
 )
-SELECT tp, fp, fn, tn,
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
   CASE WHEN tp + fp != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS precision,
   CASE WHEN tp + fn != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS recall,
   CASE WHEN (CASE WHEN tp + fp != 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)

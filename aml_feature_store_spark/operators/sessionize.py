@@ -67,7 +67,7 @@ WITH flagged AS (
               AS session_id
   FROM flagged
 )
-SELECT {entity}, session_id,
+SELECT {entity}, CAST(session_id AS BIGINT) AS session_id,
   MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
   COUNT(*) AS n_events,
   CAST(SUM(CAST({amount} AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,

@@ -50,9 +50,11 @@ def derived_time_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_id, user_id,
   COUNT(*) OVER w AS txn_count_24h,
-  SUM(CASE WHEN {_NIGHT} THEN 1 ELSE 0 END) OVER w AS night_txn_count_24h,
-  SUM(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END) OVER w AS weekend_txn_count_24h,
-  SUM(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1 ELSE 0 END) OVER w
+  CAST(SUM(CASE WHEN {_NIGHT} THEN 1 ELSE 0 END) OVER w AS BIGINT)
+    AS night_txn_count_24h,
+  CAST(SUM(CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+    AS weekend_txn_count_24h,
+  CAST(SUM(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1 ELSE 0 END) OVER w AS BIGINT)
     AS business_hours_txn_count_24h,
   CAST(SUM(CASE WHEN {_NIGHT} THEN 1 ELSE 0 END) OVER w AS DOUBLE)
     / CAST(COUNT(*) OVER w AS DOUBLE) AS night_txn_ratio_24h,

@@ -46,7 +46,7 @@ n AS (SELECT (SELECT COUNT(DISTINCT src) FROM edges)
            + (SELECT COUNT(DISTINCT dst) FROM edges) AS n_nodes)
 SELECT src AS node, COUNT(*) AS degree,
        CAST(SUM(CAST(weight AS DECIMAL(25,2))) AS DOUBLE) AS weighted_degree,
-       SUM(n_txn) AS total_txns,
+       CAST(SUM(n_txn) AS BIGINT) AS total_txns,
        CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_nodes FROM n) - 1 AS DOUBLE)
          AS degree_centrality
 FROM edges GROUP BY src
@@ -64,7 +64,7 @@ def user_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH edges AS ({_EDGES_SQL})
 SELECT dst AS node, COUNT(*) AS unique_users,
        CAST(SUM(CAST(weight AS DECIMAL(25,2))) AS DOUBLE) AS total_amount,
-       SUM(n_txn) AS total_txns
+       CAST(SUM(n_txn) AS BIGINT) AS total_txns
 FROM edges GROUP BY dst
 """,
 )

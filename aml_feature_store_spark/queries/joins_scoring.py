@@ -100,10 +100,10 @@ SELECT l.user_id,
   (SELECT COUNT(DISTINCT e.event_type) FROM events e WHERE e.user_id = l.user_id
      AND epoch_ms(e.ts) BETWEEN epoch_ms(l.ts) - 3600000 AND epoch_ms(l.ts))
     AS unique_event_type_1h,
-  (SELECT SUM(CASE WHEN hour(e.ts) < 6 OR hour(e.ts) > 22 THEN 1 ELSE 0 END)
+  CAST((SELECT SUM(CASE WHEN hour(e.ts) < 6 OR hour(e.ts) > 22 THEN 1 ELSE 0 END)
      FROM events e WHERE e.user_id = l.user_id
      AND epoch_ms(e.ts) BETWEEN epoch_ms(l.ts) - 86400000 AND epoch_ms(l.ts))
-    AS night_txn_count_24h,
+    AS BIGINT) AS night_txn_count_24h,
   CAST((SELECT SUM(CASE WHEN hour(e.ts) < 6 OR hour(e.ts) > 22 THEN 1 ELSE 0 END)
      FROM events e WHERE e.user_id = l.user_id
      AND epoch_ms(e.ts) BETWEEN epoch_ms(l.ts) - 86400000 AND epoch_ms(l.ts)) AS DOUBLE)

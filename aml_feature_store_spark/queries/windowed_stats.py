@@ -101,7 +101,7 @@ WITH pairs AS (
   SELECT event_id, user_id, SUM(c * c) AS sq, SUM(c) AS tot
   FROM cnt GROUP BY event_id, user_id
 )
-SELECT event_id, user_id, tot AS txn_count_24h,
+SELECT event_id, user_id, CAST(tot AS BIGINT) AS txn_count_24h,
        CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
          AS hhi_event_type_24h
 FROM agg

@@ -59,6 +59,20 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> list[str]:
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Driver-faithful dtype gate: the driver's value hash distinguishes
+        # 3 (int64) from 3.0 (float64) even when values are numerically equal
+        # (DuckDB 1.0 types bare integer SUMs as HUGEINT -> float64 via .df()).
+        # A kind mismatch (int vs float) is therefore a hard failure here too.
+        skind = "f" if pd.api.types.is_float_dtype(sv) else (
+            "i" if pd.api.types.is_integer_dtype(sv) else "o")
+        okind = "f" if pd.api.types.is_float_dtype(ov) else (
+            "i" if pd.api.types.is_integer_dtype(ov) else "o")
+        if skind != okind:
+            issues.append(
+                f"col {c}: dtype kind mismatch spark={sv.dtype} oracle={ov.dtype} "
+                f"(driver hash would fail even if values match)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             svf = sv.astype(float).to_numpy()
             ovf = ov.astype(float).to_numpy()
@@ -98,9 +112,11 @@ def main() -> int:
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     failed = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -126,7 +142,7 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"OK    {name}: {len(sdf)} rows match exactly  [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries OK")
+    print(f"\n{ran - len(failed)}/{ran} queries OK ({len(qs)} registered)")
     return 1 if failed else 0
 
 
