@@ -29,6 +29,96 @@ class RegisteredQuery:
 
 QUERIES: dict[str, RegisteredQuery] = {}
 
+# Explicit presentation order. The driver correctness gate checks the FIRST
+# 50 registered queries only, so the engine-core families (trailing windows,
+# streaming per-event, windowed stats, per-user stats, serving, drift, graph,
+# LLM pipeline) are listed first; trivial coverage queries and rows-only
+# (oracle-less) queries come last. Names not listed keep insertion order
+# after the listed ones.
+ORDER = [
+    # flagship + trailing-window family (A1-A7, W1, entry())
+    "trailing_multiwindow_features",
+    "trailing_1h_features",
+    "trailing_sums_cumsum_strategy",
+    "merchant_trailing_features",
+    # streaming core (T3/T4)
+    "streaming_per_event_features",
+    "streaming_graph_edges",
+    # windowed stats (A9/A10 per-event)
+    "windowed_gini_24h",
+    "windowed_hhi_24h",
+    # serving / PIT / scoring (J1/J2, D1)
+    "pit_join_purchases_24h",
+    "online_feature_view",
+    "risk_scores",
+    "batch_score_requests",
+    "behavioral_feature_vector",
+    "risk_explanations",
+    "risk_shapley",
+    # per-user stats family (A9-A19, J4)
+    "gini_per_user",
+    "hhi_per_user",
+    "hour_entropy_per_user",
+    "dow_entropy_per_user",
+    "interarrival_stats_per_user",
+    "amount_trend_per_user",
+    "population_zscore_per_user",
+    "moments_per_user",
+    "daily_counts_per_user",
+    # behavioral windows (A8, P4/P5, U1, W2/W4, F4, T10)
+    "conditional_window_counts",
+    "unique_counts_windows",
+    "derived_time_flags",
+    "user_sessions",
+    "running_totals_per_user",
+    "props_json_extract",
+    # drift / model eval / training (D7, D5, A24)
+    "ks_drift_value",
+    "model_auc",
+    "model_eval_metrics",
+    "retrain_decision",
+    "pandas_udf_model_scores",
+    "feature_target_correlation",
+    # graph (J5, A27, A28)
+    "graph_edge_list",
+    "user_graph_degrees",
+    "merchant_graph_features",
+    "user_clustering_coeff",
+    "user_shared_k_pairs",
+    # LLM data pipeline (X1-X5)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_near_dup_pairs",
+    "knn_cosine_bruteforce",
+    "ann_ivf_topk",
+    "ann_recall_at_k",
+    "text_stats",
+    "language_id",
+    # --- driver cap boundary is ~here; below are coverage / rows-only ---
+    "doc_fingerprints",
+    "multimodal_binary_stats",
+    "pricing_summary",
+    "regional_revenue",
+    "top_orders_per_customer",
+    "time_bucket_rollup",
+    "quantiles_by_event_type",
+    "mktsegment_acctbal_summary",
+    "salted_user_totals",
+    "revenue_rollup_region_nation",
+    "top_events_global",
+    "event_type_pivot",
+    "timestamp_functions",
+    # rows-only (no oracle) — a driver slot spent here yields no hash signal
+    "dbscan_outlier_features",
+    "graph_global_centralities",
+    "seeded_sample",
+    "multimodal_image_features",
+    "streaming_tumbling_rollup",
+    "unique_users_approx_by_type",
+]
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -38,14 +128,21 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+def _ordered() -> list[RegisteredQuery]:
     _ensure_loaded()
-    return {name: q.fn for name, q in QUERIES.items()}
+    rank = {name: i for i, name in enumerate(ORDER)}
+    return sorted(
+        QUERIES.values(),
+        key=lambda q: (rank.get(q.name, len(ORDER)), list(QUERIES).index(q.name)),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _ensure_loaded()
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 _loaded = False
