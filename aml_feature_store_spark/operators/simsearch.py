@@ -104,6 +104,105 @@ SELECT query_id, vec_id, cosine,
 """
 
 
+def ivf_topk_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for ivf_topk — the full pipeline (seed centroids,
+    nearest-centroid assignment, bucket-restricted scoring) is
+    deterministic, so the ANN path is exactly checkable, not rows-only."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+), cents AS (
+  SELECT vec_id AS centroid_id, v AS cen_v, nrm AS cen_n
+  FROM n WHERE vec_id < {n_centroids}
+), sims AS (
+  SELECT n.vec_id, cents.centroid_id,
+         CASE WHEN n.nrm * cents.cen_n != 0.0
+           THEN ROUND(list_dot_product(n.v, cents.cen_v) / (n.nrm * cents.cen_n), 8)
+           ELSE 0.0 END AS sim
+  FROM n CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, centroid_id) AS rn
+    FROM sims
+  ) WHERE rn = 1
+), q AS (
+  SELECT n.vec_id AS query_id, a.centroid_id AS q_cent, n.v AS q_v, n.nrm AS q_n
+  FROM n JOIN assigned a ON n.vec_id = a.vec_id
+  WHERE n.vec_id < {n_queries}
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         CASE WHEN q.q_n * c.nrm != 0.0
+           THEN ROUND(list_dot_product(q.q_v, c.v) / (q.q_n * c.nrm), 8)
+           ELSE 0.0 END AS cosine
+  FROM n c JOIN assigned a ON c.vec_id = a.vec_id
+  JOIN q ON a.centroid_id = q.q_cent AND q.query_id != c.vec_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an ANN result vs the exact top-k: join the
+    exact set to the approx set and count hits. Both inputs are
+    (query_id, vec_id, ...) top-k frames."""
+    hit = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+    joined = exact.select("query_id", "vec_id").join(
+        hit, ["query_id", "vec_id"], "left"
+    )
+    agg = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("_hit").alias("n_hit"),
+    )
+    return agg.select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        F.when(
+            F.col("n_exact") != 0,
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+    )
+
+
+def recall_at_k_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for recall_at_k(ivf vs brute force)."""
+    return f"""
+WITH exact_k AS ({cosine_topk_sql(n_queries, k, table)}),
+approx_k AS ({ivf_topk_sql(n_queries, k, n_centroids, table)}),
+joined AS (
+  SELECT e.query_id, a.vec_id AS hit
+  FROM exact_k e LEFT JOIN approx_k a
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+)
+SELECT query_id, COUNT(*) AS n_exact, COUNT(hit) AS n_hit,
+  CASE WHEN COUNT(*) != 0
+    THEN CAST(COUNT(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    ELSE 0.0 END AS recall_at_k
+FROM joined GROUP BY query_id
+"""
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 8,

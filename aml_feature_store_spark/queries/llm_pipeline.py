@@ -55,14 +55,26 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk(emb, queries, k=10)
 
 
-@register("ann_ivf_topk", oracle=None)
+@register("ann_ivf_topk", oracle=simsearch.ivf_topk_sql(N_QUERIES, 10))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-10 (probe nearest centroid only) — the scale
-    path; recall < 1 vs brute force by design, hence rows-only check
-    (unit tests pin recall ≥ 0.5 and determinism)."""
+    path. Seed centroids + 8-dp rounding + id tiebreaks make the whole
+    pipeline deterministic, so it is exactly oracle-checkable even though
+    recall < 1 vs brute force by design (X3)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return simsearch.ivf_topk(emb, queries, k=10)
+
+
+@register("ann_recall_at_k", oracle=simsearch.recall_at_k_sql(N_QUERIES, 10))
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF ANN path against exact brute force, per query —
+    quantifies the accuracy side of the IVF speed/recall trade (X3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = simsearch.cosine_topk(emb, queries, k=10)
+    approx = simsearch.ivf_topk(emb, queries, k=10)
+    return simsearch.recall_at_k(exact, approx)
 
 
 # --- X4: text analysis ------------------------------------------------------
