@@ -334,17 +334,60 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return per.select(F.col(id_col), fp.alias("simhash"))
 
 
+SIMHASH_BANDS = 8  # 8 bands x 4 bits; exact for max_hamming < 8 (pigeonhole)
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
                   id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ r (exact pair scan — band the
-    fingerprint bytes at scale)."""
-    fp = simhash_fingerprints(docs, id_col)
-    a = fp.select(F.col(id_col).alias("d1"), F.col("simhash").alias("h1"))
-    b = fp.select(F.col(id_col).alias("d2"), F.col("simhash").alias("h2"))
-    return (
-        a.crossJoin(b)
+    """Near-dup pairs with Hamming(simhash) ≤ r via band-bucketed candidate
+    generation + exact Hamming verify — no cartesian pair scan.
+
+    Pigeonhole: r differing bits corrupt at most r of the B bands, so any
+    pair within Hamming r shares ≥ B - r identical bands; with B = 8 > r = 6
+    every qualifying pair lands in some shared (band_id, band_val) bucket.
+    Candidate volume is Σ_bucket |bucket|² over 8×16 buckets instead of n²
+    — the scale path named in Manku et al.'s simhash dedup scheme, same
+    struct-explode single-pass shape as the MinHash LSH banding above.
+    """
+    assert max_hamming < SIMHASH_BANDS, "banding is exact only for r < B"
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    # both sides of the candidate join derive from the fingerprints; cache
+    # them or the shingle->32-sum pipeline runs twice (fingerprints are one
+    # long per doc — negligible memory at any scale)
+    fp = simhash_fingerprints(docs, id_col).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.expr(f"shiftright(simhash, {i * width}) & {mask}").alias(
+                    "band_val"
+                ),
+            )
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("b")
+    ).select(id_col, "simhash", "b.band_id", "b.band_val")
+    a = bands.select(
+        F.col(id_col).alias("d1"), F.col("simhash").alias("h1"),
+        "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("d2"), F.col("simhash").alias("h2"),
+        "band_id", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
         .filter(F.col("d1") < F.col("d2"))
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long"))
+        .select("d1", "d2", "h1", "h2")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )

@@ -91,3 +91,11 @@ def test_whole_stage_codegen_on_risk_model(spark, qs):
     # at least one fused codegen subtree; model math lives JVM-side
     assert "WholeStageCodegen subtrees" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark, qs):
+    plan = _plan(qs["dedup_simhash"](spark, SF))
+    # band-bucketed candidates: equi-join on (band_id, band_val), never a
+    # cartesian pair scan (operators/dedup.py simhash_pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
