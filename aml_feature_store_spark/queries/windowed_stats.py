@@ -9,13 +9,76 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..catalog import register
 from ..schemas import EVENT_PROPS, EVENTS_RAW
 from ..sources import load_table
 
 DEC = "decimal(25,2)"
+
+# closed category domain of events.event_type (same contract as the
+# explicit pivot value list in coverage.event_type_pivot) — lets windowed
+# HHI decompose into per-category conditional window counts
+EVENT_TYPE_DOMAIN = ["click", "error", "purchase", "signup", "view"]
+
+
+_GINI_24H_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("txn_count_24h", T.LongType()),
+        T.StructField("gini_amount_24h", T.DoubleType()),
+    ]
+)
+
+
+def _gini_frames_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-user trailing-frame Gini (see windowed_gini_24h).
+
+    Exact arithmetic: amounts are the 2-decimal contract, so frame sums
+    run in integer cents (int64) and divide by 100.0 once — bit-identical
+    to the oracle's DECIMAL(25,2)->DOUBLE route. The final double
+    expression mirrors the oracle term-for-term.
+    """
+    order = np.argsort(pdf["_ms"].to_numpy(), kind="stable")
+    ms = pdf["_ms"].to_numpy()[order]
+    cents = np.round(pdf["value"].to_numpy()[order] * 100.0).astype(np.int64)
+    eid = pdf["event_id"].to_numpy()[order]
+    uid = pdf["user_id"].to_numpy()[order]
+    lo = np.searchsorted(ms, ms - 86400000, side="left")
+    hi = np.searchsorted(ms, ms, side="right")
+    lens = (hi - lo).astype(np.int64)  # >= 1 (event is inside its own frame)
+    total = int(lens.sum())
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # flat concatenation of every frame: frame f spans rows lo[f]:hi[f]
+    fid = np.repeat(np.arange(len(lens)), lens)
+    flat = np.arange(total) - starts[fid] + lo[fid]
+    v = cents[flat]
+    # rank values ascending inside each frame (tie order is irrelevant to
+    # sum(rank*v): tied values have interchangeable consecutive ranks)
+    v_sorted = v[np.lexsort((v, fid))]
+    ranks = np.arange(total) - starts[fid] + 1
+    s_cents = np.add.reduceat(v_sorted, starts)
+    s1_cents = np.add.reduceat(ranks * v_sorted, starts)
+    n = lens.astype(np.float64)
+    s = s_cents / 100.0
+    s1 = s1_cents / 100.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g = (2.0 * s1) / (n * s) - (n + 1.0) / n
+    g = np.where(s != 0.0, g, 0.0)
+    return pd.DataFrame(
+        {
+            "event_id": eid,
+            "user_id": uid,
+            "txn_count_24h": lens,
+            "gini_amount_24h": g,
+        }
+    )
 
 
 @register(
@@ -45,44 +108,27 @@ FROM agg
 )
 def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini of amounts within each event's trailing 24h window — the
-    notebook's per-window concentration feature (nb:cell6 l.68-73) in its
-    faithful windowed form: frame materialized by an interval self-join on
-    the entity key, ranked per frame, closed-form Gini per event.
+    notebook's per-window concentration feature (nb:cell6 l.68-73).
 
-    Scale: O(Σ frame sizes) pair rows — bounded by (per-key daily rate)²,
-    not table size; one shuffle on the entity key + one on event_id.
+    Rank-in-frame needs per-frame order statistics, which no built-in
+    window aggregate expresses, so this is ONE shuffle on the entity key
+    into an Arrow-batched applyInPandas kernel: per user, frames are
+    resolved with two searchsorted passes and all frames are ranked in a
+    single flat lexsort + reduceat — O(Σ frame log Σ frame) CPU, no
+    interval self-join, no second shuffle on event_id.
+
+    Scale: Σ frame size is bounded by rows × (per-key daily rate), the
+    same volume the old self-join shuffled twice; here it never leaves
+    the executor. Skewed users bound the batch: one user's day-rate²
+    must fit in executor memory (same bound the reference's per-key
+    state assumes).
     """
     ev = load_table(spark, sf_dir, "events")
-    ms = F.unix_millis(F.col("ts"))
-    e1 = ev.select("event_id", "user_id", ms.alias("_ms"))
-    e2 = ev.select(
-        F.col("user_id").alias("_u2"),
-        ms.alias("_ms2"),
-        F.col("value").alias("v2"),
-        F.col("event_id").alias("eid2"),
+    sel = ev.select(
+        "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "value"
     )
-    pairs = e1.join(
-        e2,
-        (F.col("user_id") == F.col("_u2"))
-        & (F.col("_ms2") >= F.col("_ms") - 86400000)
-        & (F.col("_ms2") <= F.col("_ms")),
-    )
-    w = Window.partitionBy("event_id").orderBy("v2", "eid2")
-    ranked = pairs.withColumn("rn", F.row_number().over(w))
-    agg = ranked.groupBy("event_id", "user_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("v2").cast(DEC)).alias("_s"),
-        F.sum(F.col("rn") * F.col("v2").cast(DEC)).alias("_s1"),
-    )
-    n = F.col("_n").cast("double")
-    s, s1 = F.col("_s").cast("double"), F.col("_s1").cast("double")
-    return agg.select(
-        "event_id",
-        "user_id",
-        F.col("_n").alias("txn_count_24h"),
-        F.when(s != 0.0, (F.lit(2.0) * s1) / (n * s) - (n + F.lit(1.0)) / n)
-        .otherwise(F.lit(0.0))
-        .alias("gini_amount_24h"),
+    return sel.groupBy("user_id").applyInPandas(
+        lambda pdf: _gini_frames_pdf(pdf), schema=_GINI_24H_SCHEMA
     )
 
 
@@ -109,35 +155,47 @@ FROM agg
 )
 def windowed_hhi_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Category-concentration HHI within each event's trailing 24h window
-    (merchant_concentration_hhi per window, nb:cell6 l.78-81): interval
-    self-join → two-level count → exact integer-sum HHI per event."""
+    (merchant_concentration_hhi per window, nb:cell6 l.78-81).
+
+    Single-pass formulation: Σ_c n_c² decomposes into one conditional
+    windowed count per category of the closed event_type domain, so the
+    whole query is ONE window spec (one shuffle + one sort on the entity
+    key) — no interval self-join, no second shuffle on event_id. Exact
+    integer arithmetic throughout. A category outside EVENT_TYPE_DOMAIN
+    would break the Σ n_c = N invariant and surface as an oracle
+    mismatch, not silent corruption.
+    """
     ev = load_table(spark, sf_dir, "events")
-    ms = F.unix_millis(F.col("ts"))
-    e1 = ev.select("event_id", "user_id", ms.alias("_ms"))
-    e2 = ev.select(
-        F.col("user_id").alias("_u2"),
-        ms.alias("_ms2"),
-        F.col("event_type").alias("cat"),
+    sel = ev.select(
+        "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "event_type"
     )
-    pairs = e1.join(
-        e2,
-        (F.col("user_id") == F.col("_u2"))
-        & (F.col("_ms2") >= F.col("_ms") - 86400000)
-        & (F.col("_ms2") <= F.col("_ms")),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_ms")
+        .rangeBetween(-86400000, 0)
     )
-    cnt = pairs.groupBy("event_id", "user_id", "cat").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    agg = cnt.groupBy("event_id", "user_id").agg(
-        F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
-        F.sum("_c").alias("_tot"),
-    )
-    tot = F.col("_tot").cast("double")
-    return agg.select(
+    # materialize each windowed count once (squaring the window expression
+    # inline would evaluate every sum twice inside the Window node)
+    wined = sel.select(
         "event_id",
         "user_id",
-        F.col("_tot").alias("txn_count_24h"),
-        (F.col("_sq").cast("double") / (tot * tot)).alias("hhi_event_type_24h"),
+        F.count(F.lit(1)).over(w).alias("txn_count_24h"),
+        *[
+            F.sum(F.when(F.col("event_type") == c, 1).otherwise(0))
+            .over(w)
+            .alias(f"_c{i}")
+            for i, c in enumerate(EVENT_TYPE_DOMAIN)
+        ],
+    )
+    sq = F.col("_c0") * F.col("_c0")
+    for i in range(1, len(EVENT_TYPE_DOMAIN)):
+        sq = sq + F.col(f"_c{i}") * F.col(f"_c{i}")
+    tot = F.col("txn_count_24h").cast("double")
+    return wined.select(
+        "event_id",
+        "user_id",
+        "txn_count_24h",
+        (sq.cast("double") / (tot * tot)).alias("hhi_event_type_24h"),
     )
 
 

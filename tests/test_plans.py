@@ -99,3 +99,19 @@ def test_simhash_pairs_no_cartesian(spark, qs):
     # cartesian pair scan (operators/dedup.py simhash_pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_windowed_gini_single_shuffle_no_join(spark, qs):
+    plan = _plan(qs["windowed_gini_24h"](spark, SF))
+    # one entity-key shuffle into the Arrow kernel; the old interval
+    # self-join shape (Join + second event_id shuffle) must not return
+    assert "Join" not in plan
+    assert _nodes(plan, "Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_windowed_hhi_single_window_pass(spark, qs):
+    plan = _plan(qs["windowed_hhi_24h"](spark, SF))
+    assert "Join" not in plan
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Window") == 1
