@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import register
 from ..functions.risk import RISK_WEIGHTS
+from ..operators import explain
 from .joins_scoring import _ONLINE_FEATURES_SQL, _online_features, risk_score
 
 N_REQUESTS = 200  # request user_ids 0..199; users ≥150 are unknown at sf0.01
@@ -116,3 +117,16 @@ def risk_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("user_id", "feature", "contribution", "rk")
     )
+
+
+@register(
+    "risk_shapley",
+    oracle=explain.shapley_linear_sql(_ONLINE_FEATURES_SQL.strip()),
+)
+def risk_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attributions for the rule model per entity (D6;
+    reference explainability/shap_explainer.py:78-126): the pre-clamp
+    margin is additively separable, so phi_i = h_i(x_i) - E[h_i] exactly.
+    Arrow-batched mapInPandas kernel — the same plumbing a library SHAP
+    explainer drops into — over a broadcast 1-row population-mean join."""
+    return explain.shapley_linear(_online_features(spark, sf_dir))

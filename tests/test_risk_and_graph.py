@@ -81,3 +81,39 @@ def test_shared_neighbor_pairs(spark):
         for r in shared_neighbor_pairs(edge_list(_txn_df(spark))).collect()
     }
     assert pairs == {(1, 2): 1}  # users 1,2 share k=10; user 3 isolated
+
+
+def test_shapley_efficiency_axiom(spark):
+    """sum_i phi_i + base_value == pre-clamp margin, per entity (exact
+    Shapley property for the additively separable rule model)."""
+    from aml_feature_store_spark.operators.explain import shapley_linear
+
+    rows = [
+        (1, 500.0, 3, 0.5, 2, 1, 0.2),
+        (2, 20000.0, 15, 3.0, 6, 5, 0.9),  # trips all three rule bumps
+        (3, 0.0, 0, 0.0, 0, 0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    phi = shapley_linear(df).toPandas()
+    assert len(phi) == 3 * 6  # six features per entity
+    # margin = weighted terms + bumps, before clamp
+    import numpy as np
+
+    margins = {1: None, 2: None, 3: None}
+    for uid, amt, cnt, vel, uniq, night_c, night_r in rows:
+        m = (
+            min(amt / 10000.0, 1.0) * 0.25
+            + min(cnt / 10.0, 1.0) * 0.20
+            + min(vel / 2.0, 1.0) * 0.20
+            + min(uniq / 5.0, 1.0) * 0.15
+            + min(night_r / 1.0, 1.0) * 0.20
+            + (0.3 if amt > 10000.0 else 0.0)
+            + (0.2 if vel > 1.5 else 0.0)
+            + (0.1 if night_c > 3.0 else 0.0)
+        )
+        margins[uid] = m
+    g = phi.groupby("user_id").agg(phi_sum=("phi", "sum"), base=("base_value", "first"))
+    for uid, row in g.iterrows():
+        assert abs(row["phi_sum"] + row["base"] - margins[uid]) < 1e-5
+    # base_value identical across entities (population property)
+    assert phi["base_value"].nunique() == 1
