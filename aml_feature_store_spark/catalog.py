@@ -112,6 +112,7 @@ ORDER = [
     "timestamp_functions",
     # rows-only (no oracle) — a driver slot spent here yields no hash signal
     "dbscan_outlier_features",
+    "model_training_summary",
     "graph_global_centralities",
     "seeded_sample",
     "multimodal_image_features",

@@ -122,6 +122,82 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
+def binary_auc_by(
+    df: DataFrame, score_col: str, label_col: str, group_col: str
+) -> DataFrame:
+    """Per-group ROC AUC (same average-rank construction as binary_auc,
+    every window/aggregation additionally keyed by the group column).
+    Returns one row per group (group, n_pos, n_neg, auc)."""
+    per_s = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(score_col).alias("s")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("pos"),
+    )
+    w = Window.partitionBy("_g").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.partitionBy("_g")
+    with_rank = per_s.select(
+        "_g",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before"),
+        F.sum(F.when(F.col("pos") > 0, F.col("pos")).otherwise(0)).over(wall).alias(
+            "npos_t"
+        ),
+        F.sum(F.col("cnt") - F.col("pos")).over(wall).alias("nneg_t"),
+    )
+    two_ranksum = F.sum(
+        F.col("pos") * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
+    )
+    agg = with_rank.groupBy("_g", "npos_t", "nneg_t").agg(two_ranksum.alias("r2"))
+    npos, nneg = F.col("npos_t"), F.col("nneg_t")
+    auc_raw = (
+        F.col("r2").cast("double") / F.lit(2.0)
+        - (npos * (npos + 1)).cast("double") / F.lit(2.0)
+    )
+    auc = F.when((npos * nneg) != 0, auc_raw / (npos * nneg).cast("double")).otherwise(
+        F.lit(0.5)
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        npos.alias("n_pos"),
+        nneg.alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+def binary_auc_by_sql(source_sql: str, score: str, label: str, group: str) -> str:
+    """DuckDB mirror of :func:`binary_auc_by` (group exposed as `g`)."""
+    return f"""
+WITH src AS ({source_sql}),
+per_s AS (
+  SELECT {group} AS g, {score} AS s, COUNT(*) AS cnt,
+         SUM(CASE WHEN {label} THEN 1 ELSE 0 END) AS pos
+  FROM src GROUP BY {group}, {score}
+), r AS (
+  SELECT g, cnt, pos,
+    COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS before,
+    SUM(pos) OVER (PARTITION BY g) AS npos_t,
+    SUM(cnt - pos) OVER (PARTITION BY g) AS nneg_t
+  FROM per_s
+), agg AS (
+  SELECT g, npos_t, nneg_t,
+         SUM(pos * (2 * before + cnt + 1)) AS r2
+  FROM r GROUP BY g, npos_t, nneg_t
+)
+SELECT g, CAST(npos_t AS BIGINT) AS n_pos, CAST(nneg_t AS BIGINT) AS n_neg,
+  CASE WHEN npos_t * nneg_t != 0 THEN
+    (CAST(r2 AS DOUBLE) / 2.0 - CAST(npos_t * (npos_t + 1) AS DOUBLE) / 2.0)
+      / CAST(npos_t * nneg_t AS DOUBLE)
+  ELSE 0.5 END AS auc
+FROM agg
+"""
+
+
 def binary_auc_sql(source_sql: str, score: str, label: str) -> str:
     return f"""
 WITH src AS ({source_sql}),

@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     serving,
     stat_features,
     streaming_queries,
+    training,
     window_features,
     windowed_stats,
 )

@@ -1,0 +1,79 @@
+"""Registered queries: MLlib training surface + automatic retrain decision
+(reference models/advanced_models.py:462-533, feedback_system.py:241-273).
+
+The feedback proxy derives from the events table (the driver's sf dirs
+carry no feedback tables): predicted_score is a deterministic normalized
+amount score, the actual label is whether the event was a purchase, and
+the older/recent split is the month-half split the KS drift query already
+uses — so every retrain metric (per-window AUC, accuracy, counts, age) is
+exact and the verdict itself is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..operators import training
+from ..sources import load_table
+
+_FEEDBACK_SQL = """
+SELECT ts,
+       LEAST(value / 1000.0, 1.0) AS predicted_score,
+       LEAST(value / 1000.0, 1.0) >= 0.5 AS predicted_label,
+       event_type = 'purchase' AS actual_label,
+       CASE WHEN day(ts) <= 15 THEN 'older' ELSE 'recent' END AS period
+FROM events
+"""
+
+
+def _feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    score = F.least(F.col("value") / F.lit(1000.0), F.lit(1.0))
+    return ev.select(
+        "ts",
+        score.alias("predicted_score"),
+        (score >= F.lit(0.5)).alias("predicted_label"),
+        (F.col("event_type") == "purchase").alias("actual_label"),
+        F.when(F.dayofmonth("ts") <= 15, "older")
+        .otherwise("recent")
+        .alias("period"),
+    )
+
+
+@register(
+    "retrain_decision",
+    oracle=training.retrain_decision_sql(_FEEDBACK_SQL.strip()),
+)
+def retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic retrain verdict (feedback_system.py:241-273): rule
+    precedence insufficient-feedback → AUC-degradation drift →
+    low-accuracy → scheduled-age, with the reference's thresholds.
+    One row: (should_retrain, reason, windows, AUCs, accuracy, age)."""
+    return training.retrain_decision(_feedback(spark, sf_dir))
+
+
+@register("model_training_summary", oracle=None)
+def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib logistic regression trained distributively on the online
+    feature table (models/advanced_models.py:462-508 re-expressed:
+    tree-aggregated gradients instead of in-driver sklearn): one row per
+    coefficient + intercept with train ROC AUC. Rows-only — LBFGS
+    convergence is not bit-portable across engines; pytest pins recovery
+    of a known separable model."""
+    from .joins_scoring import _online_features
+
+    feats = _online_features(spark, sf_dir).withColumn(
+        "label", F.col("night_txn_count_24h") >= 1
+    )
+    _, summary = training.train_logistic(
+        feats,
+        [
+            "txn_amount_sum_1h",
+            "txn_count_1h",
+            "velocity_score_1h",
+            "unique_event_type_1h",
+        ],
+        "label",
+    )
+    return summary

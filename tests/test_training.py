@@ -1,0 +1,122 @@
+"""Unit tests: MLlib training surface + retrain decision (reference
+feedback_system.py:241-273, advanced_models.py:462-508)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aml_feature_store_spark.operators.training import (
+    retrain_decision,
+    train_logistic,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _feedback_rows(
+    n_older: int,
+    n_recent: int,
+    older_sep: float,
+    recent_sep: float,
+    accuracy: float = 1.0,
+):
+    """Synthetic feedback: `sep` controls how well predicted_score ranks
+    actual_label per window (1.0 = perfect AUC, 0.0 = random)."""
+    rows = []
+    for period, n, sep, day0 in (
+        ("older", n_older, older_sep, 1),
+        ("recent", n_recent, recent_sep, 20),
+    ):
+        for i in range(n):
+            label = i % 2 == 0
+            if (i // 2) % 100 < int(sep * 100):
+                score = 0.9 if label else 0.1  # correctly ranked
+            else:
+                score = 0.1 if label else 0.9  # inverted
+            pred_label = label if (i % 100) < int(accuracy * 100) else not label
+            rows.append(
+                (
+                    BASE + dt.timedelta(days=day0, minutes=i),
+                    float(score),
+                    bool(pred_label),
+                    bool(label),
+                    period,
+                )
+            )
+    return rows
+
+
+SCHEMA = (
+    "ts timestamp, predicted_score double, predicted_label boolean, "
+    "actual_label boolean, period string"
+)
+
+
+def _verdict(spark, rows):
+    return retrain_decision(spark.createDataFrame(rows, SCHEMA)).collect()[0]
+
+
+def test_retrain_insufficient_feedback(spark):
+    v = _verdict(spark, _feedback_rows(200, 50, 1.0, 1.0))
+    assert not v["should_retrain"]
+    assert v["reason"] == "insufficient_feedback"
+
+
+def test_retrain_on_auc_degradation(spark):
+    # older window ranks perfectly, recent window is barely better than
+    # random -> degradation > 0.05 -> drift arm fires
+    v = _verdict(spark, _feedback_rows(200, 200, 1.0, 0.6))
+    assert v["should_retrain"]
+    assert v["reason"] == "performance_drift"
+    assert v["auc_degradation"] > 0.05
+    assert v["older_auc"] == 1.0
+
+
+def test_retrain_on_low_accuracy(spark):
+    # both windows healthy AUC, but predicted labels only 70% right
+    v = _verdict(spark, _feedback_rows(200, 200, 1.0, 1.0, accuracy=0.7))
+    assert v["should_retrain"]
+    assert v["reason"] == "low_accuracy"
+    assert v["feedback_accuracy"] < 0.85
+
+
+def test_retrain_scheduled_when_stale(spark):
+    # healthy metrics; data spans > 30 days -> scheduled retraining
+    rows = _feedback_rows(200, 200, 1.0, 1.0)
+    rows.append(
+        (BASE + dt.timedelta(days=40), 0.9, True, True, "recent")
+    )
+    v = _verdict(spark, rows)
+    assert v["should_retrain"]
+    assert v["reason"] == "scheduled_retraining"
+    assert v["days_since_training"] > 30
+
+
+def test_retrain_not_needed_when_healthy(spark):
+    v = _verdict(spark, _feedback_rows(200, 200, 1.0, 1.0))
+    assert not v["should_retrain"]
+    assert v["reason"] == "no_retraining_needed"
+
+
+def test_train_logistic_recovers_separable_model(spark, tmp_path):
+    # y = 1 iff x1 > 5: a separable rule; MLlib logistic should fit it
+    # nearly perfectly and carry a positive x1 coefficient
+    rows = [(float(i), float((i * 7) % 11), i > 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, label boolean")
+    model, summary = train_logistic(df, ["x1", "x2"], "label")
+    s = {r["feature"]: r for r in summary.collect()}
+    assert s["x1"]["coefficient"] > 0.0
+    assert abs(s["x2"]["coefficient"]) < abs(s["x1"]["coefficient"])
+    assert s["x1"]["train_auc"] > 0.99
+    # MLlib persistence is the model-artifact store (reference
+    # feedback_system.py:360-367 joblib store re-expressed)
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    loaded = LogisticRegressionModel.load(path)
+    assert loaded.coefficients[0] == model.coefficients[0]
