@@ -48,20 +48,28 @@ def node_degrees(edges: DataFrame, side: str = "src") -> DataFrame:
     advanced_features.py:64-69).
     """
     # bipartite: node universe = distinct src ∪ distinct dst (disjoint
-    # types); one aggregation action, and the edge list is persisted since
-    # both this action and the returned degree plan consume it
-    edges = edges.persist()
-    row = edges.agg(
-        F.countDistinct("src").alias("_ns"), F.countDistinct("dst").alias("_nd")
-    ).first()
-    n_nodes = row["_ns"] + row["_nd"]
-    return edges.groupBy(F.col(side).alias("node")).agg(
+    # types). The count folds in as a broadcast 1-row join, so the whole
+    # operator is ONE lazy plan — no driver action, no persisted edge list
+    # to leak; Catalyst's exchange reuse shares the edge aggregation
+    # between the two subtrees.
+    n = edges.agg(
+        (F.countDistinct("src") + F.countDistinct("dst")).alias("_n_nodes")
+    )
+    deg = edges.groupBy(F.col(side).alias("node")).agg(
         F.count(F.lit(1)).alias("degree"),
         F.sum(F.col("weight").cast(DEC)).cast("double").alias("weighted_degree"),
         F.sum("n_txn").alias("total_txns"),
-        (F.count(F.lit(1)).cast("double") / F.lit(float(n_nodes - 1))).alias(
-            "degree_centrality"
-        ),
+    )
+    centrality = F.when(
+        F.col("_n_nodes") > 1,
+        F.col("degree").cast("double") / (F.col("_n_nodes") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))  # networkx convention for a single-node graph
+    return deg.join(F.broadcast(n)).select(
+        "node",
+        "degree",
+        "weighted_degree",
+        "total_txns",
+        centrality.alias("degree_centrality"),
     )
 
 

@@ -32,6 +32,7 @@ def scd2_apply(
     key_col: str,
     tracked_cols: list[str],
     ts_col: str = "ts",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Fold a change batch into an SCD2 history (returns the new history).
 
@@ -39,10 +40,15 @@ def scd2_apply(
     - changed attrs → close the current row at the change ts, open a new one
     - unchanged attrs → history untouched
     Multiple changes per key in one batch collapse to the latest (use
-    smaller batches to retain intra-batch history).
+    smaller batches to retain intra-batch history). Same-key changes with
+    identical timestamps resolve by ``tiebreak_col`` (a change/event id) —
+    pass one whenever the change feed can carry intra-ms duplicates, or
+    the surviving row would depend on partition order.
     """
     ms = F.unix_millis(F.col(ts_col))
-    latest = latest_snapshot(changes, key_col, ts_col, tiebreak_col=ts_col)
+    latest = latest_snapshot(
+        changes, key_col, ts_col, tiebreak_col=tiebreak_col or ts_col
+    )
     incoming = latest.select(
         F.col(key_col),
         *[F.col(c) for c in tracked_cols],

@@ -47,8 +47,9 @@ n AS (SELECT (SELECT COUNT(DISTINCT src) FROM edges)
 SELECT src AS node, COUNT(*) AS degree,
        CAST(SUM(CAST(weight AS DECIMAL(25,2))) AS DOUBLE) AS weighted_degree,
        CAST(SUM(n_txn) AS BIGINT) AS total_txns,
-       CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_nodes FROM n) - 1 AS DOUBLE)
-         AS degree_centrality
+       CASE WHEN (SELECT n_nodes FROM n) > 1
+         THEN CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_nodes FROM n) - 1 AS DOUBLE)
+         ELSE 0.0 END AS degree_centrality
 FROM edges GROUP BY src
 """,
 )

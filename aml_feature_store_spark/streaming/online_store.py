@@ -13,6 +13,8 @@ predicate on feature_timestamp, exactly the 24 h Redis EXPIRE semantics.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -47,11 +49,20 @@ class OnlineStore:
             merged = keep.unionByName(new)
         else:
             merged = new
-        # overwrite via staging (parquet has no MERGE; Delta would)
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(self.path)
-        merged.unpersist()
+        # parquet has no MERGE (Delta would): fully materialize the merged
+        # result into a staging dir FIRST, then swap directories. The write
+        # still reads the current table, but the current table is never
+        # overwritten mid-read — a lost cache block / executor failure
+        # during the write just recomputes from the intact source, instead
+        # of corrupting the store.
+        staging = f"{self.path}.staging.{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{self.path}.old.{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(staging, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def foreach_batch(self):
         """Adapter for stream.writeStream.foreachBatch(...)."""

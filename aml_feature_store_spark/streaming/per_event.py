@@ -95,7 +95,20 @@ def _processor(windows: dict[str, int]):
         order = np.argsort(np.concatenate([ms_buf, b_ms]), kind="stable")
         ms_buf = np.concatenate([ms_buf, b_ms])[order]
         val_buf = np.concatenate([val_buf, b_val])[order]
-        csum = np.concatenate([[0.0], np.cumsum(val_buf)])
+        # accumulate in integer cents: running sums are exact at any key
+        # volume, and dividing once by 100.0 lands on the same double as
+        # the batch plan's DECIMAL(25,2)->DOUBLE route. The round-trip
+        # check enforces the 2-decimal amount contract loudly — a finer-
+        # precision amount would otherwise silently diverge stream/batch.
+        cents = np.round(val_buf * 100.0)
+        if not np.array_equal(cents / 100.0, val_buf):
+            bad = val_buf[cents / 100.0 != val_buf][:3]
+            raise ValueError(
+                "per-event window state requires amounts with <= 2 decimal "
+                f"places (got e.g. {bad.tolist()}); widen the cents scale "
+                "or pre-round the amount column explicitly"
+            )
+        csum = np.concatenate([[0], np.cumsum(cents.astype(np.int64))])
 
         cols: dict[str, Any] = {
             "user_id": np.full(len(batch), user_id, dtype=np.int64),
@@ -106,11 +119,7 @@ def _processor(windows: dict[str, int]):
         for wname, wsecs in windows.items():
             lo = np.searchsorted(ms_buf, b_ms - wsecs * 1000, side="left")
             n = hi - lo
-            # amounts have 2 decimals: rounding the f64 running sum
-            # recovers the EXACT decimal sum (error ≪ 0.005), making
-            # stream output bit-identical to the batch/oracle decimal-sum
-            # plan — avg divides the rounded sum
-            s = np.round(csum[hi] - csum[lo], 2)
+            s = (csum[hi] - csum[lo]) / 100.0
             cols[f"txn_count_{wname}"] = n.astype(np.int64)
             cols[f"txn_amount_sum_{wname}"] = s
             cols[f"avg_txn_amount_{wname}"] = np.where(n > 0, s / n, 0.0)

@@ -59,7 +59,16 @@ class TrailingFeatureProcessor(StatefulProcessor):
         order = np.argsort(np.concatenate([ms_buf, b_ms]), kind="stable")
         ms_buf = np.concatenate([ms_buf, b_ms])[order]
         val_buf = np.concatenate([val_buf, b_val])[order]
-        csum = np.concatenate([[0.0], np.cumsum(val_buf)])
+        # integer-cents accumulation + loud 2-decimal contract check
+        # (same rationale as per_event.py)
+        cents = np.round(val_buf * 100.0)
+        if not np.array_equal(cents / 100.0, val_buf):
+            bad = val_buf[cents / 100.0 != val_buf][:3]
+            raise ValueError(
+                "per-event window state requires amounts with <= 2 decimal "
+                f"places (got e.g. {bad.tolist()})"
+            )
+        csum = np.concatenate([[0], np.cumsum(cents.astype(np.int64))])
 
         cols = {
             "user_id": np.full(len(batch), user_id, dtype=np.int64),
@@ -70,7 +79,7 @@ class TrailingFeatureProcessor(StatefulProcessor):
         for wname, wsecs in self.windows.items():
             lo = np.searchsorted(ms_buf, b_ms - wsecs * 1000, side="left")
             n = hi - lo
-            s = np.round(csum[hi] - csum[lo], 2)
+            s = (csum[hi] - csum[lo]) / 100.0
             cols[f"txn_count_{wname}"] = n.astype(np.int64)
             cols[f"txn_amount_sum_{wname}"] = s
             cols[f"avg_txn_amount_{wname}"] = np.where(n > 0, s / n, 0.0)
