@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register
 from ..schemas import EVENTS_RAW
+from ..sources.tables import isolate_events_files
 from ..streaming.per_event import run_bounded
 from ..streaming.sliding import tumbling_rollup
 
@@ -48,8 +49,7 @@ def streaming_per_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     driven over a bounded file stream (availableNow) — output must equal
     the batch window SQL row-for-row (online/offline consistency, the
     property the reference only claims; README.md:163)."""
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    src = isolate_events_files(sf_dir)
     name = f"pe_q_{uuid.uuid4().hex[:8]}"
     return run_bounded(spark, src, {"5m": 300, "1h": 3600}, query_name=name)
 
@@ -59,8 +59,7 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling 10-minute rollup per user in append mode (T1/T6
     — event-time watermark, unlike the reference's wall-clock assigner).
     Rows-only: append emission depends on watermark progression."""
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    src = isolate_events_files(sf_dir)
     raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = tumbling_rollup(events, length="10 minutes")

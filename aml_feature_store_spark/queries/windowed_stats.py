@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from ..catalog import register
 from ..schemas import EVENT_PROPS, EVENTS_RAW
 from ..sources import load_table
+from ..sources.tables import isolate_events_files
 
 DEC = "decimal(25,2)"
 
@@ -216,8 +217,7 @@ def streaming_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge table (real_time_processor.py:270-298) as a streaming aggregation.
     Complete-mode output over a bounded stream ≡ the batch groupBy, so the
     oracle applies exactly."""
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    src = isolate_events_files(sf_dir)
     raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
     edges = (
         raw.withColumn("dst", F.from_json("props", EVENT_PROPS)["k"])

@@ -86,3 +86,41 @@ def write_event_log(df: DataFrame, path: str, ts_col: str = "event_timestamp") -
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def generate_events(
+    spark: SparkSession,
+    n: int = 1_000_000,
+    n_users: int = 15_000,
+    n_merchants: int = 100,
+    n_days: int = 30,
+    seed: int = 42,
+    start: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Driver-testdata-shaped events at an arbitrary scale (for scaling
+    benchmarks beyond the shipped sf dirs): same schema and the same
+    per-key daily rate as /root/testdata (events/user stays ~constant as
+    both n and n_users scale), so frame sizes, join fan-outs and state
+    sizes scale the way a real 100 TB log would — by key count, not by
+    per-key depth. ``ts`` is emitted as epoch-nanos long, matching the
+    on-disk layout load_table expects."""
+    df = spark.range(n)
+    u = lambda k: F.rand(seed + k)  # noqa: E731
+    types = F.array(
+        F.lit("click"), F.lit("error"), F.lit("purchase"),
+        F.lit("signup"), F.lit("view"),
+    )
+    ts = F.to_timestamp(F.lit(start)) + F.make_dt_interval(
+        days=F.lit(0), hours=F.lit(0), mins=F.lit(0),
+        secs=u(1) * (n_days * 86400),
+    )
+    return df.select(
+        F.col("id").alias("event_id"),
+        (F.unix_micros(ts) * 1000).alias("ts"),
+        (u(2) * n_users).cast("long").alias("user_id"),
+        types.getItem((u(3) * 5).cast("int")).alias("event_type"),
+        F.round(F.greatest(F.exp(F.randn(seed + 4) * 1.5 + 3.0), F.lit(0.01)), 2)
+        .alias("value"),
+        F.format_string('{"k": %d}', (u(5) * n_merchants).cast("int"))
+        .alias("props"),
+    )

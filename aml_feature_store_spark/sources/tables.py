@@ -48,3 +48,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def isolate_events_files(sf_dir: str) -> str:
+    """Copy the events parquet data into a fresh temp dir holding ONLY
+    events files — file-streaming over an sf dir would otherwise pick up
+    every table's parquet. Handles both layouts: the shipped single-file
+    events.parquet and a directory of part files (generated scale dirs).
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    p = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(p):
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(p, "*.parquet")))):
+            shutil.copy(f, os.path.join(src, f"events_{i:05d}.parquet"))
+    else:
+        shutil.copy(p, src)
+    return src

@@ -188,9 +188,9 @@ def run_bounded(
         if not p.endswith(os.sep + "events.parquet")
     ]
     if others and os.path.exists(os.path.join(source_dir, "events.parquet")):
-        isolated = tempfile.mkdtemp(prefix="stream_src_")
-        shutil.copy(os.path.join(source_dir, "events.parquet"), isolated)
-        source_dir = isolated
+        from ..sources.tables import isolate_events_files
+
+        source_dir = isolate_events_files(source_dir)
 
     reader = spark.readStream.schema(EVENTS_RAW)
     if max_files_per_trigger:

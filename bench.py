@@ -43,6 +43,21 @@ HEADLINE = [
     "streaming_per_event_features",
 ]
 
+# events-only queries re-run against the 10x generated events table
+# (the scale dir carries only events.parquet)
+SCALE_HEADLINE = [
+    "trailing_multiwindow_features",
+    "trailing_sums_cumsum_strategy",
+    "streaming_per_event_features",
+    "windowed_gini_24h",
+    "windowed_hhi_24h",
+    "behavioral_feature_vector",
+    "conditional_window_counts",
+    "user_sessions",
+    "user_graph_degrees",
+    "pit_join_purchases_24h",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,18 +81,40 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    out = {
+        "metric": "headline-query wall time, noop sink",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall time, noop sink",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    try:
+        out["sf"] = float(sf)
+    except ValueError:
+        out["sf"] = None
+
+    # scaling anchor: events-based headliners against a 10x events table
+    # (tools/gen_scale.py writes it; absent => section omitted)
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
     )
+    if os.path.exists(os.path.join(scale_dir, "events.parquet")):
+        scale_timings: dict[str, float] = {}
+        for name in SCALE_HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, scale_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            scale_timings[name] = round(time.perf_counter() - t0, 3)
+        out["scale"] = {
+            "sf": 1.0,
+            "n_events": 1_000_000,
+            "value": round(sum(scale_timings.values()), 3),
+            "queries": scale_timings,
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
