@@ -168,26 +168,30 @@ def trailing_sums_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame
         F.sum(amt_dec).over(w).alias("_cum_s"),
         F.sum(cnt_flag).over(w).alias("_cum_n"),
     )
-    reals = cum.filter(F.col("_win").isNull()).select(
-        F.col("_ent"),
-        "event_id",
-        F.col("_cum_s").alias("_at_s"),
-        F.col("_cum_n").alias("_at_n"),
-    )
-    probes = cum.filter(F.col("_win").isNotNull()).select(
-        "event_id",
-        "_win",
-        F.coalesce(F.col("_cum_s"), F.lit(0).cast(DEC)).alias("_before_s"),
-        F.col("_cum_n").alias("_before_n"),
-    )
-    out = reals
+    # reattach each event's probe values by PIVOTING the (1 real + W probe)
+    # rows of each event into one row with a grouped aggregation on
+    # (_ent, event_id). The window's hashpartitioning(_ent) already
+    # satisfies the aggregation's clustering requirement, so this adds NO
+    # shuffle — the whole strategy is one Exchange + one Sort end-to-end
+    # (a per-window join on event_id would re-shuffle the table W times).
+    agg_exprs = [
+        F.max(F.when(F.col("_win").isNull(), F.col("_cum_s"))).alias("_at_s"),
+        F.max(F.when(F.col("_win").isNull(), F.col("_cum_n"))).alias("_at_n"),
+    ]
+    for wname in spec.windows:
+        agg_exprs += [
+            F.max(
+                F.when(
+                    F.col("_win") == wname,
+                    F.coalesce(F.col("_cum_s"), F.lit(0).cast(DEC)),
+                )
+            ).alias(f"_bs_{wname}"),
+            F.max(F.when(F.col("_win") == wname, F.col("_cum_n"))).alias(
+                f"_bn_{wname}"
+            ),
+        ]
+    out = cum.groupBy("_ent", "event_id").agg(*agg_exprs)
     for wname, wsecs in spec.windows.items():
-        p = probes.filter(F.col("_win") == wname).select(
-            "event_id",
-            F.col("_before_s").alias(f"_bs_{wname}"),
-            F.col("_before_n").alias(f"_bn_{wname}"),
-        )
-        out = out.join(p, "event_id")
         n = F.col("_at_n") - F.col(f"_bn_{wname}")
         s = (
             F.coalesce(F.col("_at_s"), F.lit(0).cast(DEC))

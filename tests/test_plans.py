@@ -115,3 +115,11 @@ def test_windowed_hhi_single_window_pass(spark, qs):
     assert "Join" not in plan
     assert _nodes(plan, "Exchange") == 1
     assert _nodes(plan, "Window") == 1
+
+
+def test_cumsum_strategy_single_shuffle_no_join(spark, qs):
+    plan = _plan(qs["trailing_sums_cumsum_strategy"](spark, SF))
+    # shadow-probe reattachment is a pivot aggregation that reuses the
+    # window's entity partitioning — one Exchange total, never W joins
+    assert "Join" not in plan
+    assert _nodes(plan, "Exchange") == 1
