@@ -47,6 +47,7 @@ ORDER = [
     # windowed stats (A9/A10 per-event)
     "windowed_gini_24h",
     "windowed_hhi_24h",
+    "windowed_entropy_24h",
     # serving / PIT / scoring (J1/J2, D1)
     "pit_join_purchases_24h",
     "online_feature_view",
@@ -86,6 +87,7 @@ ORDER = [
     "user_clustering_coeff",
     "user_shared_k_pairs",
     # LLM data pipeline (X1-X5)
+    "curate_training_docs",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -94,6 +96,7 @@ ORDER = [
     "knn_cosine_bruteforce",
     "ann_ivf_topk",
     "ann_recall_at_k",
+    "ann_ivf_multiprobe",
     "text_stats",
     "language_id",
     # --- driver cap boundary is ~here; below are coverage / rows-only ---

@@ -109,10 +109,11 @@ def ivf_topk_sql(
     k: int = 10,
     n_centroids: int = 8,
     table: str = "embeddings",
+    n_probes: int = 1,
 ) -> str:
     """DuckDB oracle for ivf_topk — the full pipeline (seed centroids,
-    nearest-centroid assignment, bucket-restricted scoring) is
-    deterministic, so the ANN path is exactly checkable, not rows-only."""
+    nearest-centroid assignment, bucket-restricted scoring, multi-probe)
+    is deterministic, so the ANN path is exactly checkable, not rows-only."""
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
@@ -129,16 +130,17 @@ WITH e AS (
            THEN ROUND(list_dot_product(n.v, cents.cen_v) / (n.nrm * cents.cen_n), 8)
            ELSE 0.0 END AS sim
   FROM n CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, centroid_id) AS rn
+  FROM sims
 ), assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY sim DESC, centroid_id) AS rn
-    FROM sims
-  ) WHERE rn = 1
+  SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
 ), q AS (
-  SELECT n.vec_id AS query_id, a.centroid_id AS q_cent, n.v AS q_v, n.nrm AS q_n
-  FROM n JOIN assigned a ON n.vec_id = a.vec_id
-  WHERE n.vec_id < {n_queries}
+  SELECT r.vec_id AS query_id, r.centroid_id AS q_cent, n.v AS q_v, n.nrm AS q_n
+  FROM ranked r JOIN n ON r.vec_id = n.vec_id
+  WHERE r.rn <= {n_probes} AND r.vec_id < {n_queries}
 ), scored AS (
   SELECT q.query_id, c.vec_id,
          CASE WHEN q.q_n * c.nrm != 0.0
@@ -203,16 +205,16 @@ FROM joined GROUP BY query_id
 """
 
 
-def ivf_assign(
+def _centroid_ranked(
     corpus: DataFrame,
-    n_centroids: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF coarse quantization with deterministic seed centroids (the first
-    n_centroids vectors by id — a k-means iteration can refine them, but
-    seed assignment keeps the op fully deterministic for testing).
-    Returns corpus + `centroid_id`."""
+    """Every (vector, centroid) similarity ranked per vector: `_rn` 1 is
+    the nearest centroid. Centroids are the first n_centroids vectors by
+    id (deterministic seed; a k-means sweep can refine them without
+    changing any downstream shape)."""
     c = with_norm(corpus, vec_col)
     cents = c.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"),
@@ -230,8 +232,19 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(
         F.col("_sim").desc(), F.col("centroid_id")
     )
+    return scored.withColumn("_rn", F.row_number().over(w))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic seed centroids.
+    Returns corpus + `centroid_id`."""
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        _centroid_ranked(corpus, n_centroids, id_col, vec_col)
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "centroid_id", F.col("_sim").alias("centroid_sim"))
     )
@@ -244,21 +257,29 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k probing only the query's nearest centroid bucket (recall<1
-    by design vs cosine_topk — the documented IVF trade)."""
+    """ANN top-k probing the query's n_probes nearest centroid buckets
+    (recall < 1 by design vs cosine_topk — the documented IVF trade;
+    multi-probe buys recall back for n_probes/n_centroids of the
+    brute-force work)."""
     assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    # queries are corpus members here (self-search); probe their own bucket
-    q_assigned = assigned.join(
-        queries.select(F.col(id_col).alias("_qid")),
-        F.col(id_col) == F.col("_qid"),
-        "left_semi",
-    )
-    q = with_norm(q_assigned, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("centroid_id").alias("_qcent"),
-        F.col("_v").alias("_qv"),
-        F.col("_norm").alias("_qn"),
+    # queries are corpus members here (self-search); probe their own
+    # nearest bucket(s)
+    q = (
+        _centroid_ranked(corpus, n_centroids, id_col, vec_col)
+        .filter(F.col("_rn") <= n_probes)
+        .join(
+            queries.select(F.col(id_col).alias("_qid")),
+            F.col(id_col) == F.col("_qid"),
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("centroid_id").alias("_qcent"),
+            F.col("_v").alias("_qv"),
+            F.col("_norm").alias("_qn"),
+        )
     )
     c = with_norm(assigned, vec_col).select(
         F.col(id_col).alias("vec_id"),

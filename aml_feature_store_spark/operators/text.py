@@ -32,6 +32,46 @@ def _count_tokens_in(words: list[str]) -> Column:
     ).cast("long")
 
 
+def quality_score_col() -> Column:
+    """Composite quality score as a reusable column over `text`:
+    0.4·cap(n_words/50) + 0.3·(1−punct_ratio) + 0.3·cap(distinct/25).
+    Shared by text_stats and the curation pipeline so the formula cannot
+    drift between them."""
+    n_chars = F.length("text").cast("double")
+    n_words = F.expr(f"size({_TOKS})").cast("long")
+    n_distinct = F.expr(f"size(array_distinct({_TOKS}))").cast("long")
+    punct = n_chars - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9 ]", "")
+    ).cast("double")
+    return (
+        F.least(n_words.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - punct / n_chars) * F.lit(0.3)
+        + F.least(n_distinct.cast("double") / F.lit(25.0), F.lit(1.0)) * F.lit(0.3)
+    )
+
+
+def token_count_col() -> Column:
+    """BPE-ish token count as a reusable column over `text`."""
+    return F.size(
+        F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
+    ).cast("long")
+
+
+def lang_pred_col() -> Column:
+    """Marker-token language prediction as a reusable column over `text`
+    (argmax with fixed precedence, 'und' when all scores are 0)."""
+    scores = {
+        lang: _count_tokens_in(markers) for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document statistics + composite quality score.
 
@@ -52,17 +92,11 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.regexp_replace("text", "[^A-Za-z0-9 ]", "")
     ).cast("double")
     stop = _count_tokens_in(STOPWORDS)
-    n_tokens = F.size(
-        F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0))
-    ).cast("long")
+    n_tokens = token_count_col()
     wl = F.expr(
         f"aggregate({_TOKS}, 0L, (s, x) -> s + length(x))"
     ).cast("double")
-    quality = (
-        F.least(n_words.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
-        + (F.lit(1.0) - punct / n_chars) * F.lit(0.3)
-        + F.least(n_distinct.cast("double") / F.lit(25.0), F.lit(1.0)) * F.lit(0.3)
-    )
+    quality = quality_score_col()
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -128,17 +162,11 @@ def language_id(docs: DataFrame) -> DataFrame:
     scores = {
         lang: _count_tokens_in(markers) for lang, markers in LANG_MARKERS.items()
     }
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
-        pred = F.when(
-            (scores[lang] == best) & (best > 0), F.lit(lang)
-        ).otherwise(pred)
     out = docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        pred.alias("lang_predicted"),
+        lang_pred_col().alias("lang_predicted"),
     )
     return out
 

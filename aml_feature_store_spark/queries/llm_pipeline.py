@@ -3,7 +3,7 @@ similarity search, text analysis, multimodal columns (SURVEY §2.11 X1-X5)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import register
 from ..operators import dedup, multimodal, simsearch, text
@@ -126,3 +126,113 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no image libs in container) — rows-only check; plumbing unit-tested."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_image_features(multimodal.binarize_documents(docs))
+
+
+# --- training-data curation: filter -> dedup -> deterministic sample --------
+
+CURATE_QUALITY_MIN = 0.5
+CURATE_SAMPLE_PCT = 80  # keep 80% by reproducible mod-hash split
+
+# engine-portable doc_id hash bucket 0..99 (same md5 route as the dedup ops)
+_BUCKET_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    " % 100"
+)
+_BUCKET_DUCK = (
+    "CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) AS BIGINT) % 100"
+)
+
+
+def _curate_oracle() -> str:
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x != '')")
+    score_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({text._sql_list(m)}, x)))"
+        f" AS BIGINT) AS score_{lang}"
+        for lang, m in text.LANG_MARKERS.items()
+    )
+    langs = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS content_md5,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         {toks} AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id, content_md5, n_chars,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+    n_chars - CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
+    {score_cols},
+    CAST(len(regexp_extract_all(text, '{text.TOKEN_RE}')) AS BIGINT) AS n_tokens,
+    {_BUCKET_DUCK} AS sample_bucket,
+    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM base
+), scored AS (
+  SELECT doc_id,
+    {case} AS lang_predicted,
+    LEAST(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+      + (1.0 - punct / n_chars) * 0.3
+      + LEAST(CAST(n_distinct_words AS DOUBLE) / 25.0, 1.0) * 0.3 AS quality_score,
+    n_tokens, sample_bucket, is_canonical
+  FROM sc
+)
+SELECT doc_id, lang_predicted, quality_score, n_tokens, sample_bucket
+FROM scored
+WHERE is_canonical AND quality_score >= {CURATE_QUALITY_MIN}
+  AND lang_predicted = 'en' AND sample_bucket < {CURATE_SAMPLE_PCT}
+"""
+
+
+@register("curate_training_docs", oracle=_curate_oracle())
+def curate_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation (the composite every LLM data
+    pipeline runs): quality-score + language-ID as pure projections,
+    exact-dedup canonical selection as one content-digest window, and a
+    REPRODUCIBLE 80% sample by md5(doc_id) bucket — deterministic across
+    engines, partitionings and reruns, unlike rand()-based sampling.
+    Single scan, single shuffle (the dedup window); every stage reuses
+    the already-verified operator expressions (text.quality_score_col /
+    lang_pred_col, dedup exact-canonical semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_md5")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            text.quality_score_col().alias("quality_score"),
+            text.lang_pred_col().alias("lang_predicted"),
+            text.token_count_col().alias("n_tokens"),
+            F.expr(_BUCKET_SPARK).alias("sample_bucket"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(
+            F.col("is_canonical")
+            & (F.col("quality_score") >= CURATE_QUALITY_MIN)
+            & (F.col("lang_predicted") == "en")
+            & (F.col("sample_bucket") < CURATE_SAMPLE_PCT)
+        )
+        .select(
+            "doc_id", "lang_predicted", "quality_score", "n_tokens",
+            "sample_bucket",
+        )
+    )
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=simsearch.ivf_topk_sql(N_QUERIES, 10, n_probes=2),
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 probing the 2 nearest centroid buckets — recall
+    recovered toward brute force at 2/8 of its cost (X3 multi-probe
+    refinement; same deterministic pipeline, oracle-exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return simsearch.ivf_topk(emb, queries, k=10, n_probes=2)

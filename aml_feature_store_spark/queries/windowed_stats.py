@@ -251,3 +251,75 @@ def unique_users_approx_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_unique_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_ENTROPY_COUNT_W = """WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)"""
+
+
+def _entropy_oracle() -> str:
+    cnt_cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) OVER w AS BIGINT)"
+        f" AS c{i}"
+        for i, c in enumerate(EVENT_TYPE_DOMAIN)
+    )
+    terms = "\n    + ".join(
+        f"(CASE WHEN c{i} > 0 THEN CAST(c{i} AS DOUBLE) * LOG2(CAST(c{i} AS DOUBLE))"
+        f" ELSE 0.0 END)"
+        for i in range(len(EVENT_TYPE_DOMAIN))
+    )
+    return f"""
+WITH cnts AS (
+  SELECT event_id, user_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS tot,
+  {cnt_cols}
+  FROM events
+  {_ENTROPY_COUNT_W}
+)
+SELECT event_id, user_id, tot AS txn_count_24h,
+  ROUND(LOG2(CAST(tot AS DOUBLE))
+        - ROUND({terms}, 6) / CAST(tot AS DOUBLE), 6)
+    AS entropy_event_type_24h
+FROM cnts
+"""
+
+
+@register("windowed_entropy_24h", oracle=_entropy_oracle())
+def windowed_entropy_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the event-type mix inside each event's
+    trailing 24h window (A11 in its per-window form) — the same
+    closed-domain conditional-count decomposition as windowed_hhi_24h:
+    one window spec, one shuffle, exact integer counts; only the final
+    log math is double (round-6 contract of the entropy family)."""
+    ev = load_table(spark, sf_dir, "events")
+    sel = ev.select(
+        "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("_ms").rangeBetween(-86400000, 0)
+    wined = sel.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("txn_count_24h"),
+        *[
+            F.sum(F.when(F.col("event_type") == c, 1).otherwise(0))
+            .over(w)
+            .alias(f"_c{i}")
+            for i, c in enumerate(EVENT_TYPE_DOMAIN)
+        ],
+    )
+    term = lambda i: F.when(  # noqa: E731
+        F.col(f"_c{i}") > 0,
+        F.col(f"_c{i}").cast("double") * F.log2(F.col(f"_c{i}").cast("double")),
+    ).otherwise(F.lit(0.0))
+    clog = term(0)
+    for i in range(1, len(EVENT_TYPE_DOMAIN)):
+        clog = clog + term(i)
+    tot = F.col("txn_count_24h").cast("double")
+    return wined.select(
+        "event_id",
+        "user_id",
+        "txn_count_24h",
+        F.round(F.log2(tot) - F.round(clog, 6) / tot, 6).alias(
+            "entropy_event_type_24h"
+        ),
+    )
