@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the two custom kernels added in
+r2: the windowed-Gini applyInPandas kernel and the banded SimHash
+candidate generation. Both are pure functions of their inputs, so the
+properties run WITHOUT Spark — wide random coverage at unit-test cost."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aml_feature_store_spark.queries.windowed_stats import _gini_frames_pdf
+
+WINDOW_MS = 86_400_000
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * WINDOW_MS),  # ms (tie-prone)
+        st.integers(min_value=1, max_value=99_999),  # cents > 0
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _brute_gini(rows):
+    """Naive per-event frame Gini via the rank formula, exact cents."""
+    out = {}
+    for eid, (ms, _) in enumerate(rows):
+        frame = sorted(
+            c for (ms2, c) in rows if ms - WINDOW_MS <= ms2 <= ms
+        )
+        n = len(frame)
+        s = sum(frame) / 100.0
+        s1 = sum((i + 1) * c for i, c in enumerate(frame)) / 100.0
+        g = (2.0 * s1) / (n * s) - (n + 1.0) / n if s != 0.0 else 0.0
+        out[eid] = (n, g)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(events_strategy)
+def test_gini_kernel_matches_brute_force(rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "user_id": np.zeros(len(rows), dtype=np.int64),
+            "_ms": np.array([ms for ms, _ in rows], dtype=np.int64),
+            "value": np.array([c / 100.0 for _, c in rows]),
+        }
+    )
+    got = _gini_frames_pdf(pdf).set_index("event_id")
+    expected = _brute_gini(rows)
+    for eid, (n, g) in expected.items():
+        assert got.loc[eid, "txn_count_24h"] == n
+        assert got.loc[eid, "gini_amount_24h"] == g  # bit-exact, same ops
+
+
+def _simhash32(bits: int) -> int:
+    return bits & 0xFFFFFFFF
+
+
+fingerprints_strategy = st.lists(
+    st.integers(min_value=0, max_value=2**32 - 1), min_size=2, max_size=30
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(fingerprints_strategy)
+def test_simhash_banding_is_exact_for_r6(fps):
+    """Pigeonhole property the banded join relies on: any pair within
+    Hamming 6 shares at least one identical 4-bit band of 8."""
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            a, b = _simhash32(fps[i]), _simhash32(fps[j])
+            ham = bin(a ^ b).count("1")
+            if ham <= 6:
+                shared = any(
+                    (a >> (4 * k)) & 0xF == (b >> (4 * k)) & 0xF
+                    for k in range(8)
+                )
+                assert shared, (a, b, ham)
