@@ -37,10 +37,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DEFAULT_WINDOWS = {"5m": 300, "1h": 3600}
 
+# buffers are stored as raw little-endian byte blobs, not ARRAY<...>:
+# state round-trips happen every micro-batch for every key, and
+# numpy.tobytes()/frombuffer is a memcpy while array-typed state converts
+# element-by-element through Python objects
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("ms", T.ArrayType(T.LongType())),
-        T.StructField("val", T.ArrayType(T.DoubleType())),
+        T.StructField("ms", T.BinaryType()),
+        T.StructField("val", T.BinaryType()),
     ]
 )
 
@@ -72,9 +76,9 @@ def _processor(windows: dict[str, int]):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            ms_buf, val_buf = state.get
-            ms_buf = np.asarray(ms_buf, dtype=np.int64)
-            val_buf = np.asarray(val_buf, dtype=np.float64)
+            ms_raw, val_raw = state.get
+            ms_buf = np.frombuffer(ms_raw, dtype="<i8")
+            val_buf = np.frombuffer(val_raw, dtype="<f8")
         else:
             ms_buf = np.empty(0, dtype=np.int64)
             val_buf = np.empty(0, dtype=np.float64)
@@ -136,7 +140,12 @@ def _processor(windows: dict[str, int]):
             cutoff = ms_buf[-1] - max_w_ms
             keep = ms_buf >= cutoff
             ms_buf, val_buf = ms_buf[keep], val_buf[keep]
-        state.update((ms_buf.tolist(), val_buf.tolist()))
+        state.update(
+            (
+                np.ascontiguousarray(ms_buf, dtype="<i8").tobytes(),
+                np.ascontiguousarray(val_buf, dtype="<f8").tobytes(),
+            )
+        )
         yield out_df[[f.name for f in output_schema(windows)]]
 
     return fn
