@@ -76,21 +76,82 @@ def node_degrees(edges: DataFrame, side: str = "src") -> DataFrame:
 CENTRALITY_SCHEMA = "node long, closeness_centrality double, betweenness_centrality double"
 
 
+def connected_components(
+    pairs: DataFrame, u_col: str = "u", v_col: str = "v", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by distributed min-label propagation: every
+    node starts labeled with its own id; each round takes the min of its
+    own and its neighbors' labels (one join + one aggregation per round)
+    until the label sum reaches a fixpoint. Converges in O(diameter)
+    rounds — the GraphX/GraphFrames strategy in plain DataFrame algebra.
+    Returns (node, comp) with comp = min node id of the component.
+    """
+    e = pairs.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.persist()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    checksum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("_nc")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nc").alias("_min_nbr"))
+        )
+        new = (
+            labels.join(
+                nbr.withColumnRenamed("a", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("_min_nbr", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        new_sum = new.agg(F.sum("comp")).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if new_sum == checksum:  # labels only ever decrease
+            break
+        checksum = new_sum
+    und.unpersist()
+    return labels
+
+
 def global_centralities(
     pairs: DataFrame,
     max_nodes: int = 20_000,
     u_col: str = "u",
     v_col: str = "v",
+    per_component: bool = True,
 ) -> DataFrame:
     """Closeness + betweenness centrality on an undirected pair list
     (A28's inherently-global metrics; reference advanced_features.py:59-72
     networkx calls).
 
     These do NOT decompose into relational operators — this is the
-    documented applyInPandas escape hatch: the pair list collects into a
-    single group (guarded by ``max_nodes``) and Brandes' algorithm (2001,
-    O(V·E)) runs in numpy. At 100 TB run per connected component or on a
-    degree-capped subgraph; the engine refuses silently-unbounded inputs.
+    documented applyInPandas escape hatch running Brandes' algorithm
+    (2001, O(V·E)) in numpy. Shortest paths never cross components, so by
+    default the graph is first split with distributed
+    :func:`connected_components` and Brandes runs per component IN
+    PARALLEL — ``max_nodes`` then guards the largest component, not the
+    whole graph, and the output is identical to the single-group run
+    (normalization deliberately keeps the GLOBAL node count, carried into
+    each group, matching networkx on the full graph). The engine refuses
+    silently-unbounded inputs.
 
     Conventions match networkx: closeness = (n_reachable−1)/Σdist scaled
     by (n_reachable−1)/(N−1); betweenness normalized by 2/((N−1)(N−2)).
@@ -100,28 +161,29 @@ def global_centralities(
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.unique(pd.concat([pdf["u"], pdf["v"]], ignore_index=True))
-        n = len(nodes)
-        if n > max_nodes:
+        n_local = len(nodes)
+        n = int(pdf["_n_total"].iloc[0])  # GLOBAL node count (networkx N)
+        if n_local > max_nodes:
             raise ValueError(
-                f"graph has {n} nodes > max_nodes={max_nodes}; run per "
-                "component or cap degrees first"
+                f"component has {n_local} nodes > max_nodes={max_nodes}; "
+                "cap degrees first"
             )
         idx = {x: i for i, x in enumerate(nodes)}
-        adj: list[list[int]] = [[] for _ in range(n)]
+        adj: list[list[int]] = [[] for _ in range(n_local)]
         for a, b in zip(pdf["u"], pdf["v"]):
             ia, ib = idx[a], idx[b]
             adj[ia].append(ib)
             adj[ib].append(ia)
-        closeness = np.zeros(n)
-        betweenness = np.zeros(n)
-        for s in range(n):
+        closeness = np.zeros(n_local)
+        betweenness = np.zeros(n_local)
+        for s in range(n_local):
             # Brandes single-source shortest-path accumulation
-            dist = np.full(n, -1, dtype=np.int64)
-            sigma = np.zeros(n)
+            dist = np.full(n_local, -1, dtype=np.int64)
+            sigma = np.zeros(n_local)
             dist[s] = 0
             sigma[s] = 1.0
             order: list[int] = []
-            preds: list[list[int]] = [[] for _ in range(n)]
+            preds: list[list[int]] = [[] for _ in range(n_local)]
             queue = [s]
             while queue:
                 nxt: list[int] = []
@@ -140,7 +202,7 @@ def global_centralities(
             if nr > 1:
                 total = float(dist[reach].sum())
                 closeness[s] = ((nr - 1) / total) * ((nr - 1) / (n - 1))
-            delta = np.zeros(n)
+            delta = np.zeros(n_local)
             for w in reversed(order):
                 for p in preds[w]:
                     delta[p] += (sigma[p] / sigma[w]) * (1.0 + delta[w])
@@ -156,13 +218,25 @@ def global_centralities(
             }
         )
 
-    from pyspark.sql import functions as FF
-
-    prepared = pairs.select(
-        FF.col(u_col).alias("u"), FF.col(v_col).alias("v"), FF.lit(0).alias("_g")
-    )
-    return prepared.groupBy("_g").applyInPandas(
-        lambda pdf: compute(pdf), schema=CENTRALITY_SCHEMA
+    prepared = pairs.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    if per_component:
+        comps = connected_components(prepared)
+        grouped = prepared.join(
+            comps.select(F.col("node").alias("u"), F.col("comp").alias("_g")),
+            "u",
+        )
+        n_total = comps.agg(F.count(F.lit(1)).alias("_n_total"))
+    else:
+        grouped = prepared.withColumn("_g", F.lit(0))
+        n_total = (
+            prepared.select(F.col("u").alias("x"))
+            .union(prepared.select(F.col("v").alias("x")))
+            .agg(F.countDistinct("x").alias("_n_total"))
+        )
+    return (
+        grouped.join(F.broadcast(n_total))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: compute(pdf), schema=CENTRALITY_SCHEMA)
     )
 
 

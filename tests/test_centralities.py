@@ -42,3 +42,35 @@ def test_max_nodes_guard(spark):
         global_centralities(
             _pairs(spark, [(0, 1), (1, 2), (2, 3)]), max_nodes=2
         ).collect()
+
+
+def test_two_components_match_single_group(spark):
+    # two disjoint graphs: path 0-1-2 and star 10-{11,12,13}; the
+    # per-component run must equal the single-group run EXACTLY (shortest
+    # paths never cross components; normalization keeps global N)
+    pairs = [(0, 1), (1, 2), (10, 11), (10, 12), (10, 13)]
+    split = {
+        r["node"]: r
+        for r in global_centralities(_pairs(spark, pairs)).collect()
+    }
+    single = {
+        r["node"]: r
+        for r in global_centralities(
+            _pairs(spark, pairs), per_component=False
+        ).collect()
+    }
+    assert set(split) == set(single)
+    for node in single:
+        assert split[node]["closeness_centrality"] == single[node]["closeness_centrality"]
+        assert split[node]["betweenness_centrality"] == single[node]["betweenness_centrality"]
+
+
+def test_connected_components_labels(spark):
+    from aml_feature_store_spark.operators.graph import connected_components
+
+    pairs = [(5, 6), (6, 7), (1, 2), (9, 9)]
+    labels = {
+        r["node"]: r["comp"]
+        for r in connected_components(_pairs(spark, pairs)).collect()
+    }
+    assert labels == {5: 5, 6: 5, 7: 5, 1: 1, 2: 1, 9: 9}
