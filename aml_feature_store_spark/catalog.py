@@ -41,9 +41,10 @@ ORDER = [
     "trailing_1h_features",
     "trailing_sums_cumsum_strategy",
     "merchant_trailing_features",
-    # streaming core (T3/T4)
+    # streaming core (T3/T4/T6)
     "streaming_per_event_features",
     "streaming_graph_edges",
+    "streaming_tumbling_complete",
     # windowed stats (A9/A10 per-event)
     "windowed_gini_24h",
     "windowed_hhi_24h",

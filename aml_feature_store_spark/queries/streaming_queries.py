@@ -74,3 +74,42 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_TUMBLING_COMPLETE_ORACLE = """
+SELECT make_timestamp((epoch_ms(ts) // 600000) * 600000000) AS window_start,
+       make_timestamp(((epoch_ms(ts) // 600000) + 1) * 600000000) AS window_end,
+       user_id,
+       COUNT(*) AS txn_count,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS txn_amount_sum,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_txn_amount,
+       MAX(value) AS max_txn_amount,
+       MIN(value) AS min_txn_amount
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("streaming_tumbling_complete", oracle=_TUMBLING_COMPLETE_ORACLE)
+def streaming_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute rollup per user in COMPLETE mode over a bounded
+    stream (T6): complete-mode output of a streaming aggregation over a
+    finished stream is exactly the batch groupBy, so unlike the
+    watermark-dependent append twin this one is oracle-checked — the
+    stream/batch consistency claim for windowed aggregation, verified."""
+    src = isolate_events_files(sf_dir)
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = tumbling_rollup(events, length="10 minutes")
+    name = f"rollc_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
