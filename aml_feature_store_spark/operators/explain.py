@@ -115,7 +115,9 @@ def shapley_linear(feats: DataFrame, entity_col: str = "user_id") -> DataFrame:
     return raw.select(
         "user_id",
         "feature",
-        F.round("phi", 6).alias("phi"),
+        # + 0.0: ROUND of a tiny-negative phi gives -0.0 in DuckDB but +0.0
+        # in Spark; normalize the signed zero on both sides
+        (F.round("phi", 6) + F.lit(0.0)).alias("phi"),
         F.round("base_value", 6).alias("base_value"),
     )
 
@@ -135,7 +137,7 @@ def shapley_linear_sql(feature_source: str, entity: str = "user_id") -> str:
     base = " + ".join(f"mu_{c}" for c in names)
     arms = "\n  UNION ALL\n  ".join(
         f"SELECT {entity} AS user_id, '{c}' AS feature, "
-        f"ROUND(h_{c} - mu_{c}, 6) AS phi, ROUND({base}, 6) AS base_value "
+        f"ROUND(h_{c} - mu_{c}, 6) + 0.0 AS phi, ROUND({base}, 6) AS base_value "
         "FROM joined"
         for c in names
     )

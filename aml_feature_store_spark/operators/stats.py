@@ -151,9 +151,12 @@ def entropy_per_entity(
         F.max("_c").alias("_maxc"),
     )
     tot = _d(F.col("_tot"))
+    # + 0.0 on every ROUND-of-possibly-tiny-negative: DuckDB's ROUND keeps
+    # IEEE -0.0, Spark's yields +0.0, and the driver hash tells them apart.
+    # -0.0 + 0.0 = +0.0 in both engines; exact no-op otherwise.
     return agg.select(
         entity_col,
-        F.round(F.log2(tot) - F.col("_clog") / tot, 6).alias(out_col),
+        (F.round(F.log2(tot) - F.col("_clog") / tot, 6) + F.lit(0.0)).alias(out_col),
         (_d(F.col("_maxc")) / tot).alias("peak_bucket_ratio"),
     )
 
@@ -172,7 +175,7 @@ WITH lvl1 AS (
   FROM lvl1 GROUP BY {entity}
 )
 SELECT {entity},
-       ROUND(LOG2(CAST(tot AS DOUBLE)) - clog / CAST(tot AS DOUBLE), 6) AS {out_col},
+       ROUND(LOG2(CAST(tot AS DOUBLE)) - clog / CAST(tot AS DOUBLE), 6) + 0.0 AS {out_col},
        CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE) AS peak_bucket_ratio
 FROM agg
 """
@@ -364,7 +367,8 @@ def population_zscore(
     return per.select(
         entity_col,
         F.col("_mean").alias("avg_amount"),
-        F.when(var > 0.0, F.round((F.col("_mean") - mu) / F.sqrt(var), 6))
+        # + 0.0: signed-zero normalization (see entropy_per_entity comment)
+        F.when(var > 0.0, F.round((F.col("_mean") - mu) / F.sqrt(var), 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_zscore"),
         F.round(F.percent_rank().over(worder), 6).alias("amount_percentile"),
@@ -393,7 +397,7 @@ SELECT {entity}, mean AS avg_amount,
              - (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)), 0.0) > 0.0 THEN
          ROUND((mean - CAST(sp AS DOUBLE) / CAST(np AS DOUBLE))
            / SQRT(GREATEST(CAST(s2p AS DOUBLE) / CAST(np AS DOUBLE)
-               - (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)), 0.0)), 6)
+               - (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) * (CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)), 0.0)), 6) + 0.0
        ELSE 0.0 END AS amount_zscore,
        ROUND(pr, 6) AS amount_percentile
 FROM pop
@@ -437,13 +441,15 @@ def moments_per_entity(
     return agg.select(
         entity_col,
         F.col("_n").alias("txn_count"),
-        F.when(m != 0.0, F.round(F.sqrt(var) / m, 6))
+        # + 0.0: signed-zero normalization of the rounded higher moments
+        # (DuckDB ROUND keeps -0.0, Spark's yields +0.0)
+        F.when(m != 0.0, F.round(F.sqrt(var) / m, 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_cv"),
-        F.when(var > 0, F.round(m3 / F.pow(F.sqrt(var), F.lit(3.0)), 6))
+        F.when(var > 0, F.round(m3 / F.pow(F.sqrt(var), F.lit(3.0)), 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_skewness"),
-        F.when(var > 0, F.round(m4 / (var * var) - F.lit(3.0), 6))
+        F.when(var > 0, F.round(m4 / (var * var) - F.lit(3.0), 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_kurtosis"),
     )
@@ -539,13 +545,15 @@ def behavioral_vector_fused(
         .otherwise(F.lit(0.0))
         .alias("amount_trend_strength"),
         F.col("_n").alias("txn_count"),
-        F.when(m != 0.0, F.round(F.sqrt(var) / m, 6))
+        # + 0.0: signed-zero normalization of the rounded higher moments
+        # (DuckDB ROUND keeps -0.0, Spark's yields +0.0)
+        F.when(m != 0.0, F.round(F.sqrt(var) / m, 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_cv"),
-        F.when(var > 0, F.round(m3 / F.pow(F.sqrt(var), F.lit(3.0)), 6))
+        F.when(var > 0, F.round(m3 / F.pow(F.sqrt(var), F.lit(3.0)), 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_skewness"),
-        F.when(var > 0, F.round(m4 / (var * var) - F.lit(3.0), 6))
+        F.when(var > 0, F.round(m4 / (var * var) - F.lit(3.0), 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_kurtosis"),
     )
@@ -596,10 +604,10 @@ WITH agg AS (
   FROM mm
 )
 SELECT {entity}, n AS txn_count,
-       CASE WHEN m != 0.0 THEN ROUND(SQRT(var) / m, 6) ELSE 0.0 END AS amount_cv,
-       CASE WHEN var > 0 THEN ROUND(m3 / POW(SQRT(var), 3.0), 6) ELSE 0.0 END
+       CASE WHEN m != 0.0 THEN ROUND(SQRT(var) / m, 6) + 0.0 ELSE 0.0 END AS amount_cv,
+       CASE WHEN var > 0 THEN ROUND(m3 / POW(SQRT(var), 3.0), 6) + 0.0 ELSE 0.0 END
          AS amount_skewness,
-       CASE WHEN var > 0 THEN ROUND(m4 / (var * var) - 3.0, 6) ELSE 0.0 END
+       CASE WHEN var > 0 THEN ROUND(m4 / (var * var) - 3.0, 6) + 0.0 ELSE 0.0 END
          AS amount_kurtosis
 FROM mv
 """

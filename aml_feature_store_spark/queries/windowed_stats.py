@@ -278,7 +278,7 @@ WITH cnts AS (
 )
 SELECT event_id, user_id, tot AS txn_count_24h,
   ROUND(LOG2(CAST(tot AS DOUBLE))
-        - ROUND({terms}, 6) / CAST(tot AS DOUBLE), 6)
+        - ROUND({terms}, 6) / CAST(tot AS DOUBLE), 6) + 0.0
     AS entropy_event_type_24h
 FROM cnts
 """
@@ -319,7 +319,12 @@ def windowed_entropy_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "txn_count_24h",
-        F.round(F.log2(tot) - F.round(clog, 6) / tot, 6).alias(
+        # + 0.0 normalizes IEEE negative zero: single-category frames make
+        # LOG2(tot) - clog/tot a tiny negative; DuckDB's ROUND preserves the
+        # sign (-0.0) while Spark's yields +0.0, and the driver's value hash
+        # distinguishes them. -0.0 + 0.0 = +0.0 in both engines; exact no-op
+        # for every other value.
+        (F.round(F.log2(tot) - F.round(clog, 6) / tot, 6) + F.lit(0.0)).alias(
             "entropy_event_type_24h"
         ),
     )

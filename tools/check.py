@@ -76,6 +76,18 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> list[str]:
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             svf = sv.astype(float).to_numpy()
             ovf = ov.astype(float).to_numpy()
+            # Signed zero: np.array_equal(0.0, -0.0) is True but the driver's
+            # value hash (byte-level) distinguishes them — flag it as a fail.
+            zmask = (svf == 0.0) & (ovf == 0.0)
+            if zmask.any() and not np.array_equal(
+                np.signbit(svf[zmask]), np.signbit(ovf[zmask])
+            ):
+                nz = (np.signbit(svf[zmask]) != np.signbit(ovf[zmask])).sum()
+                issues.append(
+                    f"col {c}: {nz} rows differ only in zero sign (+0.0 vs -0.0) "
+                    f"— driver hash would fail"
+                )
+                continue
             exact = np.array_equal(svf, ovf, equal_nan=True)
             if not exact:
                 close = np.allclose(svf, ovf, rtol=1e-9, atol=1e-9, equal_nan=True)
