@@ -38,7 +38,6 @@ QUERIES: dict[str, RegisteredQuery] = {}
 ORDER = [
     # flagship + trailing-window family (A1-A7, W1, entry())
     "trailing_multiwindow_features",
-    "trailing_1h_features",
     "trailing_sums_cumsum_strategy",
     "merchant_trailing_features",
     # streaming core (T3/T4/T6)
@@ -66,14 +65,9 @@ ORDER = [
     "amount_trend_per_user",
     "population_zscore_per_user",
     "moments_per_user",
-    "daily_counts_per_user",
-    # behavioral windows (A8, P4/P5, U1, W2/W4, F4, T10)
+    # behavioral windows (A8, T10)
     "conditional_window_counts",
-    "unique_counts_windows",
-    "derived_time_flags",
     "user_sessions",
-    "running_totals_per_user",
-    "props_json_extract",
     # drift / model eval / training (D7, D5, A24)
     "ks_drift_value",
     "model_auc",
@@ -100,8 +94,17 @@ ORDER = [
     "ann_ivf_multiprobe",
     "text_stats",
     "language_id",
-    # --- driver cap boundary is ~here; below are coverage / rows-only ---
     "doc_fingerprints",
+    # --- driver cap boundary (50) is ~here; below are rotated-out rows that
+    # are already twice-green in CORRECTNESS_r01+r02 (r3 rotation: the ANN
+    # trio + text ops above had never had a driver row), then coverage /
+    # rows-only queries ---
+    "trailing_1h_features",
+    "daily_counts_per_user",
+    "unique_counts_windows",
+    "derived_time_flags",
+    "running_totals_per_user",
+    "props_json_extract",
     "multimodal_binary_stats",
     "pricing_summary",
     "regional_revenue",
