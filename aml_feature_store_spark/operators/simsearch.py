@@ -11,9 +11,14 @@ a partition-parallel scan of the corpus — linear, no shuffle, but O(Q·N)
 work. IVF cuts work to O(Q·N/k): assign corpus vectors to their nearest
 of k centroids (one broadcast-join pass, cacheable), probe only the
 query's closest centroid bucket(s). Recall < 1 by design — declared.
+near_dup_pairs_bucketed is the exception: its bucket-pair pruning is
+triangle-inequality-complete, so it is EXACT (identical to the all-pairs
+threshold scan) while never building a cartesian plan node.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -247,6 +252,141 @@ def ivf_assign(
         _centroid_ranked(corpus, n_centroids, id_col, vec_col)
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "centroid_id", F.col("_sim").alias("centroid_sim"))
+    )
+
+
+def near_dup_pairs_bucketed(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, via IVF buckets — EXACT, no
+    cartesian (X2 embedding near-dup; reference semantics: the all-pairs
+    cosine scan of similarity_dedup in the reference's dedup tooling).
+
+    Completeness argument (spherical triangle inequality): for vectors
+    u, v assigned to centroids ci, cj with assignment angles ≤ r_i, r_j
+    (the per-bucket max — its angular radius),
+
+        angle(u, v) ≥ angle(ci, cj) − r_i − r_j.
+
+    So a pair can only reach angle(u,v) ≤ θ_t = arccos(threshold) if its
+    bucket pair satisfies angle(ci, cj) ≤ θ_t + r_i + r_j. Joining only
+    those bucket pairs and exact-verifying the cosine therefore yields
+    the identical row set to the O(n²) scan — pruning affects work, not
+    output. With k centroids the candidate volume is Σ|B_i||B_j| over
+    qualifying pairs: on clustered real data radii shrink and far bucket
+    pairs drop; worst case (uniform sphere) degenerates to the same
+    total comparisons as brute force but still through equi-joins, never
+    a BroadcastNestedLoopJoin/CartesianProduct node.
+
+    Physical plan: one broadcast-centroid assignment pass, one tiny
+    (k rows, metadata-scale) collect for centroid vectors + radii, then
+    bucket-pair equi-joins. The ε slack on the pruning predicate absorbs
+    arccos round-off; it can only ADD candidate bucket pairs, never drop
+    a qualifying one.
+    """
+    spark = corpus.sparkSession
+    # metadata-scale driver read #1: the k centroid vectors (first k ids —
+    # same deterministic seed as ivf_assign; refined centroids plug in here
+    # without changing any downstream shape)
+    cents = {
+        r["centroid_id"]: r["_v"]
+        for r in with_norm(corpus, vec_col)
+        .filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), "_v")
+        .collect()
+    }
+
+    def _unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n != 0.0 else v
+
+    units = {i: _unit(v) for i, v in cents.items()}
+    # assignment as a pure codegen'd expression over LITERAL centroids: one
+    # dot product per centroid, argmax via struct-array min (ties -> lowest
+    # centroid id) — no join node, unlike the broadcast crossJoin that
+    # ivf_assign uses for its (oracle-mirrored) formulation. The pruning
+    # argument only needs the assignment to be self-consistent with the
+    # radii below, which it is by construction.
+    def _cos_expr(unit_vec: list[float]) -> F.Column:
+        arr = "array(" + ", ".join(f"cast({x!r} as double)" for x in unit_vec) + ")"
+        d = F.expr(_DOT.format(a="_v", b=arr))
+        return F.when(F.col("_norm") != 0.0, d / F.col("_norm")).otherwise(F.lit(0.0))
+
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-_cos_expr(units[i])).alias("negcos"),
+                    F.lit(i).cast("long").alias("cid"),
+                )
+                for i in sorted(units)
+            ]
+        )
+    )
+    sided = (
+        with_norm(corpus, vec_col)
+        .withColumn("_ch", choice)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col("_ch.cid").alias("_b"),
+            "_v",
+            "_norm",
+            F.acos(
+                F.least(F.greatest(-F.col("_ch.negcos"), F.lit(-1.0)), F.lit(1.0))
+            ).alias("_ang"),
+        )
+    )
+    # metadata-scale driver read #2: per-bucket angular radius
+    radii = {
+        r["_b"]: r["_r"]
+        for r in sided.groupBy("_b").agg(F.max("_ang").alias("_r")).collect()
+    }
+
+    def _angle(a: list[float], b: list[float]) -> float:
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0.0 or nb == 0.0:
+            return math.pi / 2
+        cos = sum(x * y for x, y in zip(a, b)) / (na * nb)
+        return math.acos(max(-1.0, min(1.0, cos)))
+
+    theta = math.acos(threshold)
+    # slack absorbing engine-vs-driver float differences in the angles; it
+    # can only add candidate bucket pairs, never drop a qualifying one
+    eps = 1e-6
+    pairs = [
+        (i, j)
+        for i in radii
+        for j in radii
+        if _angle(cents[i], cents[j]) <= theta + radii[i] + radii[j] + eps
+    ]
+    bp = spark.createDataFrame(pairs, "b1 long, b2 long")
+    a = sided.select(
+        F.col("_id").alias("v1"), F.col("_b").alias("b1"),
+        F.col("_v").alias("_va"), F.col("_norm").alias("_na"),
+    )
+    b = sided.select(
+        F.col("_id").alias("v2"), F.col("_b").alias("b2"),
+        F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"),
+    )
+    dot = F.expr(_DOT.format(a="_va", b="_vb"))
+    return (
+        a.join(F.broadcast(bp), "b1")
+        .join(b, "b2")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("_na") * F.col("_nb")) != 0.0,
+                F.round(dot / (F.col("_na") * F.col("_nb")), 8),
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("v1", "v2", "cosine")
     )
 
 

@@ -267,28 +267,15 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 8) >= 0.4
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4): the semantic-dedup
-    companion to the lexical X2 ops. All-pairs here; at scale the same
-    predicate runs on LSH/IVF candidate buckets."""
-    from ..operators.simsearch import with_norm
+    companion to the lexical X2 ops. IVF-bucketed candidate generation
+    with triangle-inequality-complete pruning — EXACT output (the oracle
+    stays the all-pairs scan) with no cartesian in the plan; see
+    operators.simsearch.near_dup_pairs_bucketed for the argument."""
+    from ..operators.simsearch import near_dup_pairs_bucketed
 
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("v1"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    return near_dup_pairs_bucketed(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_centroids=8
     )
-    b = emb.select(
-        F.col("vec_id").alias("v2"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
-    )
-    dot = F.expr(
-        "aggregate(zip_with(_va, _vb, (x, y) -> x * y), cast(0.0 as double), "
-        "(s, v) -> s + v)"
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("v1") < F.col("v2"))
-        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 8))
-        .filter(F.col("cosine") >= 0.4)
-    )
-    return pairs.select("v1", "v2", "cosine")
 
 
 # --- D5: vectorized pandas-UDF batch scoring --------------------------------
