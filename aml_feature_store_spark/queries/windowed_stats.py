@@ -37,26 +37,81 @@ _GINI_24H_SCHEMA = T.StructType(
 )
 
 
-def _gini_frames_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized per-user trailing-frame Gini (see windowed_gini_24h).
+def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFrame:
+    """Vectorized trailing-frame Gini over MANY (user, chunk) groups at once
+    (see windowed_gini_24h).
 
     Exact arithmetic: amounts are the 2-decimal contract, so frame sums
     run in integer cents (int64) and divide by 100.0 once — bit-identical
     to the oracle's DECIMAL(25,2)->DOUBLE route. The final double
     expression mirrors the oracle term-for-term.
+
+    Rows with _ctx=1 are carry-in context duplicated from the previous
+    chunk: they populate frames but emit no output row, so chunking
+    changes memory bounds, never results. A missing _chunk column means
+    one group.
+
+    Multi-group trick: after a (user, chunk, ms) lexsort, each group's
+    timestamps are shifted onto a disjoint int64 range (stride > span +
+    window), so ONE global searchsorted pair resolves every frame of
+    every group — no per-group Python iteration; frame ranking stays a
+    single flat lexsort + reduceat. Falls back to a per-group loop for
+    the searchsorted step only if n_groups * stride would overflow int64
+    (≳ 10⁶ century-span groups in one partition — unreachable with sane
+    partition sizing).
     """
-    order = np.argsort(pdf["_ms"].to_numpy(), kind="stable")
-    ms = pdf["_ms"].to_numpy()[order]
+    ms_a = pdf["_ms"].to_numpy()
+    uid_a = pdf["user_id"].to_numpy()
+    chk_a = (
+        pdf["_chunk"].to_numpy()
+        if "_chunk" in pdf.columns
+        else np.zeros(len(pdf), np.int64)
+    )
+    order = np.lexsort((ms_a, chk_a, uid_a))
+    ms = ms_a[order]
+    uid = uid_a[order]
+    chk = chk_a[order]
     cents = np.round(pdf["value"].to_numpy()[order] * 100.0).astype(np.int64)
     eid = pdf["event_id"].to_numpy()[order]
-    uid = pdf["user_id"].to_numpy()[order]
-    lo = np.searchsorted(ms, ms - 86400000, side="left")
-    hi = np.searchsorted(ms, ms, side="right")
+    emit = pdf["_ctx"].to_numpy()[order] == 0
+    if len(ms) == 0:
+        return pd.DataFrame(
+            {
+                "event_id": np.array([], np.int64),
+                "user_id": np.array([], np.int64),
+                "txn_count_24h": np.array([], np.int64),
+                "gini_amount_24h": np.array([], np.float64),
+            }
+        )
+    newg = np.empty(len(ms), dtype=bool)
+    newg[0] = True
+    newg[1:] = (uid[1:] != uid[:-1]) | (chk[1:] != chk[:-1])
+    gidx = np.cumsum(newg) - 1
+    mn = int(ms.min())
+    stride = int(ms.max()) - mn + window_ms + 2
+    n_groups = int(gidx[-1]) + 1
+    if n_groups * stride < 2**62:
+        key = (ms - mn) + gidx * stride
+        lo = np.searchsorted(key, key[emit] - window_ms, side="left")
+        hi = np.searchsorted(key, key[emit], side="right")
+    else:  # pragma: no cover - unreachable with sane partition sizing
+        bounds = np.flatnonzero(newg)
+        ends = np.append(bounds[1:], len(ms))
+        lo = np.empty(int(emit.sum()), np.int64)
+        hi = np.empty_like(lo)
+        k = 0
+        for b, e in zip(bounds, ends):
+            seg = ms[b:e]
+            em = emit[b:e]
+            cnt = int(em.sum())
+            lo[k : k + cnt] = b + np.searchsorted(seg, seg[em] - window_ms, "left")
+            hi[k : k + cnt] = b + np.searchsorted(seg, seg[em], "right")
+            k += cnt
     lens = (hi - lo).astype(np.int64)  # >= 1 (event is inside its own frame)
     total = int(lens.sum())
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    # flat concatenation of every frame: frame f spans rows lo[f]:hi[f]
+    # flat concatenation of every emitted frame: frame f spans rows lo[f]:hi[f]
     fid = np.repeat(np.arange(len(lens)), lens)
     flat = np.arange(total) - starts[fid] + lo[fid]
     v = cents[flat]
@@ -64,8 +119,10 @@ def _gini_frames_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     # sum(rank*v): tied values have interchangeable consecutive ranks)
     v_sorted = v[np.lexsort((v, fid))]
     ranks = np.arange(total) - starts[fid] + 1
-    s_cents = np.add.reduceat(v_sorted, starts)
-    s1_cents = np.add.reduceat(ranks * v_sorted, starts)
+    s_cents = np.add.reduceat(v_sorted, starts) if total else np.array([], np.int64)
+    s1_cents = (
+        np.add.reduceat(ranks * v_sorted, starts) if total else np.array([], np.int64)
+    )
     n = lens.astype(np.float64)
     s = s_cents / 100.0
     s1 = s1_cents / 100.0
@@ -74,8 +131,8 @@ def _gini_frames_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     g = np.where(s != 0.0, g, 0.0)
     return pd.DataFrame(
         {
-            "event_id": eid,
-            "user_id": uid,
+            "event_id": eid[emit],
+            "user_id": uid[emit],
             "txn_count_24h": lens,
             "gini_amount_24h": g,
         }
@@ -112,24 +169,67 @@ def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     notebook's per-window concentration feature (nb:cell6 l.68-73).
 
     Rank-in-frame needs per-frame order statistics, which no built-in
-    window aggregate expresses, so this is ONE shuffle on the entity key
-    into an Arrow-batched applyInPandas kernel: per user, frames are
-    resolved with two searchsorted passes and all frames are ranked in a
-    single flat lexsort + reduceat — O(Σ frame log Σ frame) CPU, no
-    interval self-join, no second shuffle on event_id.
+    window aggregate expresses, so this is ONE shuffle on
+    (user, time-chunk) into an Arrow-batched applyInPandas kernel: per
+    group, frames are resolved with two searchsorted passes and all
+    frames are ranked in a single flat lexsort + reduceat — O(Σ frame
+    log Σ frame) CPU, no interval self-join, no second shuffle on
+    event_id.
 
-    Scale: Σ frame size is bounded by rows × (per-key daily rate), the
-    same volume the old self-join shuffled twice; here it never leaves
-    the executor. Skewed users bound the batch: one user's day-rate²
-    must fit in executor memory (same bound the reference's per-key
-    state assumes).
+    Scale: the kernel group is (user_id, 7-day-aligned chunk) with a
+    one-window carry-in — each event is duplicated into the next chunk
+    as frame context (≤ window/chunk ≈ 14% row overhead, _ctx rows emit
+    nothing), so peak state is bounded by 8 days of one user's events
+    regardless of history length; a year-long hot key costs no more than
+    a week-long one. The kernel runs via repartition + within-partition
+    sort + mapInPandas, NOT applyInPandas: groups are co-located and
+    contiguous, and the whole partition is processed in one vectorized
+    pass (per-call overhead is per-PARTITION — applyInPandas pays pandas
+    construction per group, which dominated wall-clock once chunking
+    multiplied the group count). Executor memory is bounded by shuffle
+    partition size (explicit count, AQE won't coalesce the CPU-bound
+    Python stage down), never by hot-key history.
     """
+    window_ms = 86400000
+    chunk_ms = 7 * window_ms
     ev = load_table(spark, sf_dir, "events")
     sel = ev.select(
         "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "value"
     )
-    return sel.groupBy("user_id").applyInPandas(
-        lambda pdf: _gini_frames_pdf(pdf), schema=_GINI_24H_SCHEMA
+    chunk = F.floor(F.col("_ms") / chunk_ms)
+    # own-chunk row always; a context copy into the NEXT chunk when the
+    # event lies within one window of the chunk boundary
+    dup = F.when(
+        F.col("_ms") % chunk_ms >= chunk_ms - window_ms,
+        F.array(
+            F.struct(chunk.alias("c"), F.lit(0).alias("x")),
+            F.struct((chunk + 1).alias("c"), F.lit(1).alias("x")),
+        ),
+    ).otherwise(F.array(F.struct(chunk.alias("c"), F.lit(0).alias("x"))))
+    exploded = sel.select(
+        "event_id", "user_id", "_ms", "value", F.explode(dup).alias("_d")
+    ).select(
+        "event_id",
+        "user_id",
+        "_ms",
+        "value",
+        F.col("_d.c").alias("_chunk"),
+        F.col("_d.x").alias("_ctx"),
+    )
+    n_part = spark.sparkContext.defaultParallelism
+
+    def _run(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if len(pdf):
+            yield _gini_frames_pdf(pdf, window_ms)
+
+    return (
+        exploded.repartition(n_part, "user_id", "_chunk")
+        .sortWithinPartitions("user_id", "_chunk", "_ms")
+        .mapInPandas(_run, schema=_GINI_24H_SCHEMA)
     )
 
 

@@ -112,11 +112,15 @@ def test_embedding_near_dup_no_cartesian(spark, qs):
 
 def test_windowed_gini_single_shuffle_no_join(spark, qs):
     plan = _plan(qs["windowed_gini_24h"](spark, SF))
-    # one entity-key shuffle into the Arrow kernel; the old interval
-    # self-join shape (Join + second event_id shuffle) must not return
+    # one (user, chunk) shuffle into the partition-batched Arrow kernel;
+    # the old interval self-join shape (Join + second event_id shuffle)
+    # must not return, and neither must per-group applyInPandas
+    # (FlatMapGroupsInPandas), whose per-group pandas overhead dominated
+    # once chunking multiplied the group count
     assert "Join" not in plan
     assert _nodes(plan, "Exchange") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_windowed_hhi_single_window_pass(spark, qs):

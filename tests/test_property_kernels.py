@@ -39,10 +39,8 @@ def _brute_gini(rows):
     return out
 
 
-@settings(max_examples=200, deadline=None)
-@given(events_strategy)
-def test_gini_kernel_matches_brute_force(rows):
-    pdf = pd.DataFrame(
+def _base_pdf(rows):
+    return pd.DataFrame(
         {
             "event_id": np.arange(len(rows), dtype=np.int64),
             "user_id": np.zeros(len(rows), dtype=np.int64),
@@ -50,11 +48,45 @@ def test_gini_kernel_matches_brute_force(rows):
             "value": np.array([c / 100.0 for _, c in rows]),
         }
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(events_strategy)
+def test_gini_kernel_matches_brute_force(rows):
+    pdf = _base_pdf(rows).assign(_ctx=np.int32(0))
     got = _gini_frames_pdf(pdf).set_index("event_id")
     expected = _brute_gini(rows)
     for eid, (n, g) in expected.items():
         assert got.loc[eid, "txn_count_24h"] == n
         assert got.loc[eid, "gini_amount_24h"] == g  # bit-exact, same ops
+
+
+@settings(max_examples=200, deadline=None)
+@given(events_strategy, st.sampled_from([WINDOW_MS, 2 * WINDOW_MS, 7 * WINDOW_MS]))
+def test_gini_chunked_carry_in_matches_brute_force(rows, chunk_ms):
+    """The (user, chunk)+carry-in decomposition the registered query uses:
+    running the kernel per chunk group with one-window context duplication
+    must reproduce the whole-history result for any chunk size >= window."""
+    pdf = _base_pdf(rows)
+    own = pdf.assign(_chunk=pdf["_ms"] // chunk_ms, _ctx=np.int32(0))
+    near_edge = pdf["_ms"] % chunk_ms >= chunk_ms - WINDOW_MS
+    ctx = pdf[near_edge].assign(
+        _chunk=pdf[near_edge]["_ms"] // chunk_ms + 1, _ctx=np.int32(1)
+    )
+    both = pd.concat([own, ctx], ignore_index=True)
+    got = (
+        pd.concat(
+            [_gini_frames_pdf(g) for _, g in both.groupby(["user_id", "_chunk"])],
+            ignore_index=True,
+        )
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == len(rows)  # every event emitted exactly once
+    expected = _brute_gini(rows)
+    for eid, (n, g) in expected.items():
+        assert got.loc[eid, "txn_count_24h"] == n
+        assert got.loc[eid, "gini_amount_24h"] == g
 
 
 def _simhash32(bits: int) -> int:
