@@ -79,12 +79,25 @@ CENTRALITY_SCHEMA = "node long, closeness_centrality double, betweenness_central
 def connected_components(
     pairs: DataFrame, u_col: str = "u", v_col: str = "v", max_iter: int = 50
 ) -> DataFrame:
-    """Connected components by distributed min-label propagation: every
-    node starts labeled with its own id; each round takes the min of its
-    own and its neighbors' labels (one join + one aggregation per round)
-    until the label sum reaches a fixpoint. Converges in O(diameter)
-    rounds — the GraphX/GraphFrames strategy in plain DataFrame algebra.
+    """Connected components by distributed min-label propagation with
+    pointer jumping: every node starts labeled with its own id; each round
+    takes the min of its own and its neighbors' labels (one join + one
+    aggregation), then compresses label chains by one hop
+    (comp ← comp[comp], one more join) — the pointer-jumping step turns
+    the O(diameter) GraphX-style propagation into O(log diameter) rounds,
+    so a path graph of 10⁶ nodes converges in ~20 rounds, not 10⁶.
     Returns (node, comp) with comp = min node id of the component.
+
+    Raises RuntimeError if the fixpoint is not reached within max_iter —
+    partially-propagated labels would silently split one component into
+    several (and e.g. give global_centralities wrong per-group closeness),
+    so non-convergence is an error, never a fallthrough.
+
+    The returned DataFrame is localCheckpoint-materialized: iteration
+    caches are unpersisted before returning, lineage is truncated (no
+    2·max_iter-join plan for the consumer), and its block storage is
+    released by the ContextCleaner when the result is unreferenced —
+    callers don't manage persistence.
     """
     e = pairs.select(F.col(u_col).alias("a"), F.col(v_col).alias("b"))
     und = e.union(
@@ -98,6 +111,7 @@ def connected_components(
         .persist()
     )
     checksum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             und.join(
@@ -109,15 +123,30 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("_nc").alias("_min_nbr"))
         )
+        stepped = labels.join(
+            nbr.withColumnRenamed("a", "node"), "node", "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("_min_nbr", F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: a label is always an existing node id, so follow
+        # it one hop (comp <- comp's comp); labels only ever decrease
         new = (
-            labels.join(
-                nbr.withColumnRenamed("a", "node"), "node", "left"
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("_cc")
+                ).alias("p"),
+                "comp",
+                "left",
             )
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce("_min_nbr", F.col("comp"))
-                ).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("_cc", F.col("comp"))).alias(
+                    "comp"
+                ),
             )
             .persist()
         )
@@ -125,10 +154,20 @@ def connected_components(
         labels.unpersist()
         labels = new
         if new_sum == checksum:  # labels only ever decrease
+            converged = True
             break
         checksum = new_sum
     und.unpersist()
-    return labels
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ log2(graph diameter) with "
+            "pointer jumping)"
+        )
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return final
 
 
 def global_centralities(
