@@ -60,7 +60,6 @@ ORDER = [
     "gini_per_user",
     "hhi_per_user",
     "hour_entropy_per_user",
-    "dow_entropy_per_user",
     "interarrival_stats_per_user",
     "amount_trend_per_user",
     "population_zscore_per_user",
@@ -76,7 +75,6 @@ ORDER = [
     "pandas_udf_model_scores",
     "feature_target_correlation",
     # graph (J5, A27, A28)
-    "graph_edge_list",
     "user_graph_degrees",
     "merchant_graph_features",
     "user_clustering_coeff",
@@ -92,13 +90,19 @@ ORDER = [
     "ann_ivf_topk",
     "ann_recall_at_k",
     "ann_ivf_multiprobe",
+    "ann_ivf_topk_refined",
+    "ann_recall_refined",
     "text_stats",
     "language_id",
     "doc_fingerprints",
     # --- driver cap boundary (50) is ~here; below are rotated-out rows that
     # are already twice-green in CORRECTNESS_r01+r02 (r3 rotation: the ANN
-    # trio + text ops above had never had a driver row), then coverage /
-    # rows-only queries ---
+    # family + text ops above had never had a driver row; dow_entropy and
+    # graph_edge_list yielded their slots to the two k-means-refined ANN
+    # queries — their families stay covered by hour_entropy / degrees),
+    # then coverage / rows-only queries ---
+    "dow_entropy_per_user",
+    "graph_edge_list",
     "trailing_1h_features",
     "daily_counts_per_user",
     "unique_counts_windows",

@@ -109,16 +109,72 @@ SELECT query_id, vec_id, cosine,
 """
 
 
+KMEANS_QUANT = "1000000.0"  # per-dim means quantized to 1e-6 (see kmeans_centroids)
+
+
+def _kmeans_cents_ctes(n_centroids: int, n_iters: int) -> str:
+    """CTE chain unrolling n_iters Lloyd iterations over the `n` relation
+    (vec_id, v, nrm) — the DuckDB mirror of :func:`kmeans_centroids`.
+    Produces cents0 (seed = first n_centroids ids) … cents{n_iters}."""
+    parts = [
+        f"""cents0 AS (
+  SELECT vec_id AS centroid_id, v AS cen_v, nrm AS cen_n
+  FROM n WHERE vec_id < {n_centroids}
+)"""
+    ]
+    for i in range(n_iters):
+        parts.append(f"""sims_k{i} AS (
+  SELECT n.vec_id, c.centroid_id, n.v,
+         CASE WHEN n.nrm * c.cen_n != 0.0
+           THEN ROUND(list_dot_product(n.v, c.cen_v) / (n.nrm * c.cen_n), 8)
+           ELSE 0.0 END AS sim
+  FROM n CROSS JOIN cents{i} c
+)""")
+        parts.append(f"""assign_k{i} AS (
+  SELECT vec_id, centroid_id, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, centroid_id) AS rn
+    FROM sims_k{i}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""quant_k{i} AS (
+  SELECT centroid_id,
+         UNNEST(range(1, len(v) + 1)) AS pos,
+         UNNEST(list_transform(v,
+                x -> CAST(floor(x * {KMEANS_QUANT}) AS BIGINT))) AS q
+  FROM assign_k{i}
+)""")
+        parts.append(f"""dims_k{i} AS (
+  SELECT centroid_id, pos,
+         CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {KMEANS_QUANT} AS comp
+  FROM quant_k{i} GROUP BY centroid_id, pos
+)""")
+        parts.append(f"""newv_k{i} AS (
+  SELECT centroid_id, list(comp ORDER BY pos) AS new_v
+  FROM dims_k{i} GROUP BY centroid_id
+)""")
+        parts.append(f"""cents{i + 1} AS (
+  SELECT c.centroid_id, COALESCE(nv.new_v, c.cen_v) AS cen_v,
+         sqrt(list_sum(list_transform(COALESCE(nv.new_v, c.cen_v),
+                                      x -> x * x))) AS cen_n
+  FROM cents{i} c LEFT JOIN newv_k{i} nv USING (centroid_id)
+)""")
+    return ",\n".join(parts)
+
+
 def ivf_topk_sql(
     n_queries: int = 5,
     k: int = 10,
     n_centroids: int = 8,
     table: str = "embeddings",
     n_probes: int = 1,
+    refine_iters: int = 0,
 ) -> str:
-    """DuckDB oracle for ivf_topk — the full pipeline (seed centroids,
-    nearest-centroid assignment, bucket-restricted scoring, multi-probe)
-    is deterministic, so the ANN path is exactly checkable, not rows-only."""
+    """DuckDB oracle for ivf_topk — the full pipeline (seed or k-means
+    refined centroids, nearest-centroid assignment, bucket-restricted
+    scoring, multi-probe) is deterministic, so the ANN path is exactly
+    checkable, not rows-only."""
+    cents = f"cents{refine_iters}"
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
@@ -126,15 +182,12 @@ WITH e AS (
   SELECT vec_id, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
   FROM e
-), cents AS (
-  SELECT vec_id AS centroid_id, v AS cen_v, nrm AS cen_n
-  FROM n WHERE vec_id < {n_centroids}
-), sims AS (
-  SELECT n.vec_id, cents.centroid_id,
-         CASE WHEN n.nrm * cents.cen_n != 0.0
-           THEN ROUND(list_dot_product(n.v, cents.cen_v) / (n.nrm * cents.cen_n), 8)
+), {_kmeans_cents_ctes(n_centroids, refine_iters)}, sims AS (
+  SELECT n.vec_id, {cents}.centroid_id,
+         CASE WHEN n.nrm * {cents}.cen_n != 0.0
+           THEN ROUND(list_dot_product(n.v, {cents}.cen_v) / (n.nrm * {cents}.cen_n), 8)
            ELSE 0.0 END AS sim
-  FROM n CROSS JOIN cents
+  FROM n CROSS JOIN {cents}
 ), ranked AS (
   SELECT vec_id, centroid_id,
          ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -210,21 +263,148 @@ FROM joined GROUP BY query_id
 """
 
 
+def recall_refined_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for the seed-vs-refined recall@k comparison: both
+    IVF pipelines (seed centroids, k-means-refined centroids) scored
+    against the exact top-k in one result."""
+    return f"""
+WITH exact_k AS ({cosine_topk_sql(n_queries, k, table)}),
+seed_k AS ({ivf_topk_sql(n_queries, k, n_centroids, table)}),
+ref_k AS ({ivf_topk_sql(n_queries, k, n_centroids, table, refine_iters=n_iters)}),
+seed_j AS (
+  SELECT e.query_id, a.vec_id AS hit
+  FROM exact_k e LEFT JOIN seed_k a
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+),
+ref_j AS (
+  SELECT e.query_id, a.vec_id AS hit
+  FROM exact_k e LEFT JOIN ref_k a
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+),
+seed_r AS (
+  SELECT query_id,
+    CASE WHEN COUNT(*) != 0
+      THEN CAST(COUNT(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      ELSE 0.0 END AS recall_seed
+  FROM seed_j GROUP BY query_id
+),
+ref_r AS (
+  SELECT query_id,
+    CASE WHEN COUNT(*) != 0
+      THEN CAST(COUNT(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      ELSE 0.0 END AS recall_refined
+  FROM ref_j GROUP BY query_id
+)
+SELECT query_id, recall_seed, recall_refined
+FROM seed_r JOIN ref_r USING (query_id)
+"""
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd refinement of the IVF seed centroids,
+    deterministic across engines AND partitionings: the update step's
+    per-dimension mean is computed as an exact BIGINT sum of
+    floor(x·1e6)-quantized components divided by the count — integer
+    addition is order-independent, so the refined centroids are
+    bit-identical no matter how Spark (or DuckDB, in the mirrored
+    oracle) orders the sum. Assignment uses the same ROUND(cos, 8) +
+    centroid_id tiebreak as ivf_assign; empty clusters keep their
+    previous centroid. Returns (centroid_id, _cenv, _cenn).
+
+    Scale shape: per iteration one broadcast of k tiny centroids against
+    the corpus (no corpus shuffle), then one (centroid, dim)-key
+    aggregation over the posexploded assignments — n·d rows map-side
+    combined down to k·d. No collect; n_iters is a constant (default 2).
+    """
+    quant = float(KMEANS_QUANT)
+    c = with_norm(corpus, vec_col).select(id_col, "_v", "_norm")
+    cents = c.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("_v").alias("_cenv"),
+        F.col("_norm").alias("_cenn"),
+    )
+    dot = F.expr(_DOT.format(a="_v", b="_cenv"))
+    for _ in range(n_iters):
+        sims = c.crossJoin(F.broadcast(cents)).withColumn(
+            "_sim",
+            F.when(
+                (F.col("_norm") * F.col("_cenn")) != 0.0,
+                F.round(dot / (F.col("_norm") * F.col("_cenn")), 8),
+            ).otherwise(F.lit(0.0)),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            sims.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("centroid_id", "_v")
+        )
+        dims = (
+            assigned.select(
+                "centroid_id", F.posexplode("_v").alias("pos", "val")
+            )
+            .withColumn("q", F.floor(F.col("val") * quant).cast("long"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum("q").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(quant)
+                ).alias("comp")
+            )
+        )
+        newv = dims.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                lambda s: s["comp"],
+            ).alias("_newv")
+        )
+        cents = (
+            cents.join(newv, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("_newv", "_cenv").alias("_cenv")
+            )
+            .withColumn(
+                "_cenn", F.expr("sqrt(" + _DOT.format(a="_cenv", b="_cenv") + ")")
+            )
+        )
+    return cents
+
+
 def _centroid_ranked(
     corpus: DataFrame,
     n_centroids: int,
     id_col: str,
     vec_col: str,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Every (vector, centroid) similarity ranked per vector: `_rn` 1 is
-    the nearest centroid. Centroids are the first n_centroids vectors by
-    id (deterministic seed; a k-means sweep can refine them without
-    changing any downstream shape)."""
+    the nearest centroid. Centroids default to the first n_centroids
+    vectors by id (deterministic seed); pass `centroids` (centroid_id,
+    _cenv, _cenn — e.g. from kmeans_centroids) to rank against refined
+    ones without changing any downstream shape."""
     c = with_norm(corpus, vec_col)
-    cents = c.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col("_v").alias("_cenv"),
-        F.col("_norm").alias("_cenn"),
+    cents = (
+        centroids
+        if centroids is not None
+        else c.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("_v").alias("_cenv"),
+            F.col("_norm").alias("_cenn"),
+        )
     )
     dot = F.expr(_DOT.format(a="_v", b="_cenv"))
     scored = c.crossJoin(F.broadcast(cents)).withColumn(
@@ -245,11 +425,12 @@ def ivf_assign(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse quantization with deterministic seed centroids.
-    Returns corpus + `centroid_id`."""
+    """IVF coarse quantization with deterministic seed (or provided,
+    e.g. k-means-refined) centroids. Returns corpus + `centroid_id`."""
     return (
-        _centroid_ranked(corpus, n_centroids, id_col, vec_col)
+        _centroid_ranked(corpus, n_centroids, id_col, vec_col, centroids)
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "centroid_id", F.col("_sim").alias("centroid_sim"))
     )
@@ -398,16 +579,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k probing the query's n_probes nearest centroid buckets
     (recall < 1 by design vs cosine_topk — the documented IVF trade;
     multi-probe buys recall back for n_probes/n_centroids of the
-    brute-force work)."""
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    brute-force work). refine_iters > 0 runs that many deterministic
+    Lloyd iterations (kmeans_centroids) before assignment, improving
+    recall without touching the search shape."""
+    centroids = (
+        kmeans_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+        if refine_iters
+        else None
+    )
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
     # queries are corpus members here (self-search); probe their own
     # nearest bucket(s)
     q = (
-        _centroid_ranked(corpus, n_centroids, id_col, vec_col)
+        _centroid_ranked(corpus, n_centroids, id_col, vec_col, centroids)
         .filter(F.col("_rn") <= n_probes)
         .join(
             queries.select(F.col(id_col).alias("_qid")),

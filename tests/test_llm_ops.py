@@ -102,6 +102,49 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert ap == again
 
 
+def test_kmeans_centroids_recover_clusters(spark):
+    # two tight angular clusters; seed centroids (ids 0,1) both sit in
+    # cluster A, so seed-IVF lumps all of cluster B into one bucket —
+    # Lloyd iterations must pull one centroid toward B.
+    a = [[10, 0.1 * i, 0, 0] for i in range(6)]         # cluster A, ids 0-5
+    b = [[0, 0.1 * (i + 1), 10, 0] for i in range(6)]   # cluster B, ids 6-11
+    corpus = _vecs(spark, a + b)
+    refined = {
+        r["centroid_id"]: r["_cenv"]
+        for r in simsearch.kmeans_centroids(
+            corpus, n_centroids=2, n_iters=2
+        ).collect()
+    }
+    assert set(refined) == {0, 1}
+    # one refined centroid points along axis 0 (A), the other along axis 2 (B)
+    axes = sorted(
+        (0 if v[0] > v[2] else 2) for v in refined.values()
+    )
+    assert axes == [0, 2]
+    # determinism: second run is bit-identical
+    again = {
+        r["centroid_id"]: r["_cenv"]
+        for r in simsearch.kmeans_centroids(
+            corpus, n_centroids=2, n_iters=2
+        ).collect()
+    }
+    assert refined == again
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # all vectors identical → every vector assigns to centroid 0 (id
+    # tiebreak); centroid 1's cluster is empty and must survive unchanged
+    corpus = _vecs(spark, [[1, 0, 0, 0]] * 4)
+    out = {
+        r["centroid_id"]: r["_cenv"]
+        for r in simsearch.kmeans_centroids(
+            corpus, n_centroids=2, n_iters=1
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[1][0] == pytest.approx(1.0)
+
+
 def test_text_stats_basic(spark):
     d = _docs(spark, ["Hello World, this is GREAT stuff 123!"])
     r = text.text_stats(d).collect()[0]
