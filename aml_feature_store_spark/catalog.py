@@ -124,6 +124,8 @@ ORDER = [
     # rows-only (no oracle) — a driver slot spent here yields no hash signal
     "dbscan_outlier_features",
     "model_training_summary",
+    "gbt_training_summary",
+    "gbt_feature_contributions",
     "graph_global_centralities",
     "seeded_sample",
     "multimodal_image_features",

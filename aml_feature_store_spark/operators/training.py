@@ -63,6 +63,158 @@ def train_logistic(
     return model, summary
 
 
+def train_gbt(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_iter: int = 10,
+    max_depth: int = 3,
+    seed: int = 7,
+):
+    """Fit an MLlib gradient-boosted-trees classifier — the Spark-native
+    re-expression of the reference's in-driver XGBoost/ensemble side
+    (models/advanced_models.py:462-508): boosting iterations are
+    distributed tree fits, so the same code trains on 150 rows or 100 TB
+    of feature rows. Returns (model, summary_df) with one
+    (feature, importance, train_auc) row per feature."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    assembled = VectorAssembler(
+        inputCols=feature_cols, outputCol="features"
+    ).transform(
+        df.withColumn("label", F.col(label_col).cast("double")).na.fill(
+            0, feature_cols
+        )
+    )
+    model = GBTClassifier(
+        maxIter=max_iter, maxDepth=max_depth, seed=seed
+    ).fit(assembled)
+    auc = float(
+        BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
+            model.transform(assembled)
+        )
+    )
+    imps = model.featureImportances
+    rows = [
+        (name, float(imps[i]), auc) for i, name in enumerate(feature_cols)
+    ]
+    summary = df.sparkSession.createDataFrame(
+        rows, "feature string, importance double, train_auc double"
+    )
+    return model, summary
+
+
+def _extract_tree(java_node) -> dict:
+    """Recursively extract a fitted MLlib tree into a plain nested dict
+    (metadata-scale: ≤ 2^(depth+1) nodes). Continuous splits only — the
+    engine's feature vectors are all numeric."""
+    pred = float(java_node.prediction())
+    if java_node.getClass().getSimpleName() == "LeafNode":
+        return {"pred": pred}
+    split = java_node.split()
+    if split.getClass().getSimpleName() != "ContinuousSplit":
+        raise NotImplementedError(
+            "path attribution supports continuous splits only"
+        )
+    return {
+        "pred": pred,
+        "feat": int(split.featureIndex()),
+        "thr": float(split.threshold()),
+        "left": _extract_tree(java_node.leftChild()),
+        "right": _extract_tree(java_node.rightChild()),
+    }
+
+
+def gbt_trees(model) -> list[tuple[float, dict]]:
+    """(weight, tree_dict) per boosting stage of a fitted GBT model."""
+    return [
+        (float(w), _extract_tree(t._java_obj.rootNode()))
+        for w, t in zip(model.treeWeights, model.trees)
+    ]
+
+
+def gbt_path_contributions(
+    feats: DataFrame,
+    model,
+    feature_cols: list[str],
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Per-feature path attribution (Saabas decomposition) for a fitted
+    GBT model — the tree-model counterpart of the exact linear Shapley in
+    operators/explain.py, re-expressing the reference's TreeExplainer
+    serving surface (explainability/shap_explainer.py:78-126): walking a
+    row's decision path, each split's change in node prediction is
+    attributed to the split feature, so
+
+        margin(x) = base_value + Σ_i contribution_i(x)
+
+    holds EXACTLY per row (telescoping sum), where margin is the model's
+    boosted score (probability = 1 / (1 + exp(-2·margin))).
+
+    Execution shape: the fitted trees are metadata (≤ 2^(depth+1) nodes ×
+    max_iter) shipped in the UDF closure; attribution is an Arrow-batched
+    mapInPandas kernel vectorized per tree NODE (boolean row masks), not
+    per row — so executor work is O(nodes · batch) numpy ops and the
+    corpus never shuffles. Output: (entity, feature, contribution,
+    base_value, margin) long-format rows."""
+    import numpy as np
+    import pandas as pd
+
+    trees = gbt_trees(model)
+    names = list(feature_cols)
+    schema = (
+        f"{entity_col} long, feature string, contribution double, "
+        "base_value double, margin double"
+    )
+
+    def explain(batches):
+        for pdf in batches:
+            n = len(pdf)
+            x = pdf[names].fillna(0).to_numpy(np.float64)
+            contrib = np.zeros((n, len(names)))
+            margin = np.zeros(n)
+            base = 0.0
+
+            def walk(node, mask, w):
+                if "feat" not in node:
+                    margin[mask] += w * node["pred"]
+                    return
+                left = mask & (x[:, node["feat"]] <= node["thr"])
+                right = mask & ~left
+                contrib[left, node["feat"]] += w * (
+                    node["left"]["pred"] - node["pred"]
+                )
+                contrib[right, node["feat"]] += w * (
+                    node["right"]["pred"] - node["pred"]
+                )
+                walk(node["left"], left, w)
+                walk(node["right"], right, w)
+
+            for w, tree in trees:
+                base += w * tree["pred"]
+                walk(tree, np.ones(n, dtype=bool), w)
+            out = []
+            for j, name in enumerate(names):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            entity_col: pdf[entity_col],
+                            "feature": name,
+                            "contribution": contrib[:, j],
+                            "base_value": base,
+                            # summed at the leaves during the walk; equals
+                            # base + Σ contributions by telescoping (tested)
+                            "margin": margin,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return feats.select(entity_col, *names).mapInPandas(explain, schema=schema)
+
+
 def retrain_decision(
     feedback: DataFrame,
     score_col: str = "predicted_score",

@@ -53,6 +53,49 @@ def retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.retrain_decision(_feedback(spark, sf_dir))
 
 
+_GBT_FEATURES = [
+    "txn_amount_sum_1h",
+    "txn_count_1h",
+    "velocity_score_1h",
+    "unique_event_type_1h",
+]
+
+
+def _gbt_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .joins_scoring import _online_features
+
+    return _online_features(spark, sf_dir).withColumn(
+        "label", F.col("night_txn_count_24h") >= 1
+    )
+
+
+@register("gbt_training_summary", oracle=None)
+def gbt_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib gradient-boosted trees trained distributively on the online
+    feature table (models/advanced_models.py:462-508's XGBoost side
+    re-expressed as distributed boosting): one (feature, importance,
+    train_auc) row per feature. Rows-only — tree fitting is not
+    bit-portable across engines; pytest pins recovery of a separable
+    model."""
+    _, summary = training.train_gbt(
+        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label"
+    )
+    return summary
+
+
+@register("gbt_feature_contributions", oracle=None)
+def gbt_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature path attribution (Saabas decomposition) of the fitted
+    GBT model over every scored entity — the tree-model counterpart of
+    risk_shapley (shap_explainer.py:78-126 re-expressed): long-format
+    (user_id, feature, contribution, base_value, margin) rows with
+    margin = base + Σ contributions exactly. Rows-only; the telescoping
+    identity and model-probability agreement are pytest-pinned."""
+    feats = _gbt_inputs(spark, sf_dir)
+    model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
+    return training.gbt_path_contributions(feats, model, _GBT_FEATURES)
+
+
 @register("model_training_summary", oracle=None)
 def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib logistic regression trained distributively on the online

@@ -120,3 +120,72 @@ def test_train_logistic_recovers_separable_model(spark, tmp_path):
 
     loaded = LogisticRegressionModel.load(path)
     assert loaded.coefficients[0] == model.coefficients[0]
+
+
+def _separable_frame(spark):
+    # y = 1 iff x1 > 5; x2 is a decoy
+    rows = [
+        (i, float(i % 12), float((i * 7) % 11), (i % 12) > 5)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, x1 double, x2 double, label boolean"
+    )
+
+
+def test_train_gbt_recovers_separable_model(spark, tmp_path):
+    from aml_feature_store_spark.operators.training import train_gbt
+
+    df = _separable_frame(spark)
+    model, summary = train_gbt(df, ["x1", "x2"], "label")
+    s = {r["feature"]: r for r in summary.collect()}
+    assert s["x1"]["train_auc"] > 0.99
+    assert s["x1"]["importance"] > s["x2"]["importance"]
+    # model-artifact store round-trip, as for logistic
+    path = str(tmp_path / "gbt")
+    model.write().overwrite().save(path)
+    from pyspark.ml.classification import GBTClassificationModel
+
+    loaded = GBTClassificationModel.load(path)
+    assert list(loaded.treeWeights) == list(model.treeWeights)
+
+
+def test_gbt_contributions_telescope_to_margin(spark):
+    import math
+
+    from aml_feature_store_spark.operators.training import (
+        gbt_path_contributions,
+        train_gbt,
+    )
+
+    df = _separable_frame(spark)
+    model, _ = train_gbt(df, ["x1", "x2"], "label")
+    rows = gbt_path_contributions(df, model, ["x1", "x2"]).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user) == 200 and all(len(v) == 2 for v in by_user.values())
+    # margin = base + sum(contributions) exactly (telescoping walk), and
+    # sigmoid(2*margin) reproduces the model's served probability
+    probs = {
+        r["user_id"]: float(r["probability"][1])
+        for r in model.transform(
+            __import__("pyspark.ml.feature", fromlist=["VectorAssembler"])
+            .VectorAssembler(inputCols=["x1", "x2"], outputCol="features")
+            .transform(df)
+        ).collect()
+    }
+    for uid, rs in by_user.items():
+        base, margin = rs[0]["base_value"], rs[0]["margin"]
+        total = base + sum(r["contribution"] for r in rs)
+        assert total == pytest.approx(margin, abs=1e-9)
+        assert 1.0 / (1.0 + math.exp(-2.0 * margin)) == pytest.approx(
+            probs[uid], abs=1e-9
+        )
+    # the decisive feature dominates the attribution mass
+    mass = {
+        f: sum(abs(r["contribution"]) for rs in by_user.values() for r in rs
+               if r["feature"] == f)
+        for f in ("x1", "x2")
+    }
+    assert mass["x1"] > mass["x2"]
