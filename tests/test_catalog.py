@@ -51,6 +51,8 @@ def test_rotated_ann_and_text_queries_are_inside_the_cap():
         "ann_ivf_topk",
         "ann_recall_at_k",
         "ann_ivf_multiprobe",
+        "ann_ivf_topk_refined",
+        "ann_recall_refined",
         "text_stats",
         "language_id",
         "doc_fingerprints",
