@@ -138,6 +138,38 @@ def test_online_store_ttl_filters_stale(spark, tmp_path):
     assert store.lookup([2]).count() == 0
 
 
+def test_online_store_recovers_half_swap_and_orphans(spark, tmp_path):
+    import os
+    import shutil
+
+    path = str(tmp_path / "online_rec")
+    store = OnlineStore(spark, path, entity_col="user_id", ts_col="feature_ts")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    store.merge(
+        spark.createDataFrame(
+            [(1, t, 1.0)], "user_id long, feature_ts timestamp, f double"
+        )
+    )
+    # simulate a crash between the two swap renames: table moved to .old,
+    # new version never landed, plus an orphan staging dir from the write
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".staging.deadbeef")
+    rows = store.read(ttl_s=10 * 86400).collect()  # recovery rolls back
+    assert [r["user_id"] for r in rows] == [1]
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".staging.deadbeef")
+    # crash AFTER the swap but before cleanup: .old is a stale previous
+    # version next to a live table — recovery must drop .old, keep table
+    shutil.copytree(path, path + ".old")
+    store.merge(
+        spark.createDataFrame(
+            [(2, t, 2.0)], "user_id long, feature_ts timestamp, f double"
+        )
+    )
+    assert not os.path.exists(path + ".old")
+    assert {r["user_id"] for r in store.read(ttl_s=10 * 86400).collect()} == {1, 2}
+
+
 def test_sliding_features_bounded_stream(spark, tmp_path):
     """Sliding-window streaming agg runs to completion and produces per
     (window, user) rows consistent with a batch groupBy."""
