@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .prefix import global_cumsum
+
 
 def ks_statistic(
     df: DataFrame,
@@ -39,18 +41,23 @@ def ks_statistic(
     per_v = tagged.groupBy("v").agg(
         F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = per_v.select(
-        F.sum("ca").over(w).alias("cuma"),
-        F.sum("cb").over(w).alias("cumb"),
-        F.sum("ca").over(wall).alias("na"),
-        F.sum("cb").over(wall).alias("nb"),
+    # distributed two-pass prefix sums: a bare Window.orderBy would drag the
+    # whole (distinct-value) relation to one partition — a scale-killer when
+    # the score/value column is continuous at 100 TB
+    cum = global_cumsum(per_v, "v", ["ca", "cb"]).select(
+        F.col("cum_ca").alias("cuma"),
+        F.col("cum_cb").alias("cumb"),
+        F.col("tot_ca").cast("long").alias("na"),
+        F.col("tot_cb").cast("long").alias("nb"),
     )
-    d = F.abs(
-        F.col("cuma").cast("double") / F.col("na").cast("double")
-        - F.col("cumb").cast("double") / F.col("nb").cast("double")
-    )
+    # empty-group guard (ANSI mode): an empty sample's empirical CDF is 0
+    fa = F.when(
+        F.col("na") != 0, F.col("cuma").cast("double") / F.col("na").cast("double")
+    ).otherwise(F.lit(0.0))
+    fb = F.when(
+        F.col("nb") != 0, F.col("cumb").cast("double") / F.col("nb").cast("double")
+    ).otherwise(F.lit(0.0))
+    d = F.abs(fa - fb)
     return cum.groupBy("na", "nb").agg(F.max(d).alias("ks_stat")).select(
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_stat"
     )
@@ -75,8 +82,10 @@ WITH tagged AS (
   FROM per_v
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-       MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
-             - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
+       MAX(ABS(
+         CASE WHEN na != 0 THEN CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) ELSE 0.0 END
+       - CASE WHEN nb != 0 THEN CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE) ELSE 0.0 END
+       )) AS ks_stat
 FROM cum GROUP BY na, nb
 """
 
@@ -92,18 +101,18 @@ def binary_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("pos"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy()
     # sum of avg-ranks of positives within a tie group of size cnt starting
-    # after `before` rows: pos * (before + (cnt+1)/2); scale ×2 to stay int
-    with_rank = per_s.select(
+    # after `before` rows: pos * (before + (cnt+1)/2); scale ×2 to stay int.
+    # `before` (exclusive prefix) and the totals come from the distributed
+    # two-pass scan — no single-partition Window.orderBy over the distinct
+    # score relation (unbounded cardinality for continuous scores).
+    g = global_cumsum(per_s, "s", ["cnt", "pos"])
+    with_rank = g.select(
         "cnt",
         "pos",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before"),
-        F.sum(F.when(F.col("pos") > 0, F.col("pos")).otherwise(0)).over(wall).alias(
-            "npos_t"
-        ),
-        F.sum(F.col("cnt") - F.col("pos")).over(wall).alias("nneg_t"),
+        (F.col("cum_cnt") - F.col("cnt")).alias("before"),
+        F.col("tot_pos").cast("long").alias("npos_t"),
+        (F.col("tot_cnt") - F.col("tot_pos")).cast("long").alias("nneg_t"),
     )
     two_ranksum = F.sum(
         F.col("pos") * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))

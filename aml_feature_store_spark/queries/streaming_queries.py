@@ -15,8 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register
-from ..schemas import EVENTS_RAW
-from ..sources.tables import isolate_events_files
+from ..sources.tables import isolate_events_files, stream_events
 from ..streaming.per_event import run_bounded
 from ..streaming.sliding import tumbling_rollup
 
@@ -60,8 +59,7 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — event-time watermark, unlike the reference's wall-clock assigner).
     Rows-only: append emission depends on watermark progression."""
     src = isolate_events_files(sf_dir)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = stream_events(spark, src)
     out = tumbling_rollup(events, length="10 minutes")
     name = f"roll_q_{uuid.uuid4().hex[:8]}"
     q = (
@@ -99,8 +97,7 @@ def streaming_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-dependent append twin this one is oracle-checked — the
     stream/batch consistency claim for windowed aggregation, verified."""
     src = isolate_events_files(sf_dir)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = stream_events(spark, src)
     out = tumbling_rollup(events, length="10 minutes")
     name = f"rollc_q_{uuid.uuid4().hex[:8]}"
     q = (

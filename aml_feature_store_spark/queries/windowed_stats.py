@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..catalog import register
-from ..schemas import EVENT_PROPS, EVENTS_RAW
+from ..schemas import EVENT_PROPS
 from ..sources import load_table
 from ..sources.tables import isolate_events_files
 
@@ -318,7 +318,9 @@ def streaming_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete-mode output over a bounded stream ≡ the batch groupBy, so the
     oracle applies exactly."""
     src = isolate_events_files(sf_dir)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
+    from ..sources.tables import stream_events
+
+    raw = stream_events(spark, src)
     edges = (
         raw.withColumn("dst", F.from_json("props", EVENT_PROPS)["k"])
         .groupBy(F.col("user_id").alias("src"), "dst")

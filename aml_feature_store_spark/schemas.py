@@ -14,9 +14,10 @@ from pyspark.sql import types as T
 
 # --- driver testdata tables (FIXTURES.md §B) --------------------------------
 
-# NOTE: on disk `ts` is TIMESTAMP(NANOS) (pandas-written); Spark reads it as
-# LongType (epoch-nanos) under spark.sql.legacy.parquet.nanosAsLong=true and
-# sources.tables.load_table converts it to a µs TimestampType column.
+# NOTE: the on-disk unit of `ts` has changed across testdata generations
+# (TIMESTAMP(NANOS) then TIMESTAMP_MICROS). EVENTS_RAW is the legacy-nanos
+# read schema (LongType under spark.sql.legacy.parquet.nanosAsLong=true);
+# sources.tables.load_events sniffs the footer and picks the right path.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -44,8 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # driver testdata stores ts as TIMESTAMP(NANOS) which Spark's µs
-        # TimestampType cannot read; read as long and convert in the loader
+        # legacy testdata stored ts as TIMESTAMP(NANOS) which Spark's µs
+        # TimestampType cannot read; with this flag such columns load as
+        # epoch-ns long and sources.tables.load_events converts them (the
+        # flag is inert for native µs files — load_events sniffs the footer)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -16,23 +16,66 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..schemas import EVENTS_RAW, TESTDATA_SCHEMAS
+from pyspark.sql import types as T
+
+from ..schemas import EVENTS, EVENTS_RAW, TESTDATA_SCHEMAS
+
+
+def events_ts_is_nanos_long(spark: SparkSession, path: str) -> bool:
+    """Sniff the on-disk layout of ``events.ts`` from the parquet footer.
+
+    Two layouts exist in the wild: TIMESTAMP(NANOS) — which Spark's µs
+    TimestampType cannot hold, so the session reads it as epoch-nanos
+    LongType under spark.sql.legacy.parquet.nanosAsLong — and native
+    TIMESTAMP_MICROS, which Spark infers as Timestamp(NTZ). A metadata-only
+    schema read (no data scan) tells them apart.
+    """
+    return isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, T.LongType
+    )
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-load the event log with ``ts`` normalized to the engine-standard
+    µs TimestampType (UTC session), whatever the on-disk timestamp unit.
+
+    Nanos layout: read as epoch-ns long, `ts div 1000` (exact integer math —
+    no double round-trip; 2024 epoch-ns > 2^53). Micros layout: pin the
+    TimestampType schema directly — the µs int64 is read natively with no
+    conversion expression at all.
+    """
+    if events_ts_is_nanos_long(spark, path):
+        df = spark.read.schema(EVENTS_RAW).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(EVENTS).parquet(path)
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`load_events` — same dtype-adaptive decode,
+    single shared implementation for every readStream over the event log."""
+    nanos = events_ts_is_nanos_long(spark, source_dir)
+    reader = spark.readStream.schema(EVENTS_RAW if nanos else EVENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table with its pinned schema.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); it is read as epoch-nanos
-    long (session sets spark.sql.legacy.parquet.nanosAsLong) and converted
-    here to the engine-standard µs TimestampType (UTC). `ts div 1000` is
-    exact integer math — no double round-trip (2024 epoch-ns > 2^53).
+    ``events`` goes through the dtype-adaptive :func:`load_events` so the
+    engine accepts both TIMESTAMP(NANOS) and TIMESTAMP_MICROS event logs.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        df = spark.read.schema(EVENTS_RAW).parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return load_events(spark, path)
     schema = TESTDATA_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:

@@ -189,8 +189,6 @@ def run_bounded(
     import shutil
     import tempfile
 
-    from ..schemas import EVENTS_RAW
-
     others = [
         p
         for p in glob.glob(os.path.join(source_dir, "*.parquet"))
@@ -201,11 +199,9 @@ def run_bounded(
 
         source_dir = isolate_events_files(source_dir)
 
-    reader = spark.readStream.schema(EVENTS_RAW)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(source_dir)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.tables import stream_events
+
+    events = stream_events(spark, source_dir, max_files_per_trigger)
     out = per_event_features(events, windows)
     ckpt = tempfile.mkdtemp(prefix="ckpt_per_event_")
     q = (

@@ -36,6 +36,16 @@ def test_ks_known_value(spark):
     assert r["ks_stat"] == pytest.approx(0.5)
 
 
+def test_ks_empty_group_no_divide_by_zero(spark):
+    # r3 postmortem: an empty comparison group crashed the whole bench under
+    # ANSI mode (DIVIDE_BY_ZERO). Empty group → its ECDF is 0 → D = 1.0.
+    rows = [(float(v), "a") for v in range(5)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = drift.ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 0
+    assert r["ks_stat"] == 1.0
+
+
 def test_auc_perfect_and_reverse(spark):
     rows = [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
     df = spark.createDataFrame(rows, "s double, y boolean")

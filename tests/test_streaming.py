@@ -173,17 +173,15 @@ def test_online_store_recovers_half_swap_and_orphans(spark, tmp_path):
 def test_sliding_features_bounded_stream(spark, tmp_path):
     """Sliding-window streaming agg runs to completion and produces per
     (window, user) rows consistent with a batch groupBy."""
-    from aml_feature_store_spark.schemas import EVENTS_RAW
     from aml_feature_store_spark.sources import load_table
+    from aml_feature_store_spark.sources.tables import stream_events
     from aml_feature_store_spark.streaming.sliding import tumbling_rollup
 
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(SF_DIR.rstrip("/"))
     # restrict the file-stream to events.parquet only via exact dir: copy
     src = str(tmp_path / "ev")
     os.makedirs(src)
     shutil.copy(os.path.join(SF_DIR, "events.parquet"), src)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = stream_events(spark, src)
     out = tumbling_rollup(events, length="10 minutes")
     ckpt = tempfile.mkdtemp(prefix="ckpt_slide_")
     q = (
@@ -216,14 +214,14 @@ def test_dual_sink_topology(spark, tmp_path):
     """T2: ONE input stream drives BOTH keyed feature families (customer +
     merchant) through foreachBatch into two online stores — the
     reference's dual key_by topology (aml_stream_processor.py:363-370)."""
-    from aml_feature_store_spark.schemas import EVENTS_RAW
     from aml_feature_store_spark.streaming.online_store import OnlineStore
 
     src = str(tmp_path / "src")
     os.makedirs(src)
     shutil.copy(os.path.join(SF_DIR, "events.parquet"), src)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from aml_feature_store_spark.sources.tables import stream_events
+
+    events = stream_events(spark, src)
 
     cust = OnlineStore(spark, str(tmp_path / "cust"), "user_id", "feature_ts")
     merch = OnlineStore(spark, str(tmp_path / "merch"), "event_type", "feature_ts")
@@ -262,7 +260,6 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     """The Spark-4 transformWithStateInPandas implementation must produce
     the same per-event vectors as the batch window computation (and hence
     as the applyInPandasWithState twin)."""
-    from aml_feature_store_spark.schemas import EVENTS_RAW
     from aml_feature_store_spark.streaming.per_event_tws import (
         per_event_features_tws,
     )
@@ -270,8 +267,9 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     src = str(tmp_path / "tws_src")
     os.makedirs(src)
     shutil.copy(os.path.join(SF_DIR, "events.parquet"), src)
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(src)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from aml_feature_store_spark.sources.tables import stream_events
+
+    events = stream_events(spark, src)
     out = per_event_features_tws(events, WINDOWS)
     q = (
         out.writeStream.outputMode("append")
