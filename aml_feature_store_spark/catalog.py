@@ -126,6 +126,7 @@ ORDER = [
     "model_training_summary",
     "gbt_training_summary",
     "gbt_feature_contributions",
+    "gbt_shap_values",
     "graph_global_centralities",
     "seeded_sample",
     "multimodal_image_features",

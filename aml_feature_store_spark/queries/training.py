@@ -96,6 +96,20 @@ def gbt_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.gbt_path_contributions(feats, model, _GBT_FEATURES)
 
 
+@register("gbt_shap_values", oracle=None)
+def gbt_shap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interventional Shapley values of the fitted GBT over every
+    scored entity (shap_explainer.py:78-126's TreeExplainer re-expressed
+    library-free): full 2^d coalition enumeration against a deterministic
+    background sample, long-format (user_id, feature, phi, base_value,
+    margin) rows with Σ phi = margin − base exactly (efficiency axiom).
+    Rows-only — tree fitting is not bit-portable across engines; the
+    axiom and a closed-form single-split case are pytest-pinned."""
+    feats = _gbt_inputs(spark, sf_dir)
+    model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
+    return training.gbt_shap_values(feats, model, _GBT_FEATURES)
+
+
 @register("model_training_summary", oracle=None)
 def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib logistic regression trained distributively on the online

@@ -189,3 +189,63 @@ def test_gbt_contributions_telescope_to_margin(spark):
         for f in ("x1", "x2")
     }
     assert mass["x1"] > mass["x2"]
+
+
+def test_gbt_shap_efficiency_axiom(spark):
+    from aml_feature_store_spark.operators.training import (
+        gbt_shap_values,
+        train_gbt,
+    )
+
+    df = _separable_frame(spark)
+    model, _ = train_gbt(df, ["x1", "x2"], "label")
+    rows = gbt_shap_values(df, model, ["x1", "x2"], background_limit=16).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user) == 200 and all(len(v) == 2 for v in by_user.values())
+    for rs in by_user.values():
+        base, margin = rs[0]["base_value"], rs[0]["margin"]
+        # efficiency axiom: sum(phi) = margin(x) - E_bg[margin]
+        assert base + sum(r["phi"] for r in rs) == pytest.approx(margin, abs=1e-9)
+    # decisive feature dominates the Shapley mass too
+    mass = {
+        f: sum(abs(r["phi"]) for rs in by_user.values() for r in rs
+               if r["feature"] == f)
+        for f in ("x1", "x2")
+    }
+    assert mass["x1"] > mass["x2"]
+
+
+def test_gbt_shap_single_feature_closed_form(spark):
+    """With one feature, exact Shapley collapses to
+    phi_0 = margin(x) - mean(margin(background)) for every row."""
+    from aml_feature_store_spark.operators.training import (
+        gbt_shap_values,
+        gbt_trees,
+        train_gbt,
+    )
+    import numpy as np
+
+    df = _separable_frame(spark).select("user_id", "x1", "label")
+    model, _ = train_gbt(df, ["x1"], "label")
+    rows = gbt_shap_values(df, model, ["x1"], background_limit=8).collect()
+    # recompute margins driver-side from the extracted trees
+    trees = gbt_trees(model)
+
+    def margin(v: float) -> float:
+        tot = 0.0
+        for w, t in trees:
+            node = t
+            while "feat" in node:
+                node = node["left"] if v <= node["thr"] else node["right"]
+            tot += w * node["pred"]
+        return tot
+
+    pdf = df.orderBy("user_id").limit(8).toPandas()
+    bg_mean = float(np.mean([margin(v) for v in pdf["x1"]]))
+    xs = {r["user_id"]: r["x1"] for r in df.collect()}
+    for r in rows:
+        assert r["base_value"] == pytest.approx(bg_mean, abs=1e-9)
+        assert r["margin"] == pytest.approx(margin(xs[r["user_id"]]), abs=1e-9)
+        assert r["phi"] == pytest.approx(r["margin"] - bg_mean, abs=1e-9)
