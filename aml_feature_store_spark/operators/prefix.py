@@ -28,15 +28,17 @@ def global_cumsum(
     order_col: str,
     sum_cols: list[str],
     buckets: int = 32,
+    tiebreakers: list[str] | None = None,
 ) -> DataFrame:
     """Add inclusive global-prefix-sum columns ``cum_<c>`` and grand-total
-    columns ``tot_<c>`` for each c in sum_cols, ordered by ``order_col``,
-    without any single-partition window.
+    columns ``tot_<c>`` for each c in sum_cols, ordered by ``order_col``
+    (then ``tiebreakers``), without any single-partition window.
 
     ``order_col`` values need not be distinct, but rows with equal keys are
     peers only bucket-wise, not frame-wise — callers that need RANGE-frame
-    peer semantics should pre-aggregate to distinct keys first (all current
-    callers do: KS/AUC group by the value before scanning).
+    peer semantics should pre-aggregate to distinct keys first, or pass
+    ``tiebreakers`` making the composite ordering total (equal order-key
+    rows always share a bucket, so tiebreak ordering stays bucket-local).
     """
     qs = [i / buckets for i in range(1, buckets)]
     row = df.select(
@@ -56,7 +58,7 @@ def global_cumsum(
 
     wb = (
         Window.partitionBy("_b")
-        .orderBy(order_col)
+        .orderBy(order_col, *(tiebreakers or []))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = bucketed.select(

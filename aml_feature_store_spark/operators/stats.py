@@ -343,12 +343,17 @@ def population_zscore(
     """Per-entity mean vs population of entity means: z-score + percentile
     (A15/A16, J4 population-vs-individual join).
 
-    Two-pass: per-entity exact aggregation, then global stats over the
-    per-entity means via an unpartitioned window (150-1M entities — fine;
-    the global agg is a single-row broadcast in the join formulation at
-    scale). percent_rank ties are impossible off exact decimal means.
+    Scale shape: per-entity exact aggregation, then (a) population moments
+    as a single-row aggregate broadcast back by cross join (no
+    whole-relation window), and (b) percent_rank from the distributed
+    two-pass prefix scan (operators/prefix.py) — rank = global running
+    count in (mean, entity) order, which is a total order, so ties are
+    impossible and percent_rank = (rank−1)/(n−1) exactly. No
+    single-partition window anywhere even with billions of entities.
     Reference: feature_engineering/advanced_features.py:246-260.
     """
+    from .prefix import global_cumsum
+
     per = df.groupBy(entity_col).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(amount_col).cast(DEC)).alias("_s"),
@@ -357,21 +362,31 @@ def population_zscore(
     # sums below stay addition-order-independent
     per = per.withColumn("_mean", (_d(F.col("_s")) / _d(F.col("_n"))))
     per = per.withColumn("_mean_q", F.col("_mean").cast("decimal(25,6)"))
-    wall = Window.partitionBy()
-    worder = Window.orderBy("_mean_q", entity_col)
-    n_pop = F.count(F.lit(1)).over(wall)
-    s_pop = F.sum("_mean_q").over(wall)
-    s2_pop = F.sum(F.col("_mean_q") * F.col("_mean_q")).over(wall)
-    mu = _d(s_pop) / _d(n_pop)
-    var = F.greatest(_d(s2_pop) / _d(n_pop) - mu * mu, F.lit(0.0))
-    return per.select(
+    pop = per.agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum("_mean_q").alias("_sp"),
+        F.sum(F.col("_mean_q") * F.col("_mean_q")).alias("_s2p"),
+    )
+    ranked = global_cumsum(
+        per.withColumn("_one", F.lit(1)),
+        "_mean_q",
+        ["_one"],
+        tiebreakers=[entity_col],
+    ).crossJoin(F.broadcast(pop))
+    mu = _d(F.col("_sp")) / _d(F.col("_np"))
+    var = F.greatest(_d(F.col("_s2p")) / _d(F.col("_np")) - mu * mu, F.lit(0.0))
+    pr = F.when(
+        F.col("_np") > 1,
+        (F.col("cum__one") - 1).cast("double") / (F.col("_np") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         entity_col,
         F.col("_mean").alias("avg_amount"),
         # + 0.0: signed-zero normalization (see entropy_per_entity comment)
         F.when(var > 0.0, F.round((F.col("_mean") - mu) / F.sqrt(var), 6) + F.lit(0.0))
         .otherwise(F.lit(0.0))
         .alias("amount_zscore"),
-        F.round(F.percent_rank().over(worder), 6).alias("amount_percentile"),
+        F.round(pr, 6).alias("amount_percentile"),
     )
 
 

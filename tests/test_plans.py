@@ -136,3 +136,21 @@ def test_cumsum_strategy_single_shuffle_no_join(spark, qs):
     # window's entity partitioning — one Exchange total, never W joins
     assert "Join" not in plan
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_no_single_partition_windows_in_drift_and_zscore(spark, qs):
+    """KS/AUC/percent_rank formerly used Window.orderBy with no partition —
+    a whole-relation single-partition sort at scale. The two-pass prefix
+    scan must leave every window partitioned (by the range bucket `_b`)."""
+    import re
+
+    # a WindowExec's Arguments end "[funcs], [partitionSpec], [orderSpec]";
+    # empty partitionSpec = whole relation in one partition
+    unpartitioned = re.compile(r"\], \[\], \[[^\[\]]*(ASC|DESC)[^\[\]]*\]\s*$")
+    for name in ("ks_drift_value", "model_auc", "population_zscore_per_user"):
+        plan = _plan(qs[name](spark, SF))
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert not unpartitioned.search(line), (
+                    f"{name}: unpartitioned window: {line}"
+                )
