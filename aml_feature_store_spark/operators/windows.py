@@ -219,6 +219,193 @@ def trailing_sums_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame
     return out.select(*keep)
 
 
+def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
+    """Full-metric big-frame strategy: every ``trailing_features`` metric
+    except windowed distincts in O(rows), independent of frame width.
+
+    - count/sum/avg/std/velocity: cumulative DECIMAL sums of x and x² with
+      one shadow probe per (event, window) at ts−W; frame value =
+      cum_incl(t) − cum_excl(probe) (both unbounded-preceding frames,
+      incrementally maintained by WindowExec — never O(frame) per row).
+    - min/max (non-invertible): the two-level sliding-extrema
+      decomposition. Chunk each entity's timeline into W-wide blocks
+      (chunk = ms div W); a trailing frame [t−W, t] always spans exactly
+      the suffix of chunk(t)−1 from t−W plus the prefix of chunk(t) up to
+      t. Both pieces are unbounded-preceding running extrema — the prefix
+      over (entity, chunk) ascending read at the event row, the suffix
+      over (entity, chunk) descending read at the probe row — so the
+      frame extremum is ``greatest/least`` of two O(1)-per-row columns.
+
+    One hash exchange on the entity (the chunked windows' clustering is
+    satisfied by the coarser hashpartitioning(entity)); 1 + 2·|windows|
+    local sorts over the (1+|windows|)× probe-union. Results are
+    bit-identical to :func:`trailing_features` (exact decimal sums; same
+    finishing expression trees) — property-tested.
+    """
+    ms = _ms(spec.ts_col)
+    base = df.select(
+        F.col(spec.entity_col).alias("_ent"),
+        F.col("event_id"),
+        ms.alias("_ms"),
+        F.col(spec.amount_col).alias("_amt"),
+    )
+    real = base.select(
+        "_ent", "event_id", "_ms", "_amt", F.lit(None).cast("string").alias("_win")
+    )
+    shadows = None
+    for wname, wsecs in spec.windows.items():
+        s = base.select(
+            "_ent",
+            "event_id",
+            (F.col("_ms") - F.lit(wsecs * 1000)).alias("_ms"),
+            F.lit(None).cast("double").alias("_amt"),
+            F.lit(wname).alias("_win"),
+        )
+        shadows = s if shadows is None else shadows.unionByName(s)
+    u = real.unionByName(shadows).repartition("_ent")
+
+    amt_dec = F.when(F.col("_win").isNull(), F.col("_amt")).cast(DEC)
+    amt2_dec = F.when(
+        F.col("_win").isNull(), F.col("_amt") * F.col("_amt")
+    ).cast(DEC4)
+    cnt_flag = F.when(F.col("_win").isNull(), 1).otherwise(0)
+    wcum = Window.partitionBy("_ent").orderBy("_ms")
+    incl = wcum.rangeBetween(Window.unboundedPreceding, 0)
+    excl = wcum.rangeBetween(Window.unboundedPreceding, -1)
+    cols = {
+        "_cs_i": F.sum(amt_dec).over(incl),
+        "_cn_i": F.sum(cnt_flag).over(incl),
+        "_c2_i": F.sum(amt2_dec).over(incl),
+        "_cs_e": F.sum(amt_dec).over(excl),
+        "_cn_e": F.coalesce(F.sum(cnt_flag).over(excl), F.lit(0)),
+        "_c2_e": F.sum(amt2_dec).over(excl),
+    }
+    for wname, wsecs in spec.windows.items():
+        ck = F.expr(f"_ms div {wsecs * 1000}")
+        asc = (
+            Window.partitionBy("_ent", ck)
+            .orderBy("_ms")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        desc = (
+            Window.partitionBy("_ent", ck)
+            .orderBy(F.col("_ms").desc())
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        cols[f"_pmx_{wname}"] = F.max("_amt").over(asc)
+        cols[f"_pmn_{wname}"] = F.min("_amt").over(asc)
+        cols[f"_smx_{wname}"] = F.max("_amt").over(desc)
+        cols[f"_smn_{wname}"] = F.min("_amt").over(desc)
+    cum = u.withColumns(cols)
+
+    isreal = F.col("_win").isNull()
+    agg_exprs = [
+        F.max(F.when(isreal, F.col("_cs_i"))).alias("_at_s"),
+        F.max(F.when(isreal, F.col("_cn_i"))).alias("_at_n"),
+        F.max(F.when(isreal, F.col("_c2_i"))).alias("_at_s2"),
+    ]
+    for wname in spec.windows:
+        isw = F.col("_win") == wname
+        agg_exprs += [
+            F.max(
+                F.when(isw, F.coalesce(F.col("_cs_e"), F.lit(0).cast(DEC)))
+            ).alias(f"_bs_{wname}"),
+            F.max(F.when(isw, F.col("_cn_e"))).alias(f"_bn_{wname}"),
+            F.max(
+                F.when(isw, F.coalesce(F.col("_c2_e"), F.lit(0).cast(DEC4)))
+            ).alias(f"_b2_{wname}"),
+            F.max(F.when(isw, F.col(f"_smx_{wname}"))).alias(f"_sx_{wname}"),
+            F.min(F.when(isw, F.col(f"_smn_{wname}"))).alias(f"_sn_{wname}"),
+            F.max(F.when(isreal, F.col(f"_pmx_{wname}"))).alias(f"_px_{wname}"),
+            F.min(F.when(isreal, F.col(f"_pmn_{wname}"))).alias(f"_pn_{wname}"),
+        ]
+    out = cum.groupBy("_ent", "event_id").agg(*agg_exprs)
+    for wname, wsecs in spec.windows.items():
+        n = F.col("_at_n") - F.col(f"_bn_{wname}")
+        s = (
+            F.coalesce(F.col("_at_s"), F.lit(0).cast(DEC)) - F.col(f"_bs_{wname}")
+        ).cast("double")
+        s2 = (
+            F.coalesce(F.col("_at_s2"), F.lit(0).cast(DEC4)) - F.col(f"_b2_{wname}")
+        ).cast("double")
+        mean = s / n
+        var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+        out = out.withColumns(
+            {
+                f"txn_count_{wname}": n,
+                f"txn_amount_sum_{wname}": s,
+                f"avg_txn_amount_{wname}": mean,
+                f"max_txn_amount_{wname}": F.greatest(
+                    F.col(f"_px_{wname}"), F.col(f"_sx_{wname}")
+                ),
+                f"min_txn_amount_{wname}": F.least(
+                    F.col(f"_pn_{wname}"), F.col(f"_sn_{wname}")
+                ),
+                f"std_txn_amount_{wname}": F.round(F.sqrt(var), 6),
+                f"velocity_score_{wname}": n.cast("double")
+                / F.lit(wsecs / spec.velocity_unit_s),
+            }
+        )
+    keep = [F.col("_ent").alias(spec.entity_col), "event_id"] + [
+        c
+        for wname in spec.windows
+        for c in (
+            f"txn_count_{wname}",
+            f"txn_amount_sum_{wname}",
+            f"avg_txn_amount_{wname}",
+            f"max_txn_amount_{wname}",
+            f"min_txn_amount_{wname}",
+            f"std_txn_amount_{wname}",
+            f"velocity_score_{wname}",
+        )
+    ]
+    return out.select(*keep)
+
+
+# frame density (estimated rows per widest frame) above which the O(rows)
+# scalable strategy beats WindowExec's O(rows × frame) recompute; measured
+# crossover is well below this on local[32] (hot anchor: 23 s vs 4 s at
+# ~220-row frames; cold anchor: 2.2 s vs 3.5 s at ~2-row frames)
+AUTO_FRAME_ROWS_THRESHOLD = 32
+
+
+def trailing_features_auto(
+    df: DataFrame,
+    spec: TrailingWindowSpec,
+    frame_rows_threshold: int = AUTO_FRAME_ROWS_THRESHOLD,
+) -> DataFrame:
+    """Adaptive physical strategy for the trailing-window operator: one
+    cheap stats pass estimates the widest window's expected frame size
+    (rows/entity × W/span) and picks WindowExec (small frames — one sort,
+    no probe blowup) or the O(rows) cumsum/chunked-extrema strategy (wide
+    frames — WindowExec's per-row frame recompute dominates). Both
+    strategies are bit-identical (property-tested), so the choice is
+    purely physical — the Catalyst-style decision Spark cannot make
+    itself because it has no frame-density statistics.
+
+    Falls back to :func:`trailing_features` when the spec asks for
+    windowed distincts (not invertible; no scalable twin yet).
+    """
+    if spec.distinct_cols:
+        return trailing_features(df, spec)
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(spec.entity_col).alias("u"),
+        (F.unix_millis(F.max(spec.ts_col)) - F.unix_millis(F.min(spec.ts_col))).alias(
+            "span_ms"
+        ),
+    ).first()
+    if not stats["n"]:
+        return trailing_features(df, spec)
+    span = max(int(stats["span_ms"] or 0), 1)
+    per_entity = stats["n"] / max(stats["u"], 1)
+    widest = max(spec.windows.values()) * 1000
+    est_frame_rows = per_entity * min(widest / span, 1.0)
+    if est_frame_rows <= frame_rows_threshold:
+        return trailing_features(df, spec)
+    return trailing_features_scalable(df, spec)
+
+
 def trailing_sums_scalable_oracle(
     spec: TrailingWindowSpec, table: str = "events"
 ) -> str:

@@ -13,6 +13,7 @@ from ..catalog import register
 from ..operators.windows import (
     TrailingWindowSpec,
     trailing_features,
+    trailing_features_auto,
     trailing_features_sql_oracle,
     trailing_sums_scalable,
     trailing_sums_scalable_oracle,
@@ -88,6 +89,11 @@ def trailing_multiwindow_features(spark: SparkSession, sf_dir: str) -> DataFrame
     Replaces the reference's six-window per-event loop
     (flink_job/real_time_processor.py:153-230): Catalyst collapses all
     frames sharing (partition, order) into a single sort + WindowExec.
+
+    Physical strategy is adaptive (trailing_features_auto): a frame-density
+    estimate picks WindowExec for sparse frames or the O(rows)
+    cumsum/chunked-extrema plan for dense ones — bit-identical results
+    either way (property-tested), same oracle.
     """
     df = load_table(spark, sf_dir, "events")
-    return trailing_features(df, SPEC_MULTI).select(*_multi_cols())
+    return trailing_features_auto(df, SPEC_MULTI).select(*_multi_cols())

@@ -101,3 +101,53 @@ def test_distinct_counts_eviction(spark):
     out = {r["event_id"]: r for r in trailing_features(df, spec).collect()}
     assert out[1]["unique_event_type_1h"] == 2
     assert out[2]["unique_event_type_1h"] == 1
+
+
+def test_scalable_full_strategy_bit_identical(spark):
+    """trailing_features_scalable must reproduce trailing_features
+    bit-for-bit on every metric (the auto planner's correctness
+    contract)."""
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        trailing_features,
+        trailing_features_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    spec = TrailingWindowSpec(windows={"5m": 300, "1h": 3600, "24h": 86400})
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    cols = ["event_id"] + [
+        f"{m}_{w}"
+        for w in spec.windows
+        for m in (
+            "txn_count", "txn_amount_sum", "avg_txn_amount",
+            "max_txn_amount", "min_txn_amount", "std_txn_amount",
+            "velocity_score",
+        )
+    ]
+    a = {r["event_id"]: r for r in trailing_features(df, spec).select(*cols).collect()}
+    b = {r["event_id"]: r for r in trailing_features_scalable(df, spec).select(*cols).collect()}
+    assert set(a) == set(b) and len(a) == 1000
+    for eid, ra in a.items():
+        rb = b[eid]
+        for c in cols:
+            assert ra[c] == rb[c], (eid, c, ra[c], rb[c])
+
+
+def test_auto_strategy_picks_by_density(spark):
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        trailing_features_auto,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    spec = TrailingWindowSpec(windows={"24h": 86400})
+    # sf0.001: 1000 events / 150 users / 30d -> ~0.2 rows per 24h frame
+    sparse = trailing_features_auto(df, spec)
+    assert "_win" not in sparse.columns  # WindowExec path
+    # force the dense path with a tiny threshold; results must still match
+    dense = trailing_features_auto(df, spec, frame_rows_threshold=0)
+    a = {r["event_id"]: r["txn_count_24h"] for r in sparse.collect()}
+    b = {r["event_id"]: r["txn_count_24h"] for r in dense.collect()}
+    assert a == b
