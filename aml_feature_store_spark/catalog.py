@@ -127,6 +127,9 @@ ORDER = [
     "gbt_training_summary",
     "gbt_feature_contributions",
     "gbt_shap_values",
+    "stacking_ensemble_scores",
+    "voting_ensemble_scores",
+    "pca_anomaly_scores",
     "graph_global_centralities",
     "seeded_sample",
     "multimodal_image_features",

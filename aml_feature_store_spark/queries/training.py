@@ -110,6 +110,44 @@ def gbt_shap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.gbt_shap_values(feats, model, _GBT_FEATURES)
 
 
+@register("stacking_ensemble_scores", oracle=None)
+def stacking_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold stacking ensemble over the online feature table
+    (advanced_models.py:247-295 re-expressed with MLlib base learners and
+    deterministic hash folds): per-entity out-of-fold base probabilities
+    plus the logistic meta-model's stacked score. Rows-only — model fits
+    are not bit-portable; fold determinism and the out-of-fold property
+    are pytest-pinned."""
+    from ..operators.ensemble import train_stacking
+
+    _, scores = train_stacking(
+        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label", n_folds=3
+    )
+    return scores
+
+
+@register("voting_ensemble_scores", oracle=None)
+def voting_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-voting ensemble (advanced_models.py:224-246): mean of the
+    MLlib base learners' probabilities per entity. Rows-only (model
+    fits); the mean-of-columns identity is pytest-pinned."""
+    from ..operators.ensemble import train_voting
+
+    return train_voting(_gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label")
+
+
+@register("pca_anomaly_scores", oracle=None)
+def pca_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-autoencoder anomaly detector (advanced_models.py:107-143):
+    distributed PCA + squared reconstruction error off the principal
+    subspace per entity. Rows-only (eigenvectors are sign/rotation
+    ambiguous across engines); numpy agreement and the k=d zero-error
+    property are pytest-pinned."""
+    from ..operators.ensemble import pca_anomaly_scores as _pca
+
+    return _pca(_gbt_inputs(spark, sf_dir), _GBT_FEATURES, k=2)
+
+
 @register("model_training_summary", oracle=None)
 def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib logistic regression trained distributively on the online
