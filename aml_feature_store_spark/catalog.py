@@ -133,6 +133,7 @@ ORDER = [
     "graph_global_centralities",
     "seeded_sample",
     "multimodal_image_features",
+    "multimodal_decode_features",
     "streaming_tumbling_rollup",
     "unique_users_approx_by_type",
 ]

@@ -4,9 +4,11 @@ Convention: multimodal payloads are opaque ``binary`` columns travelling
 next to typed metadata columns (modality, byte size, content digest,
 format header). Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so payload bytes never round-trip through Python row
-objects — the batch shape, partitioning and schema handling here are the
-real thing; only the codec call is stubbed (image/audio libraries are not
-in this container).
+objects. Decode is REAL for the library-free formats — uncompressed BMP,
+binary PPM/PGM, and integer-PCM WAV are parsed with pure struct+numpy
+(`decode_features`) — and gated behind a PIL import for compressed
+images; `extract_image_features` remains the deterministic fake
+featurizer for pipeline tests that want format-independent output.
 
 Scale notes: payloads skew partition sizes — repartition by a digest
 prefix before decode so one executor doesn't get all the large blobs;
@@ -81,14 +83,197 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataF
     )
 
 
-def real_decode_stub(*_args, **_kwargs):
-    """Placeholder for the real image/audio decode path.
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_val", T.DoubleType()),
+        T.StructField("std_val", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
 
-    Raises until a codec library (PIL / torchaudio / decord) is installed;
-    `extract_image_features` is the tested plumbing that would host it.
-    """
-    raise NotImplementedError(
-        "real multimodal decode requires an image/audio codec library "
-        "not present in this environment; use extract_image_features "
-        "(deterministic fake) for pipeline testing"
+
+def _decode_bmp(b: bytes):
+    """Uncompressed BI_RGB 24/32-bit BMP — pure struct/numpy parse
+    (BITMAPINFOHEADER; rows bottom-up, 4-byte padded)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off, hsize = struct.unpack_from("<II", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    (comp,) = struct.unpack_from("<I", b, 30)
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    nch = bpp // 8
+    height = abs(h)
+    stride = (w * nch + 3) & ~3
+    need = off + stride * height
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=off)
+    px = rows.reshape(height, stride)[:, : w * nch].astype(np.float64)
+    return ("bmp", w, height, nch, None, None, float(px.mean()), float(px.std()))
+
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6) / PGM (P5) — ASCII header + raw samples."""
+    import numpy as np
+
+    if len(b) < 2 or b[:2] not in (b"P5", b"P6"):
+        return None
+    nch = 3 if b[:2] == b"P6" else 1
+    # header: magic, width, height, maxval separated by whitespace/comments
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(b[start:pos])
+    if len(fields) < 3:
+        return None
+    w, h, maxval = (int(f) for f in fields)
+    pos += 1  # single whitespace after maxval
+    if maxval > 255 or w <= 0 or h <= 0 or len(b) < pos + w * h * nch:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * nch, offset=pos).astype(
+        np.float64
+    )
+    return ("ppm" if nch == 3 else "pgm", w, h, nch, None, None,
+            float(px.mean()), float(px.std()))
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE with 8/16-bit integer PCM — pure struct/numpy parse."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, csize = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or nch == 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64)
+    else:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    n = len(x) // nch
+    return ("wav", None, None, nch, rate, n, float(x.mean()) if n else 0.0,
+            float(x.std()) if n else 0.0)
+
+
+def _decode_any(b: bytes):
+    """Dispatch on magic bytes; pure-numpy for uncompressed formats, PIL
+    (if installed) for compressed images, else None."""
+    for dec in (_decode_bmp, _decode_ppm, _decode_wav):
+        got = dec(b)
+        if got is not None:
+            return got
+    try:  # compressed images need a codec library — gate, don't require
+        import io
+
+        import numpy as np
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(bytes(b)))
+        arr = np.asarray(img, dtype=np.float64)
+        nch = 1 if arr.ndim == 2 else arr.shape[2]
+        return (
+            (img.format or "img").lower(), img.width, img.height, nch,
+            None, None, float(arr.mean()), float(arr.std()),
+        )
+    except Exception:
+        return None
+
+
+def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL multimodal decode over opaque binary payloads: BMP / PPM / PGM
+    / WAV-PCM are parsed with pure struct+numpy (no codec library needed);
+    compressed images go through PIL when installed; unrecognized payloads
+    yield a (doc_id, format=NULL, ..., n_bytes) row rather than failing
+    the batch. Arrow-batched mapInPandas — payload bytes stay in columnar
+    buffers, one Python call per batch, not per blob."""
+    import numpy as np
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                got = _decode_any(b)
+                if got is None:
+                    rows.append((doc_id, None, None, None, None, None, None,
+                                 None, None, len(b)))
+                else:
+                    fmt, w, h, nch, rate, ns, mean, std = got
+                    rows.append((doc_id, fmt, w, h, nch, rate, ns, mean, std,
+                                 len(b)))
+            # object dtype end-to-end: None stays a NULL through Arrow
+            # (a float64 column would smuggle NaN instead)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODE_SCHEMA], dtype=object
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        _batch, schema=DECODE_SCHEMA
+    )
+
+
+def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministically build REAL 8×8 24-bit BMP bytes per document
+    (pixels = repeating UTF-8 text bytes) — gives the decode path genuine
+    format bytes to parse without shipping binary fixtures."""
+    import numpy as np
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        w = h = 8
+        stride = (w * 3 + 3) & ~3
+        header = b"BM" + struct.pack(
+            "<IHHI", 54 + stride * h, 0, 0, 54
+        ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835,
+                        2835, 0, 0)
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                src = np.frombuffer(
+                    (text or " ").encode("utf-8"), dtype=np.uint8
+                )
+                px = np.resize(src, stride * h)
+                payloads.append(header + px.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
     )

@@ -128,6 +128,18 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_image_features(multimodal.binarize_documents(docs))
 
 
+@register("multimodal_decode_features", oracle=None)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL format decode over genuine BMP bytes (X5): deterministic 8x8
+    24-bit BMPs are synthesized from each document's UTF-8 bytes, then
+    parsed back by the pure struct+numpy decoder — dimensions, channels,
+    pixel mean/std per doc. Rows-only; exact decode of hand-built
+    BMP/PPM/WAV fixtures is pytest-pinned (PIL-gated path covers
+    compressed formats when a codec library is present)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.synthesize_bmp_payloads(docs))
+
+
 # --- training-data curation: filter -> dedup -> deterministic sample --------
 
 CURATE_QUALITY_MIN = 0.5

@@ -184,6 +184,82 @@ def test_multimodal_plumbing(spark):
     assert feats[1]["height"] == 0  # single-byte payload edge case
 
 
-def test_real_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.real_decode_stub()
+def test_multimodal_real_decode_bmp_wav_ppm(spark):
+    """Hand-built format bytes decode exactly (pure struct+numpy path)."""
+    import struct
+
+    import numpy as np
+
+    from aml_feature_store_spark.operators.multimodal import decode_features
+
+    # 2x2 24-bit BMP, bottom-up, stride 8 (2 padding bytes per row)
+    w = h = 2
+    stride = 8
+    px_rows = [bytes([10, 20, 30, 40, 50, 60, 0, 0]),
+               bytes([70, 80, 90, 100, 110, 120, 0, 0])]
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                         2835, 2835, 0, 0) + b"".join(px_rows))
+    vals = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    bmp_mean = float(np.mean(vals))
+    bmp_std = float(np.std(vals))
+
+    # mono 16-bit PCM WAV, 4 samples at 8000 Hz
+    samples = np.array([0, 1000, -1000, 500], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+
+    # 2x1 P6 PPM
+    ppm = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+
+    junk = b"\x00\x01not-a-format"
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav)), (3, bytearray(ppm)),
+         (4, bytearray(junk))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_features(df).collect()}
+    b = got[1]
+    assert (b["format"], b["width"], b["height"], b["channels"]) == ("bmp", 2, 2, 3)
+    assert b["mean_val"] == pytest.approx(bmp_mean, abs=1e-12)
+    assert b["std_val"] == pytest.approx(bmp_std, abs=1e-12)
+    a = got[2]
+    assert (a["format"], a["channels"], a["sample_rate"], a["n_samples"]) == (
+        "wav", 1, 8000, 4)
+    assert a["mean_val"] == pytest.approx(float(samples.mean()), abs=1e-12)
+    p = got[3]
+    assert (p["format"], p["width"], p["height"], p["channels"]) == ("ppm", 2, 1, 3)
+    assert p["mean_val"] == pytest.approx(3.5, abs=1e-12)
+    j = got[4]
+    assert j["format"] is None and j["n_bytes"] == len(junk)
+
+
+def test_multimodal_synthesized_bmp_roundtrip(spark):
+    """synthesize -> decode over the documents table: every payload parses
+    as an 8x8 3-channel BMP whose pixel mean matches the resized text
+    bytes (padding columns excluded by the decoder)."""
+    import numpy as np
+
+    from aml_feature_store_spark.operators.multimodal import (
+        decode_features,
+        synthesize_bmp_payloads,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    got = {r["doc_id"]: r for r in
+           decode_features(synthesize_bmp_payloads(docs)).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(got) == set(texts)
+    stride = 24  # 8*3 is already 4-byte aligned - no row padding
+    for doc_id, text in texts.items():
+        r = got[doc_id]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (
+            "bmp", 8, 8, 3)
+        src = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
+        px = np.resize(src, stride * 8).astype(float)
+        assert r["mean_val"] == pytest.approx(float(px.mean()), abs=1e-9)
