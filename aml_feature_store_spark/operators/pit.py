@@ -95,6 +95,155 @@ def point_in_time_features(
     return out
 
 
+def point_in_time_features_scalable(
+    spine: DataFrame,
+    events: DataFrame,
+    entity_col: str = "user_id",
+    spine_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+    amount_col: str = "value",
+    spine_id_col: str = "event_id",
+    window_s: int = 86400,
+    suffix: str = "24h",
+) -> DataFrame:
+    """O(rows) physical strategy for the as-of join — same contract and
+    bit-identical output as :func:`point_in_time_features`, for dense
+    frames where WindowExec's O(rows × frame) recompute dominates.
+
+    Same decomposition as windows.trailing_features_scalable: spine rows
+    become READER rows at t (cumulative event count/sum INCLUSIVE, own-
+    chunk prefix extrema) plus one PROBE row at t−W (cumulative EXCLUSIVE
+    via an (unbounded,−1) frame, previous-chunk suffix extrema via a
+    descending window); frame value = reader − probe for the invertible
+    metrics and greatest/least(prefix, suffix) for min/max. One hash
+    exchange on the entity; every window is an incrementally-maintained
+    unbounded frame.
+    """
+    wms = window_s * 1000
+    ev = events.select(
+        F.col(entity_col).alias("_ent"),
+        F.unix_millis(F.col(event_ts_col)).alias("_ms"),
+        F.col(amount_col).alias("_amt"),
+        F.lit(None).cast("long").alias("_spine_id"),
+        F.lit("ev").alias("_kind"),
+    )
+    sp_base = spine.select(
+        F.col(entity_col).alias("_ent"),
+        F.unix_millis(F.col(spine_ts_col)).alias("_ms"),
+        F.col(spine_id_col).cast("long").alias("_spine_id"),
+    )
+    rd = sp_base.select(
+        "_ent", "_ms", F.lit(None).cast("double").alias("_amt"),
+        "_spine_id", F.lit("rd").alias("_kind"),
+    )
+    pb = sp_base.select(
+        "_ent",
+        (F.col("_ms") - F.lit(wms)).alias("_ms"),
+        F.lit(None).cast("double").alias("_amt"),
+        "_spine_id",
+        F.lit("pb").alias("_kind"),
+    )
+    u = ev.unionByName(rd).unionByName(pb).repartition("_ent")
+
+    is_ev = F.col("_kind") == "ev"
+    amt_dec = F.when(is_ev, F.col("_amt")).cast(DEC)
+    cnt_flag = F.when(is_ev, 1).otherwise(0)
+    wcum = Window.partitionBy("_ent").orderBy("_ms")
+    incl = wcum.rangeBetween(Window.unboundedPreceding, 0)
+    excl = wcum.rangeBetween(Window.unboundedPreceding, -1)
+    ck = F.expr(f"_ms div {wms}")
+    asc = (
+        Window.partitionBy("_ent", ck)
+        .orderBy("_ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    desc = (
+        Window.partitionBy("_ent", ck)
+        .orderBy(F.col("_ms").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ev_amt = F.when(is_ev, F.col("_amt"))
+    cum = u.withColumns(
+        {
+            "_cs_i": F.sum(amt_dec).over(incl),
+            "_cn_i": F.sum(cnt_flag).over(incl),
+            "_cs_e": F.sum(amt_dec).over(excl),
+            "_cn_e": F.coalesce(F.sum(cnt_flag).over(excl), F.lit(0)),
+            "_pmx": F.max(ev_amt).over(asc),
+            "_pmn": F.min(ev_amt).over(asc),
+            "_smx": F.max(ev_amt).over(desc),
+            "_smn": F.min(ev_amt).over(desc),
+        }
+    ).filter(F.col("_spine_id").isNotNull())
+
+    is_rd = F.col("_kind") == "rd"
+    is_pb = F.col("_kind") == "pb"
+    agg = cum.groupBy("_ent", "_spine_id").agg(
+        F.max(F.when(is_rd, F.col("_ms"))).alias("_t"),
+        F.max(F.when(is_rd, F.col("_cs_i"))).alias("_at_s"),
+        F.max(F.when(is_rd, F.col("_cn_i"))).alias("_at_n"),
+        F.max(F.when(is_pb, F.coalesce(F.col("_cs_e"), F.lit(0).cast(DEC)))).alias(
+            "_b_s"
+        ),
+        F.max(F.when(is_pb, F.col("_cn_e"))).alias("_b_n"),
+        F.max(F.when(is_rd, F.col("_pmx"))).alias("_px"),
+        F.min(F.when(is_rd, F.col("_pmn"))).alias("_pn"),
+        F.max(F.when(is_pb, F.col("_smx"))).alias("_sx"),
+        F.min(F.when(is_pb, F.col("_smn"))).alias("_sn"),
+    )
+    n = F.col("_at_n") - F.col("_b_n")
+    s = (F.coalesce(F.col("_at_s"), F.lit(0).cast(DEC)) - F.col("_b_s")).cast(
+        "double"
+    )
+    return agg.select(
+        F.col("_spine_id").alias(spine_id_col),
+        F.col("_ent").alias(entity_col),
+        F.col("_t").alias("spine_ts_ms"),
+        n.alias(f"pit_count_{suffix}"),
+        s.alias(f"pit_sum_{suffix}"),
+        # empty-frame guard: s is 0.0 here (not NULL like the window
+        # strategy), so 0/0 would raise under ANSI instead of nulling out
+        F.when(n > 0, s / n).otherwise(F.lit(0.0)).alias(f"pit_avg_{suffix}"),
+        F.greatest(F.col("_px"), F.col("_sx")).alias(f"pit_max_{suffix}"),
+        F.least(F.col("_pn"), F.col("_sn")).alias(f"pit_min_{suffix}"),
+    )
+
+
+# same crossover rationale as windows.AUTO_FRAME_ROWS_THRESHOLD
+PIT_AUTO_FRAME_ROWS_THRESHOLD = 32
+
+
+def point_in_time_features_auto(
+    spine: DataFrame,
+    events: DataFrame,
+    entity_col: str = "user_id",
+    window_s: int = 86400,
+    frame_rows_threshold: int = PIT_AUTO_FRAME_ROWS_THRESHOLD,
+    **kw,
+) -> DataFrame:
+    """Adaptive as-of join: estimate expected frame density from one cheap
+    events-side stats pass and pick the window strategy (sparse frames)
+    or the O(rows) reader/probe strategy (dense frames). Bit-identical
+    results either way (property-tested)."""
+    ts_col = kw.get("event_ts_col", "ts")
+    stats = events.select(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(entity_col).alias("u"),
+        (
+            F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))
+        ).alias("span_ms"),
+    ).first()
+    span = max(int(stats["span_ms"] or 0), 1)
+    per_entity = (stats["n"] or 0) / max(stats["u"], 1)
+    est = per_entity * min(window_s * 1000 / span, 1.0)
+    fn = (
+        point_in_time_features
+        if est <= frame_rows_threshold
+        else point_in_time_features_scalable
+    )
+    return fn(spine, events, entity_col=entity_col, window_s=window_s, **kw)
+
+
 def pit_oracle(
     spine_sql: str,
     entity: str = "user_id",

@@ -8,7 +8,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import register
 from ..functions.risk import risk_score, risk_score_sql
 from ..operators import stats
-from ..operators.pit import latest_snapshot, pit_oracle, point_in_time_features
+from ..operators.pit import (
+    latest_snapshot,
+    pit_oracle,
+    point_in_time_features,
+    point_in_time_features_auto,
+)
 from ..sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -27,12 +32,14 @@ _PURCHASE_SPINE_SQL = (
 def pit_join_purchases_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of features for each purchase over ALL the user's events in the
     trailing 24h (J2): union-spine + one range-frame window pass — replaces
-    the reference's O(n·m) per-row loop (advanced_features.py:399-419)."""
+    the reference's O(n·m) per-row loop (advanced_features.py:399-419).
+    Physical strategy is adaptive: dense frames route to the O(rows)
+    reader/probe plan (bit-identical, property-tested)."""
     events = load_table(spark, sf_dir, "events")
     spine = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    return point_in_time_features(
+    return point_in_time_features_auto(
         spine, events, window_s=86400, suffix="24h"
     )
 

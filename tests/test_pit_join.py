@@ -9,6 +9,8 @@ import random
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from aml_feature_store_spark.operators.pit import (
     latest_snapshot,
     point_in_time_features,
@@ -117,3 +119,52 @@ def test_latest_snapshot(spark):
     )
     out = {r["user_id"]: r for r in latest_snapshot(df).collect()}
     assert out[1]["event_id"] == 1 and out[2]["event_id"] == 2
+
+
+def test_pit_scalable_strategy_bit_identical(spark):
+    """The O(rows) reader/probe strategy must reproduce the window
+    strategy bit-for-bit, including empty frames and tie timestamps."""
+    from aml_feature_store_spark.operators.pit import (
+        point_in_time_features_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    spine = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    a = {r["event_id"]: r for r in point_in_time_features(
+        spine, events, window_s=86400, suffix="24h").collect()}
+    b = {r["event_id"]: r for r in point_in_time_features_scalable(
+        spine, events, window_s=86400, suffix="24h").collect()}
+    assert set(a) == set(b) and len(a) > 0
+    cols = ["user_id", "spine_ts_ms", "pit_count_24h", "pit_sum_24h",
+            "pit_avg_24h", "pit_max_24h", "pit_min_24h"]
+    for eid, ra in a.items():
+        for c in cols:
+            assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
+
+
+def test_pit_scalable_empty_frames_and_no_events_entity(spark):
+    import datetime as dt
+
+    from aml_feature_store_spark.operators.pit import (
+        point_in_time_features_scalable,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    edf = spark.createDataFrame(
+        [(1, t0, 10.0)], "user_id long, ts timestamp, value double"
+    )
+    sdf = spark.createDataFrame(
+        [(100, 1, t0 + dt.timedelta(hours=30)),   # frame empty (too late)
+         (101, 2, t0)],                            # entity with no events
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {r["event_id"]: r for r in point_in_time_features_scalable(
+        sdf, edf, window_s=3600, suffix="1h").collect()}
+    for eid in (100, 101):
+        r = got[eid]
+        assert r["pit_count_1h"] == 0
+        assert r["pit_sum_1h"] == 0.0 and r["pit_avg_1h"] == 0.0
+        assert r["pit_max_1h"] is None and r["pit_min_1h"] is None
