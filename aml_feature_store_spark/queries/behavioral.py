@@ -70,13 +70,35 @@ def conditional_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per user (A8, P5).
 
     Reference: flink_job/aml_stream_processor.py:189-199 (night/weekend
-    loops per event) — here a single WindowExec with conditional sums.
+    loops per event) — here a single WindowExec with conditional sums,
+    switching to the O(rows) cum+probe flag-count strategy on dense
+    frames (adaptive, bit-identical).
     """
+    from ..operators.windows import (
+        AUTO_FRAME_ROWS_THRESHOLD,
+        estimate_frame_rows,
+        trailing_flag_counts_scalable,
+    )
+
     df = load_table(spark, sf_dir, "events")
     hour = F.hour("ts")
     night = (hour < 6) | (hour > 22)
     weekend = F.weekday("ts") >= 5
     business = hour.between(9, 17)
+    if estimate_frame_rows(df, "user_id", "ts", 86400) > AUTO_FRAME_ROWS_THRESHOLD:
+        flags = {"night": night, "weekend": weekend, "business": business}
+        out = trailing_flag_counts_scalable(df, flags, 86400)
+        n, nite, wkd = F.col("cnt"), F.col("night"), F.col("weekend")
+        return out.select(
+            "event_id",
+            "user_id",
+            n.alias("txn_count_24h"),
+            nite.alias("night_txn_count_24h"),
+            wkd.alias("weekend_txn_count_24h"),
+            F.col("business").alias("business_hours_txn_count_24h"),
+            (nite.cast("double") / n.cast("double")).alias("night_txn_ratio_24h"),
+            (wkd.cast("double") / n.cast("double")).alias("weekend_txn_ratio_24h"),
+        )
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_millis(F.col("ts")))

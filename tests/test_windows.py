@@ -6,6 +6,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from aml_feature_store_spark.operators.windows import (
     TrailingWindowSpec,
     trailing_features,
@@ -151,3 +153,38 @@ def test_auto_strategy_picks_by_density(spark):
     a = {r["event_id"]: r["txn_count_24h"] for r in sparse.collect()}
     b = {r["event_id"]: r["txn_count_24h"] for r in dense.collect()}
     assert a == b
+
+
+def test_flag_counts_scalable_bit_identical(spark):
+    """Cum+probe conditional counts == range-frame conditional sums."""
+    from pyspark.sql import Window
+
+    from aml_feature_store_spark.operators.windows import (
+        trailing_flag_counts_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    night = (F.hour("ts") < 6) | (F.hour("ts") > 22)
+    got = {
+        r["event_id"]: r
+        for r in trailing_flag_counts_scalable(
+            df, {"night": night}, 86400
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-86400000, 0)
+    )
+    want = {
+        r["event_id"]: r
+        for r in df.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("cnt"),
+            F.sum(F.when(night, 1).otherwise(0)).over(w).alias("night"),
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == 1000
+    for eid, rw in want.items():
+        assert (got[eid]["cnt"], got[eid]["night"]) == (rw["cnt"], rw["night"])
