@@ -101,6 +101,7 @@ ORDER = [
     # graph_edge_list yielded their slots to the two k-means-refined ANN
     # queries — their families stay covered by hour_entropy / degrees),
     # then coverage / rows-only queries ---
+    "dedup_components_lsh",
     "dow_entropy_per_user",
     "graph_edge_list",
     "trailing_1h_features",

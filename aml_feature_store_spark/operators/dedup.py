@@ -417,3 +417,94 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# --- near-dup connected components ------------------------------------------
+
+
+def near_dup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pair detection into corpus dedup: every document gets a
+    ``component`` label (the minimum doc id reachable through near-dup
+    edges; singletons label themselves) and ``is_canonical`` marks the
+    one kept representative per cluster.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. Rounds are bounded by the cluster diameter — near-dup
+    clusters are shallow (near-cliques from transitive similarity), so
+    this converges in a handful of rounds; each round is two shuffles
+    (neighbor min + label join) with lineage cut by localCheckpoint. For
+    adversarially long path graphs at 100 TB, swap the inner step for the
+    large-star/small-star contraction (same fixpoint, O(log n) rounds).
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("blabel")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def near_dup_components_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    """Recursive-CTE oracle: transitive closure over the pair graph, then
+    component = min reachable id (DuckDB evaluates the closure exactly at
+    oracle scale; the engine plan is the iterative propagation above)."""
+    pairs = minhash_lsh_pairs_sql(threshold, table)
+    return f"""
+WITH RECURSIVE p AS (SELECT d1, d2 FROM ({pairs}) _mh),
+edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component,
+       d.doc_id = LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS is_canonical
+FROM {table} d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""

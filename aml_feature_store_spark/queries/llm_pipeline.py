@@ -35,6 +35,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_components_lsh", oracle=dedup.near_dup_components_sql(0.5))
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the verified
+    MinHash-LSH pair graph via iterative min-label propagation, one
+    canonical doc per cluster (X2 completion — pair detection alone does
+    not dedup a corpus). Oracle = recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_components(
+        docs, dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    )
+
+
 @register("dedup_simhash", oracle=dedup.simhash_pairs_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 near-dup pairs with Hamming ≤ 6 (X2 fingerprint path)."""

@@ -263,3 +263,23 @@ def test_multimodal_synthesized_bmp_roundtrip(spark):
         src = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
         px = np.resize(src, stride * 8).astype(float)
         assert r["mean_val"] == pytest.approx(float(px.mean()), abs=1e-9)
+
+
+def test_near_dup_components_chain_triangle_singleton(spark):
+    """Min-label propagation handles chains (transitivity), triangles,
+    and singletons; canonical = min id per component."""
+    from aml_feature_store_spark.operators.dedup import near_dup_components
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id long"
+    )
+    # chain 1-2-3-4 (diameter 3), triangle 5-6-7, singleton 8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "d1 long, d2 long",
+    )
+    got = {r["doc_id"]: r for r in near_dup_components(docs, pairs).collect()}
+    assert {d: got[d]["component"] for d in range(1, 9)} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8,
+    }
+    assert [d for d in range(1, 9) if got[d]["is_canonical"]] == [1, 5, 8]
