@@ -235,22 +235,61 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
       over (entity, chunk) ascending read at the event row, the suffix
       over (entity, chunk) descending read at the probe row — so the
       frame extremum is ``greatest/least`` of two O(1)-per-row columns.
+    - exact windowed distinct counts (spec.distinct_cols): the
+      previous-occurrence interval decomposition. An event is the FIRST
+      occurrence of its value inside frame(t) iff prev(ms) < t−W ≤ ms ≤ t,
+      i.e. for t in the interval [max(ms, prev+W+1), ms+W] — so
+      distinct(t) is interval stabbing: a ``+1`` marker row at the
+      interval start, a ``−1`` marker at end+1, and the running marker
+      sum read at the event row. prev comes from one lag over
+      (entity, value); the markers ride the SAME cumulative-sum sort as
+      the invertible metrics. Exact, O(rows), no per-frame set. (The
+      collect_set path excludes NULL values; null-valued rows emit no
+      markers to match.)
 
     One hash exchange on the entity (the chunked windows' clustering is
     satisfied by the coarser hashpartitioning(entity)); 1 + 2·|windows|
-    local sorts over the (1+|windows|)× probe-union. Results are
-    bit-identical to :func:`trailing_features` (exact decimal sums; same
-    finishing expression trees) — property-tested.
+    local sorts over the (1 + |windows| + 2·|windows|·|distinct_cols|)×
+    marker/probe union. Results are bit-identical to
+    :func:`trailing_features` (exact decimal sums; same finishing
+    expression trees) — property-tested. Only ``distinct_exact=True`` is
+    supported here (per-frame HLL sketches are not decomposable; the
+    approx path stays on WindowExec).
     """
+    if spec.distinct_cols and not spec.distinct_exact:
+        raise ValueError(
+            "per-frame HLL sketches are not decomposable into cumulative "
+            "markers; use trailing_features for distinct_exact=False"
+        )
     ms = _ms(spec.ts_col)
     base = df.select(
         F.col(spec.entity_col).alias("_ent"),
         F.col("event_id"),
         ms.alias("_ms"),
         F.col(spec.amount_col).alias("_amt"),
+        *[F.col(d).alias(f"_v_{d}") for d in spec.distinct_cols],
     )
+    for d in spec.distinct_cols:
+        base = base.withColumn(
+            f"_prev_{d}",
+            F.lag("_ms").over(
+                Window.partitionBy("_ent", f"_v_{d}").orderBy("_ms", "event_id")
+            ),
+        )
+    mk_tags = [
+        (wname, wsecs, d)
+        for wname, wsecs in spec.windows.items()
+        for d in spec.distinct_cols
+    ]
+    shape = ["_ent", "event_id", "_ms", "_amt", "_win", "_mtag", "_mval"]
     real = base.select(
-        "_ent", "event_id", "_ms", "_amt", F.lit(None).cast("string").alias("_win")
+        "_ent",
+        "event_id",
+        "_ms",
+        "_amt",
+        F.lit(None).cast("string").alias("_win"),
+        F.lit(None).cast("string").alias("_mtag"),
+        F.lit(0).alias("_mval"),
     )
     shadows = None
     for wname, wsecs in spec.windows.items():
@@ -260,9 +299,48 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
             (F.col("_ms") - F.lit(wsecs * 1000)).alias("_ms"),
             F.lit(None).cast("double").alias("_amt"),
             F.lit(wname).alias("_win"),
+            F.lit(None).cast("string").alias("_mtag"),
+            F.lit(0).alias("_mval"),
         )
         shadows = s if shadows is None else shadows.unionByName(s)
-    u = real.unionByName(shadows).repartition("_ent")
+    u = real.unionByName(shadows)
+    for d in spec.distinct_cols:
+        # ±1 interval markers per (event, window) for this distinct col:
+        # the value is "new in frame(t)" for t in [max(ms, prev+W+1), ms+W]
+        structs = []
+        for wname, wsecs in spec.windows.items():
+            wms = wsecs * 1000
+            start = F.when(
+                F.col(f"_prev_{d}").isNull(), F.col("_ms")
+            ).otherwise(
+                F.greatest(F.col("_ms"), F.col(f"_prev_{d}") + F.lit(wms + 1))
+            )
+            tag = F.lit(f"{wname}::{d}")
+            structs.append(
+                F.struct(start.alias("m"), tag.alias("t"), F.lit(1).alias("v"))
+            )
+            structs.append(
+                F.struct(
+                    (F.col("_ms") + F.lit(wms + 1)).alias("m"),
+                    tag.alias("t"),
+                    F.lit(-1).alias("v"),
+                )
+            )
+        markers = (
+            base.filter(F.col(f"_v_{d}").isNotNull())
+            .select(F.col("_ent"), F.explode(F.array(*structs)).alias("_m"))
+            .select(
+                "_ent",
+                F.lit(None).cast("long").alias("event_id"),
+                F.col("_m.m").alias("_ms"),
+                F.lit(None).cast("double").alias("_amt"),
+                F.lit("__mk").alias("_win"),
+                F.col("_m.t").alias("_mtag"),
+                F.col("_m.v").alias("_mval"),
+            )
+        )
+        u = u.unionByName(markers.select(*shape))
+    u = u.repartition("_ent")
 
     amt_dec = F.when(F.col("_win").isNull(), F.col("_amt")).cast(DEC)
     amt2_dec = F.when(
@@ -280,6 +358,11 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
         "_cn_e": F.coalesce(F.sum(cnt_flag).over(excl), F.lit(0)),
         "_c2_e": F.sum(amt2_dec).over(excl),
     }
+    for wname in spec.windows:
+        for d in spec.distinct_cols:
+            cols[f"_cd_{wname}_{d}"] = F.sum(
+                F.when(F.col("_mtag") == f"{wname}::{d}", F.col("_mval")).otherwise(0)
+            ).over(incl)
     for wname, wsecs in spec.windows.items():
         ck = F.expr(f"_ms div {wsecs * 1000}")
         asc = (
@@ -296,13 +379,22 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
         cols[f"_pmn_{wname}"] = F.min("_amt").over(asc)
         cols[f"_smx_{wname}"] = F.max("_amt").over(desc)
         cols[f"_smn_{wname}"] = F.min("_amt").over(desc)
-    cum = u.withColumns(cols)
+    cum = u.withColumns(cols).filter(
+        F.col("_win").isNull() | (F.col("_win") != "__mk")
+    )
 
     isreal = F.col("_win").isNull()
     agg_exprs = [
         F.max(F.when(isreal, F.col("_cs_i"))).alias("_at_s"),
         F.max(F.when(isreal, F.col("_cn_i"))).alias("_at_n"),
         F.max(F.when(isreal, F.col("_c2_i"))).alias("_at_s2"),
+        *[
+            F.max(F.when(isreal, F.col(f"_cd_{wname}_{d}"))).alias(
+                f"_cd_{wname}_{d}"
+            )
+            for wname in spec.windows
+            for d in spec.distinct_cols
+        ],
     ]
     for wname in spec.windows:
         isw = F.col("_win") == wname
@@ -344,6 +436,10 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
                 f"std_txn_amount_{wname}": F.round(F.sqrt(var), 6),
                 f"velocity_score_{wname}": n.cast("double")
                 / F.lit(wsecs / spec.velocity_unit_s),
+                **{
+                    f"unique_{d}_{wname}": F.col(f"_cd_{wname}_{d}").cast("long")
+                    for d in spec.distinct_cols
+                },
             }
         )
     keep = [F.col("_ent").alias(spec.entity_col), "event_id"] + [
@@ -357,6 +453,7 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
             f"min_txn_amount_{wname}",
             f"std_txn_amount_{wname}",
             f"velocity_score_{wname}",
+            *[f"unique_{d}_{wname}" for d in spec.distinct_cols],
         )
     ]
     return out.select(*keep)
@@ -461,10 +558,11 @@ def trailing_features_auto(
     purely physical — the Catalyst-style decision Spark cannot make
     itself because it has no frame-density statistics.
 
-    Falls back to :func:`trailing_features` when the spec asks for
-    windowed distincts (not invertible; no scalable twin yet).
+    Falls back to :func:`trailing_features` only for approximate
+    windowed distincts (per-frame HLL is not marker-decomposable); exact
+    distincts ride the scalable plan's interval markers.
     """
-    if spec.distinct_cols:
+    if spec.distinct_cols and not spec.distinct_exact:
         return trailing_features(df, spec)
     est = estimate_frame_rows(
         df, spec.entity_col, spec.ts_col, max(spec.windows.values())

@@ -145,8 +145,24 @@ def unique_counts_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approx_count_distinct, 2% tolerance). The oracle's correlated
     subqueries are the semantic spec only, not the engine plan.
     Reference: flink_job/aml_stream_processor.py:166-171 (set() over state).
+    On dense frames the adaptive strategy swaps in the previous-occurrence
+    interval markers (exact, O(rows), no per-frame set).
     """
+    from ..operators.windows import (
+        AUTO_FRAME_ROWS_THRESHOLD,
+        TrailingWindowSpec,
+        estimate_frame_rows,
+        trailing_features_scalable,
+    )
+
     df = load_table(spark, sf_dir, "events")
+    if estimate_frame_rows(df, "user_id", "ts", 86400) > AUTO_FRAME_ROWS_THRESHOLD:
+        spec = TrailingWindowSpec(
+            windows={"1h": 3600, "24h": 86400}, distinct_cols=("event_type",)
+        )
+        return trailing_features_scalable(df, spec).select(
+            "event_id", "user_id", "unique_event_type_1h", "unique_event_type_24h"
+        )
     base = Window.partitionBy("user_id").orderBy(F.unix_millis(F.col("ts")))
     w1 = base.rangeBetween(-3600000, 0)
     w24 = base.rangeBetween(-86400000, 0)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import register
 from ..operators.windows import (
     TrailingWindowSpec,
-    trailing_features,
+    trailing_features_auto,
     trailing_features_sql_oracle,
 )
 from ..sources import load_table
@@ -43,6 +43,9 @@ def merchant_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-1h merchant aggregates incl. exact unique
     customers (merchant_unique_customers_1h analog) — ONE operator serves
     both entity types, vs the reference's two divergent keyed processors
-    (aml_stream_processor.py:234-330 MerchantAggregator)."""
+    (aml_stream_processor.py:234-330 MerchantAggregator). Adaptive
+    physical strategy: dense frames (few merchant keys, many events) use
+    the O(rows) cum+marker plan — exact distincts come from the
+    previous-occurrence interval decomposition, not per-frame sets."""
     df = load_table(spark, sf_dir, "events")
-    return trailing_features(df, SPEC_MERCHANT).select(*_COLS)
+    return trailing_features_auto(df, SPEC_MERCHANT).select(*_COLS)

@@ -188,3 +188,32 @@ def test_flag_counts_scalable_bit_identical(spark):
     assert set(got) == set(want) and len(got) == 1000
     for eid, rw in want.items():
         assert (got[eid]["cnt"], got[eid]["night"]) == (rw["cnt"], rw["night"])
+
+
+def test_scalable_distinct_markers_bit_identical(spark):
+    """Interval-marker exact distincts == collect_set frame distincts,
+    across multiple windows and two distinct columns."""
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        trailing_features,
+        trailing_features_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    spec = TrailingWindowSpec(
+        entity_col="event_type",
+        windows={"1h": 3600, "24h": 86400},
+        distinct_cols=("user_id",),
+    )
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    cols = ["event_id", "txn_count_1h", "unique_user_id_1h",
+            "txn_count_24h", "unique_user_id_24h", "max_txn_amount_24h",
+            "std_txn_amount_24h"]
+    a = {r["event_id"]: r for r in
+         trailing_features(df, spec).select(*cols).collect()}
+    b = {r["event_id"]: r for r in
+         trailing_features_scalable(df, spec).select(*cols).collect()}
+    assert set(a) == set(b) and len(a) == 1000
+    for eid, ra in a.items():
+        for c in cols:
+            assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
