@@ -24,6 +24,10 @@ _REQUIRED_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
+    # legacy-testdata tolerance: if events.ts is ever TIMESTAMP(NANOS)
+    # again, this makes it load as epoch-ns long, which load_events then
+    # detects and converts (without it the schema sniff itself throws)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -102,6 +102,7 @@ ORDER = [
     # queries — their families stay covered by hour_entropy / degrees),
     # then coverage / rows-only queries ---
     "dedup_components_lsh",
+    "session_window_rollup",
     "dow_entropy_per_user",
     "graph_edge_list",
     "trailing_1h_features",

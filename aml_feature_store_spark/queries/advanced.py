@@ -88,6 +88,55 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.sessionize(load_table(spark, sf_dir, "events"), gap_s=1800)
 
 
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+    CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+           (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+         >= 1800000 THEN 1 ELSE 0 END AS newf
+  FROM events
+), sess AS (
+  SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ms) AS session_start_ms,
+  MAX(ms) + 1800000 AS session_end_ms,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("session_window_rollup", oracle=_SESSION_WINDOW_ORACLE)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (T10's built-in form, usable
+    identically under readStream): groupBy(session_window(ts, 30 min),
+    user) aggregates. NOTE the boundary semantics difference vs the
+    lag/cumsum sessionizer: session_window opens a NEW session when the
+    inter-event gap is >= the gap (adjacent half-open windows do not
+    overlap), while user_sessions splits only when strictly greater —
+    the oracle here mirrors the >= contract."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --- A26/D3: DBSCAN outliers (not SQL-expressible → rows-only) --------------
 
 
