@@ -154,3 +154,21 @@ def test_no_single_partition_windows_in_drift_and_zscore(spark, qs):
                 assert not unpartitioned.search(line), (
                     f"{name}: unpartitioned window: {line}"
                 )
+
+
+def test_scalable_trailing_single_exchange(spark):
+    """The O(rows) strategy's core property: ONE hash exchange on the
+    entity serves the cumulative window AND every per-window chunked
+    extrema window (their (entity, chunk) clustering is satisfied by the
+    coarser hashpartitioning(entity)). Local sorts are fine; a second
+    Exchange is a regression."""
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        trailing_features_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    df = load_table(spark, SF, "events")
+    spec = TrailingWindowSpec(windows={"5m": 300, "1h": 3600, "24h": 86400})
+    plan = _plan(trailing_features_scalable(df, spec))
+    assert _nodes(plan, "Exchange") == 1
