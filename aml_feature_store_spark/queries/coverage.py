@@ -163,13 +163,27 @@ def timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("seeded_sample", oracle=None)
+@register(
+    "seeded_sample",
+    oracle="""
+SELECT event_id, user_id, value FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) % 10 = 0
+""",
+)
 def seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (O4; reference advanced_features.py:399
-    df.sample(n, random_state=42)). Deterministic per (seed, Spark
-    version), engine-specific sampling → rows-only check."""
+    """Seeded 10% sample (O4; reference advanced_features.py:399
+    df.sample(n, random_state=42)) as a DETERMINISTIC content hash —
+    md5(event_id || seed) bucket — instead of engine-specific Bernoulli
+    RNG, so the sample is identical on any engine, any partitioning, any
+    cluster size (and therefore oracle-checkable bit-exactly). The same
+    md5-mod idiom as curate_training_docs' reproducible subsampling."""
     df = load_table(spark, sf_dir, "events")
-    return df.sample(fraction=0.1, seed=42).select("event_id", "user_id", "value")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("event_id"), F.lit("42"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 10
+    return df.filter(bucket == 0).select("event_id", "user_id", "value")
 
 
 @register(

@@ -233,6 +233,47 @@ def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _category_counts_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base for windowed HHI/entropy: per-event trailing-24h count
+    plus one conditional count per closed-domain category — a single
+    WindowExec on sparse frames, the O(rows) cum+probe flag-count
+    strategy on dense ones (adaptive, bit-identical)."""
+    from ..operators.windows import (
+        AUTO_FRAME_ROWS_THRESHOLD,
+        estimate_frame_rows,
+        trailing_flag_counts_scalable,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    if estimate_frame_rows(ev, "user_id", "ts", 86400) > AUTO_FRAME_ROWS_THRESHOLD:
+        flags = {
+            f"_c{i}": F.col("event_type") == c
+            for i, c in enumerate(EVENT_TYPE_DOMAIN)
+        }
+        return trailing_flag_counts_scalable(ev, flags, 86400).select(
+            "event_id",
+            "user_id",
+            F.col("cnt").alias("txn_count_24h"),
+            *[f"_c{i}" for i in range(len(EVENT_TYPE_DOMAIN))],
+        )
+    sel = ev.select(
+        "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("_ms").rangeBetween(-86400000, 0)
+    return sel.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("txn_count_24h"),
+        *[
+            F.sum(F.when(F.col("event_type") == c, 1).otherwise(0))
+            .over(w)
+            .alias(f"_c{i}")
+            for i, c in enumerate(EVENT_TYPE_DOMAIN)
+        ],
+    )
+
+
 @register(
     "windowed_hhi_24h",
     oracle="""
@@ -261,33 +302,13 @@ def windowed_hhi_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-pass formulation: Σ_c n_c² decomposes into one conditional
     windowed count per category of the closed event_type domain, so the
     whole query is ONE window spec (one shuffle + one sort on the entity
-    key) — no interval self-join, no second shuffle on event_id. Exact
-    integer arithmetic throughout. A category outside EVENT_TYPE_DOMAIN
-    would break the Σ n_c = N invariant and surface as an oracle
-    mismatch, not silent corruption.
+    key) — no interval self-join, no second shuffle on event_id; dense
+    frames switch to the O(rows) flag-count strategy. Exact integer
+    arithmetic throughout. A category outside EVENT_TYPE_DOMAIN would
+    break the Σ n_c = N invariant and surface as an oracle mismatch, not
+    silent corruption.
     """
-    ev = load_table(spark, sf_dir, "events")
-    sel = ev.select(
-        "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "event_type"
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("_ms")
-        .rangeBetween(-86400000, 0)
-    )
-    # materialize each windowed count once (squaring the window expression
-    # inline would evaluate every sum twice inside the Window node)
-    wined = sel.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).alias("txn_count_24h"),
-        *[
-            F.sum(F.when(F.col("event_type") == c, 1).otherwise(0))
-            .over(w)
-            .alias(f"_c{i}")
-            for i, c in enumerate(EVENT_TYPE_DOMAIN)
-        ],
-    )
+    wined = _category_counts_24h(spark, sf_dir)
     sq = F.col("_c0") * F.col("_c0")
     for i in range(1, len(EVENT_TYPE_DOMAIN)):
         sq = sq + F.col(f"_c{i}") * F.col(f"_c{i}")
@@ -390,25 +411,10 @@ FROM cnts
 def windowed_entropy_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits) of the event-type mix inside each event's
     trailing 24h window (A11 in its per-window form) — the same
-    closed-domain conditional-count decomposition as windowed_hhi_24h:
-    one window spec, one shuffle, exact integer counts; only the final
-    log math is double (round-6 contract of the entropy family)."""
-    ev = load_table(spark, sf_dir, "events")
-    sel = ev.select(
-        "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("_ms").rangeBetween(-86400000, 0)
-    wined = sel.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).alias("txn_count_24h"),
-        *[
-            F.sum(F.when(F.col("event_type") == c, 1).otherwise(0))
-            .over(w)
-            .alias(f"_c{i}")
-            for i, c in enumerate(EVENT_TYPE_DOMAIN)
-        ],
-    )
+    closed-domain conditional-count decomposition as windowed_hhi_24h
+    (shared base, adaptive strategy): exact integer counts; only the
+    final log math is double (round-6 contract of the entropy family)."""
+    wined = _category_counts_24h(spark, sf_dir)
     term = lambda i: F.when(  # noqa: E731
         F.col(f"_c{i}") > 0,
         F.col(f"_c{i}").cast("double") * F.log2(F.col(f"_c{i}").cast("double")),
