@@ -103,6 +103,7 @@ ORDER = [
     # then coverage / rows-only queries ---
     "dedup_components_lsh",
     "session_window_rollup",
+    "ann_ivf_index_topk",
     "dow_entropy_per_user",
     "graph_edge_list",
     "trailing_1h_features",

@@ -639,3 +639,120 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# --- persistent IVF index ----------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the assigned corpus written
+    ``partitionBy(centroid_id)`` (so probing reads ONLY the probed
+    buckets via partition pruning — at 100 TB a 1-probe query over k
+    lists touches 1/k of the data, which is the entire point of
+    persisting) plus the centroid table. Norms are precomputed so query
+    time pays no per-vector normalization. Build once, query many —
+    ``ivf_index_topk`` is the read side.
+    """
+    import os
+
+    centroids = (
+        kmeans_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+        if refine_iters
+        else with_norm(corpus, vec_col)
+        .filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("_v").alias("_cenv"),
+            F.col("_norm").alias("_cenn"),
+        )
+    )
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
+    with_norm(assigned, vec_col).select(
+        F.col(id_col), F.col("_v"), F.col("_norm"), F.col("centroid_id")
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: rank the query against
+    the stored centroids (broadcast), collect the probed bucket ids
+    (bounded by |queries| × n_probes), and scan ONLY those partitions of
+    the vector table — the filter is a literal IN over the partition
+    column, so it prunes at the file listing, never reading unprobed
+    buckets. Scoring/ranking is identical to :func:`ivf_topk` (same
+    rounding, same tiebreaks), so index round-trip results are
+    bit-identical to the in-memory path."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    dot = F.expr(_DOT.format(a="_qv", b="_cenv"))
+    ranked = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim",
+        F.when(
+            (F.col("_qn") * F.col("_cenn")) != 0.0,
+            F.round(dot / (F.col("_qn") * F.col("_cenn")), 8),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    probed = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probes)
+        .select("query_id", F.col("centroid_id").alias("_qcent"), "_qv", "_qn")
+    )
+    bucket_ids = [
+        r["_qcent"] for r in probed.select("_qcent").distinct().collect()
+    ]  # bounded: <= |queries| * n_probes
+    vec = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("centroid_id").isin(bucket_ids))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("centroid_id"),
+            F.col("_v").alias("_cv"),
+            F.col("_norm").alias("_cn"),
+        )
+    )
+    dot2 = F.expr(_DOT.format(a="_qv", b="_cv"))
+    scored = vec.join(
+        F.broadcast(probed),
+        (F.col("centroid_id") == F.col("_qcent"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).withColumn(
+        "cosine",
+        F.when(
+            (F.col("_qn") * F.col("_cn")) != 0.0,
+            F.round(dot2 / (F.col("_qn") * F.col("_cn")), 8),
+        ).otherwise(F.lit(0.0)),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

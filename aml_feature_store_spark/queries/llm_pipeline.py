@@ -67,6 +67,22 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk(emb, queries, k=10)
 
 
+@register("ann_ivf_index_topk", oracle=simsearch.ivf_topk_sql(N_QUERIES, 10))
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent-IVF round trip (X3 index lifecycle): build the index
+    (vectors partitioned by centroid bucket + centroid table) into a
+    temp dir, then answer top-10 by probing ONLY the queries' buckets —
+    partition pruning at the file listing. Results are bit-identical to
+    the in-memory IVF path, so the same oracle applies."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    simsearch.build_ivf_index(emb, path)
+    return simsearch.ivf_index_topk(spark, path, queries, k=10)
+
+
 @register("ann_ivf_topk", oracle=simsearch.ivf_topk_sql(N_QUERIES, 10))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-10 (probe nearest centroid only) — the scale

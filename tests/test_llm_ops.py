@@ -283,3 +283,30 @@ def test_near_dup_components_chain_triangle_singleton(spark):
         1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8,
     }
     assert [d for d in range(1, 9) if got[d]["is_canonical"]] == [1, 5, 8]
+
+
+def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
+    """Persisted-index ANN == in-memory IVF bit-for-bit, and the probe
+    scan prunes to the probed centroid partitions."""
+    import contextlib
+    import io
+
+    from aml_feature_store_spark.operators import simsearch
+    from aml_feature_store_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    simsearch.build_ivf_index(emb, path)
+    got = simsearch.ivf_index_topk(spark, path, queries, k=5)
+    a = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+         for r in got.collect()}
+    b = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+         for r in simsearch.ivf_topk(emb, queries, k=5).collect()}
+    assert a == b and len(a) == 15
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and any("centroid_id" in l for l in scan_lines)
