@@ -292,13 +292,18 @@ def run_bounded(
     events = stream_events(spark, source_dir, max_files_per_trigger)
     out = per_event_features(events, windows)
     ckpt = tempfile.mkdtemp(prefix="ckpt_per_event_")
+    # parquet sink, not memory: the memory sink collects every output row
+    # into the DRIVER — fine at test scale, the dominant cost at 1M rows
+    # and a non-starter on a cluster. Executors write in parallel; the
+    # bounded result reads back as a plain DataFrame.
+    dst = tempfile.mkdtemp(prefix="out_per_event_")
     q = (
         out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
+        .format("parquet")
+        .option("path", dst)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    return spark.read.schema(output_schema(windows)).parquet(dst)
