@@ -61,17 +61,20 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = isolate_events_files(sf_dir)
     events = stream_events(spark, src)
     out = tumbling_rollup(events, length="10 minutes")
-    name = f"roll_q_{uuid.uuid4().hex[:8]}"
+    # append mode supports a file sink: executor-parallel writes instead
+    # of collecting the emission into the driver (complete-mode twins
+    # must keep the memory sink - file sinks are append-only)
+    dst = tempfile.mkdtemp(prefix="out_roll_")
     q = (
         out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", dst)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(dst)
 
 
 _TUMBLING_COMPLETE_ORACLE = """
