@@ -74,7 +74,9 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(dst)
+    # schema-pinned read: an empty emission (watermark never advanced)
+    # must return an empty frame, not an inference error
+    return spark.read.schema(out.schema).parquet(dst)
 
 
 _TUMBLING_COMPLETE_ORACLE = """

@@ -116,8 +116,20 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
     flat = np.arange(total) - starts[fid] + lo[fid]
     v = cents[flat]
     # rank values ascending inside each frame (tie order is irrelevant to
-    # sum(rank*v): tied values have interchangeable consecutive ranks)
-    v_sorted = v[np.lexsort((v, fid))]
+    # sum(rank*v): tied values have interchangeable consecutive ranks).
+    # Pack (frame, value) into ONE int64 key when the value range fits —
+    # a single np.sort pass instead of lexsort's two stable argsorts +
+    # gather (the dominant kernel cost at hot-key scale); fall back to
+    # lexsort for negative or huge amounts.
+    vmax = int(v.max()) if total else 0
+    vmin = int(v.min()) if total else 0
+    bits_v = max(vmax.bit_length(), 1)
+    if vmin >= 0 and len(lens).bit_length() + bits_v <= 62:
+        comp = (fid.astype(np.int64) << bits_v) | v
+        comp.sort()
+        v_sorted = comp & ((np.int64(1) << bits_v) - 1)
+    else:
+        v_sorted = v[np.lexsort((v, fid))]
     ranks = np.arange(total) - starts[fid] + 1
     s_cents = np.add.reduceat(v_sorted, starts) if total else np.array([], np.int64)
     s1_cents = (
