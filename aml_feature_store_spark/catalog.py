@@ -137,6 +137,8 @@ ORDER = [
     "seeded_sample",
     "multimodal_image_features",
     "multimodal_decode_features",
+    "multimodal_resize_features",
+    "multimodal_frame_sample",
     "streaming_tumbling_rollup",
     "unique_users_approx_by_type",
 ]

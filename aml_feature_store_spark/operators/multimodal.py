@@ -277,3 +277,138 @@ def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _make, schema="doc_id long, payload binary"
     )
+
+
+# --- resize + frame sampling -------------------------------------------------
+
+
+def _parse_bmp_pixels(b: bytes):
+    """(width, height, channels, HxWxC uint8 array) for uncompressed
+    BI_RGB 24/32-bit BMPs, or None."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (off,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    _, bpp = struct.unpack_from("<HH", b, 26)
+    (comp,) = struct.unpack_from("<I", b, 30)
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    nch = bpp // 8
+    height = abs(h)
+    stride = (w * nch + 3) & ~3
+    if len(b) < off + stride * height:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=off)
+    px = rows.reshape(height, stride)[:, : w * nch].reshape(height, w, nch)
+    return w, height, nch, px
+
+
+def _encode_bmp(px) -> bytes:
+    """Re-encode an HxWxC uint8 array (C=3) as a 24-bit BI_RGB BMP."""
+    import struct
+
+    import numpy as np
+
+    h, w, nch = px.shape
+    stride = (w * nch + 3) & ~3
+    header = b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8 * nch, 0, stride * h, 2835, 2835, 0, 0
+    )
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : w * nch] = px.reshape(h, w * nch)
+    return header + padded.tobytes()
+
+
+def resize_bmp(b: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resize of a real BMP payload — pure numpy index
+    sampling (the canonical GPU-free decode→resize preprocessing step),
+    re-encoded as a BMP."""
+    import numpy as np
+
+    parsed = _parse_bmp_pixels(b)
+    if parsed is None:
+        return None
+    w, h, nch, px = parsed
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return _encode_bmp(px[ys][:, xs])
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched decode→nearest-neighbor-resize→re-encode over BMP
+    payloads; undecodable payloads yield NULL (kept, so the caller sees
+    the failure rate rather than silently losing rows)."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                resize_bmp(bytes(b), out_w, out_h) if b is not None else None
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        _batch, schema="doc_id long, payload binary"
+    )
+
+
+# frame-sequence container: b"FSEQ" + u32 frame count + per frame
+# (u32 byte length + payload). Length-prefixed so sampling SEEKS past
+# unsampled frames without decoding them.
+_FSEQ_MAGIC = b"FSEQ"
+
+
+def pack_frame_sequence(frames: "list[bytes]") -> bytes:
+    import struct
+
+    out = [_FSEQ_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling over a length-prefixed frame-sequence blob (the
+    video stand-in this container supports without codec libraries —
+    with PyAV/decord installed, swap the parser for a real demuxer; the
+    Spark-side shape is identical): emit every k-th frame as its own
+    (doc_id, frame_idx, payload) row. The length prefixes let the parser
+    SEEK past unsampled frames — no decode work on dropped frames,
+    exactly like keyframe-seek sampling in a real demuxer."""
+    import struct
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, outs = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                if len(b) < 8 or b[:4] != _FSEQ_MAGIC:
+                    continue
+                (n,) = struct.unpack_from("<I", b, 4)
+                pos = 8
+                for i in range(n):
+                    if pos + 4 > len(b):
+                        break
+                    (flen,) = struct.unpack_from("<I", b, pos)
+                    if i % every_k == 0:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        outs.append(b[pos + 4 : pos + 4 + flen])
+                    pos += 4 + flen
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "payload": outs},
+                dtype=object,
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        _batch, schema="doc_id long, frame_idx int, payload binary"
+    )

@@ -168,6 +168,57 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(multimodal.synthesize_bmp_payloads(docs))
 
 
+@register("multimodal_resize_features", oracle=None)
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize→re-decode round trip (X5): synthesized 8×8 BMPs are
+    nearest-neighbor resized to 4×4 (pure numpy index sampling, real BMP
+    re-encode) and the resized bytes decode back to 4×4×3. Rows-only;
+    exact nearest-neighbor pixel semantics are pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = multimodal.resize_images(
+        multimodal.synthesize_bmp_payloads(docs), 4, 4
+    )
+    return multimodal.decode_features(small)
+
+
+@register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-stand-in frame sequences (X5): each doc
+    becomes a 6-frame length-prefixed container of real BMPs; every 2nd
+    frame is emitted as its own row and decoded. The length-prefixed
+    parse seeks past unsampled frames without decoding them — the
+    keyframe-seek shape of a real demuxer. Rows-only; container
+    round-trip is pytest-pinned."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    bmps = multimodal.synthesize_bmp_payloads(docs)
+
+    def _pack(it):
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.pack_frame_sequence(
+                            [bytes(b)] * 6
+                        )
+                        for b in pdf["payload"]
+                    ],
+                },
+                dtype=object,
+            )
+
+    seqs = bmps.mapInPandas(_pack, schema="doc_id long, payload binary")
+    sampled = multimodal.sample_frames(seqs, every_k=2)
+    feats = multimodal.decode_features(
+        sampled.withColumn(
+            "doc_id", F.col("doc_id") * 10 + F.col("frame_idx")
+        )
+    )
+    return feats
+
+
 # --- training-data curation: filter -> dedup -> deterministic sample --------
 
 CURATE_QUALITY_MIN = 0.5

@@ -310,3 +310,45 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
     plan = buf.getvalue()
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan_lines and any("centroid_id" in l for l in scan_lines)
+
+
+def test_multimodal_resize_nearest_neighbor_exact(spark):
+    """4x4 resize of a known 8x8 BMP picks exactly the nearest-neighbor
+    source pixels ((y*h)//oh, (x*w)//ow) and re-encodes losslessly."""
+    import numpy as np
+
+    from aml_feature_store_spark.operators.multimodal import (
+        _encode_bmp,
+        _parse_bmp_pixels,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_bmp(px)))], "doc_id long, payload binary"
+    )
+    out = resize_images(df, 4, 4).collect()[0]["payload"]
+    got = _parse_bmp_pixels(bytes(out))
+    assert got[:3] == (4, 4, 3)
+    ys = (np.arange(4) * 8) // 4
+    xs = (np.arange(4) * 8) // 4
+    assert np.array_equal(got[3], px[ys][:, xs])
+
+
+def test_multimodal_frame_sample_roundtrip(spark):
+    """Every k-th frame of the length-prefixed container comes back
+    byte-identical with its index; non-container payloads emit nothing."""
+    from aml_feature_store_spark.operators.multimodal import (
+        pack_frame_sequence,
+        sample_frames,
+    )
+
+    frames = [bytes([i]) * (10 + i) for i in range(5)]
+    df = spark.createDataFrame(
+        [(1, bytearray(pack_frame_sequence(frames))), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, every_k=2).collect()
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["payload"]) for r in rows}
+    assert got == {(1, 0): frames[0], (1, 2): frames[2], (1, 4): frames[4]}
