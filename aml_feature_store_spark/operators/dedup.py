@@ -452,6 +452,7 @@ def near_dup_components(
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(
@@ -481,7 +482,16 @@ def near_dup_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would mislabel components;
+        # a cluster diameter beyond max_iterations needs more rounds (or
+        # the large-star/small-star contraction noted above)
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (cluster diameter exceeds it)"
+        )
     return labels.select(
         F.col("node").alias(id_col),
         F.col("label").alias("component"),

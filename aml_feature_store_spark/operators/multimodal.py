@@ -194,7 +194,14 @@ def _decode_any(b: bytes):
     """Dispatch on magic bytes; pure-numpy for uncompressed formats, PIL
     (if installed) for compressed images, else None."""
     for dec in (_decode_bmp, _decode_ppm, _decode_wav):
-        got = dec(b)
+        try:
+            got = dec(b)
+        except Exception:
+            # a payload matching the magic bytes but with a malformed body
+            # (e.g. non-numeric PPM header tokens) must yield a NULL row,
+            # not fail the whole mapInPandas task — decode_features'
+            # documented contract for unrecognized payloads
+            got = None
         if got is not None:
             return got
     try:  # compressed images need a codec library — gate, don't require

@@ -70,6 +70,15 @@ def global_cumsum(
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
         .collect()
     )  # bounded: one row per bucket
+    if not totals:
+        # empty input: zero rows out, but with the full output schema
+        # (createDataFrame([]) below can't infer one from an empty list)
+        out = cum
+        for c in sum_cols:
+            out = out.withColumn(
+                f"tot_{c}", F.lit(None).cast(out.schema[f"cum_{c}"].dataType)
+            )
+        return out.drop("_b")
     totals.sort(key=lambda r: r["_b"])
     grand = {c: sum(r[c] or 0 for r in totals) for c in sum_cols}
     offsets, running = [], dict.fromkeys(sum_cols, 0)

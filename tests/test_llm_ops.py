@@ -352,3 +352,38 @@ def test_multimodal_frame_sample_roundtrip(spark):
     rows = sample_frames(df, every_k=2).collect()
     got = {(r["doc_id"], r["frame_idx"]): bytes(r["payload"]) for r in rows}
     assert got == {(1, 0): frames[0], (1, 2): frames[2], (1, 4): frames[4]}
+
+
+def test_multimodal_malformed_header_yields_null_row(spark):
+    """A payload with valid magic bytes but a malformed body must decode
+    to a NULL row (format NULL, n_bytes kept), not fail the task."""
+    from aml_feature_store_spark.operators.multimodal import decode_features
+
+    bad_ppm = b"P6\nabc def\n255\n" + bytes(16)   # non-numeric header tokens
+    bad_bmp = b"BM" + bytes(60)                   # zeroed header fields
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_ppm)), (2, bytearray(bad_bmp))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_features(df).collect()}
+    assert got[1]["format"] is None and got[1]["n_bytes"] == len(bad_ppm)
+    assert got[2]["format"] is None and got[2]["n_bytes"] == len(bad_bmp)
+
+
+def test_near_dup_components_raises_when_unconverged(spark):
+    """Exhausting max_iterations without a fixpoint must raise, not
+    silently return partial component labels."""
+    import pytest as _pytest
+
+    from aml_feature_store_spark.operators.dedup import near_dup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # path graph of diameter 5: needs ~5 rounds for label 1 to reach node 6
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "d1 long, d2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(docs, pairs, max_iterations=2)
+    # and with enough rounds the same graph converges to one component
+    got = near_dup_components(docs, pairs, max_iterations=10)
+    assert {r["component"] for r in got.collect()} == {1}

@@ -47,3 +47,10 @@ def test_no_single_partition_window(sample):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_b" in line, f"unpartitioned window in plan: {line}"
+
+def test_empty_input_returns_empty_with_schema(spark, sample):
+    empty = sample.limit(0)
+    got = global_cumsum(empty, "v", ["ca", "cb"], buckets=8)
+    assert got.count() == 0
+    for c in ("cum_ca", "cum_cb", "tot_ca", "tot_cb"):
+        assert c in got.columns
