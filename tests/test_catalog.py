@@ -43,18 +43,39 @@ def test_first_50_are_all_oracle_backed():
     )
 
 
-def test_rotated_ann_and_text_queries_are_inside_the_cap():
-    """r3 rotation (VERDICT r2 #2): the ANN family + text ops had never
-    received a driver correctness row."""
+def test_r5_rotated_queries_are_inside_the_cap():
+    """r5 rotation (VERDICT r4 #1): the 23 oracle-backed queries that had
+    never received a 2026 driver row lead the window. (Supersedes the r3
+    ANN/text pin — that family got its driver rows in CORRECTNESS_r04.)"""
     window = set(_ordered_names()[:DRIVER_CAP])
     for name in (
-        "ann_ivf_topk",
-        "ann_recall_at_k",
-        "ann_ivf_multiprobe",
-        "ann_ivf_topk_refined",
-        "ann_recall_refined",
-        "text_stats",
-        "language_id",
-        "doc_fingerprints",
+        "dedup_components_lsh",
+        "session_window_rollup",
+        "ann_ivf_index_topk",
+        "dow_entropy_per_user",
+        "graph_edge_list",
+        "trailing_1h_features",
+        "daily_counts_per_user",
+        "unique_counts_windows",
+        "derived_time_flags",
+        "running_totals_per_user",
+        "props_json_extract",
+        "multimodal_binary_stats",
+        "pricing_summary",
+        "regional_revenue",
+        "top_orders_per_customer",
+        "time_bucket_rollup",
+        "quantiles_by_event_type",
+        "mktsegment_acctbal_summary",
+        "salted_user_totals",
+        "revenue_rollup_region_nation",
+        "top_events_global",
+        "event_type_pivot",
+        "timestamp_functions",
+        # touched-this-round keepers
+        "streaming_per_event_features",
+        "windowed_gini_24h",
+        "ks_drift_value",
+        "population_zscore_per_user",
     ):
         assert name in window, f"{name} fell outside the driver cap"
