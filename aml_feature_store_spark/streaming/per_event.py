@@ -13,13 +13,37 @@ a fixed per-group cost every micro-batch (pandas frame assembly, Arrow
 round-trip, state (de)serialization); with billions of entities that
 fixed cost dominates. Bucketing amortizes it: one group handles ~|keys|/B
 entities, and ALL per-entity window math inside a bucket is vectorized in
-one numpy pass using a composite ``entity_idx * 2^34 + (ts − base)`` sort
-key — per-entity trailing frames never cross the composite boundary, so
-a single ``searchsorted`` + prefix-sum + sparse-table range-min/max over
+one numpy pass over a composite ``entity_idx * 2^34 + time_offset`` key
+— per-entity trailing frames never cross the composite boundary, so a
+single ``searchsorted`` + prefix-sum + sparse-table range-min/max over
 the bucket's concatenated buffer evaluates every entity at once. No
 per-entity Python loop anywhere.
 
-Semantics (unchanged from the per-entity version, and oracle-checked):
+INCREMENTAL STATE (round-5 redesign; SURVEY §4 "incremental state"):
+per-batch cost scales with the BATCH plus the state of the entities it
+touches, never the whole bucket buffer:
+
+- state buffers are persisted already sorted by (entity, ts); the sorted
+  batch is MERGED in O(touched + batch) by scatter (one ``searchsorted``
+  for insertion points) — no argsort over the buffer;
+- entities with no batch rows pass through untouched: no key remap, no
+  cumsum, no extrema table over their rows;
+- frame-invisible state rows (older than the entity's earliest batch
+  event minus the largest window) are pre-evicted before any compute, so
+  the prefix-sum/extrema structures cover only rows a frame can see;
+- amounts are validated/centified on arrival only — state rows are never
+  re-validated.
+
+LONG-SPAN REPLAYS: the composite key packs per-entity time offsets into
+2^34 ms (~199 days) segments. Offsets are taken against a PER-ENTITY
+base (earliest batch event − max window), and a batch whose event-time
+span exceeds one segment is processed in time CHUNKS inside the
+processor (state rows beyond the chunk horizon are parked and re-merged
+afterwards), so a bounded ``availableNow`` replay of an arbitrarily long
+event log degrades to a few extra in-memory passes instead of failing —
+only a single *window* ≥ ~99 days is rejected, at construction time.
+
+Semantics (unchanged, and oracle-checked):
 - keyed state = per-entity event buffers (ts_ms, value) within the
   largest window (the ListState equivalent, manual event-time eviction);
 - per micro-batch: merge batch rows into the buffers in event-time
@@ -32,8 +56,8 @@ Semantics (unchanged from the per-entity version, and oracle-checked):
 
 Scale notes: state per bucket is bounded by (max window × per-entity
 rate × entities/bucket); bucket count is the parallelism knob — raise it
-so buckets fit executor memory. Arrow-batched transfer; compute is
-O(buffer log buffer) per bucket per batch, all in numpy.
+so buckets fit executor memory. Arrow-batched transfer; state blobs are
+raw bytes (memcpy, not per-element conversion).
 """
 
 from __future__ import annotations
@@ -51,9 +75,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 DEFAULT_WINDOWS = {"5m": 300, "1h": 3600}
 DEFAULT_BUCKETS = int(os.environ.get("SPARK_GRAFT_STATE_BUCKETS", "256"))
 
-# composite key = user_idx * 2^34 + (ts_ms − base): 2^34 ms ≈ 199 days of
-# in-state span per entity (state only spans the largest window, so the
-# margin is enormous), and 2^63 / 2^34 ≈ 5.4e8 entities per bucket.
+# composite key = entity_idx * 2^34 + (ts_ms − per-entity base): 2^34 ms
+# ≈ 199 days of offset per entity segment, 2^63 / 2^34 ≈ 5.4e8 entities
+# per bucket. Batches spanning more are chunked (module docstring).
 _TS_BITS = 34
 _TS_SPAN = np.int64(1) << _TS_BITS
 
@@ -69,6 +93,19 @@ STATE_SCHEMA = T.StructType(
         T.StructField("val", T.BinaryType()),   # concatenated amounts
     ]
 )
+
+# a state "pool": (uid unique+sorted, rows per uid, ms grouped by uid and
+# ascending within, val aligned with ms)
+Pool = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+
+def _empty_pool() -> Pool:
+    return (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.float64),
+    )
 
 
 def output_schema(windows: dict[str, int]) -> T.StructType:
@@ -88,25 +125,79 @@ def output_schema(windows: dict[str, int]) -> T.StructType:
     return T.StructType(fields)
 
 
+def _block_ranges(cnt: np.ndarray) -> np.ndarray:
+    """Concatenated per-block aranges: [0..cnt0), [0..cnt1), ..."""
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(cnt) - cnt
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+
+
+def _merge_pools(a: Pool, b: Pool) -> Pool:
+    """Merge two entity-grouped pools in O(rows); for entities present in
+    both, pool-a rows precede pool-b rows (callers guarantee a's rows are
+    not event-time-newer than b's for shared entities)."""
+    a_uid, a_cnt, a_ms, a_val = a
+    b_uid, b_cnt, b_ms, b_val = b
+    if len(a_uid) == 0:
+        return b
+    if len(b_uid) == 0:
+        return a
+    f_uid = np.union1d(a_uid, b_uid)
+    a_pos = np.searchsorted(f_uid, a_uid)
+    b_pos = np.searchsorted(f_uid, b_uid)
+    f_cnt = np.zeros(len(f_uid), np.int64)
+    f_cnt[a_pos] += a_cnt
+    f_cnt[b_pos] += b_cnt
+    starts = np.cumsum(f_cnt) - f_cnt
+    a_idx = np.repeat(starts[a_pos], a_cnt) + _block_ranges(a_cnt)
+    a_len = np.zeros(len(f_uid), np.int64)
+    a_len[a_pos] = a_cnt
+    b_idx = np.repeat(starts[b_pos] + a_len[b_pos], b_cnt) + _block_ranges(b_cnt)
+    total = int(f_cnt.sum())
+    f_ms = np.empty(total, np.int64)
+    f_val = np.empty(total, np.float64)
+    f_ms[a_idx] = a_ms
+    f_ms[b_idx] = b_ms
+    f_val[a_idx] = a_val
+    f_val[b_idx] = b_val
+    return f_uid, f_cnt, f_ms, f_val
+
+
+def _split_pool(pool: Pool, row_mask: np.ndarray) -> tuple[Pool, Pool]:
+    """Split a pool row-wise by a boolean mask (True → first pool).
+    Filtering preserves per-entity grouping and time order."""
+    uid, cnt, ms, val = pool
+    if len(uid) == 0:
+        return pool, pool
+    starts = np.cumsum(cnt) - cnt
+    in_cnt = np.add.reduceat(row_mask.astype(np.int64), starts)
+    out_cnt = cnt - in_cnt
+    ka, kb = in_cnt > 0, out_cnt > 0
+    return (
+        (uid[ka], in_cnt[ka], ms[row_mask], val[row_mask]),
+        (uid[kb], out_cnt[kb], ms[~row_mask], val[~row_mask]),
+    )
+
+
 def _range_extrema(val: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     """Vectorized range-max/min of val over [lo, hi) slices via a sparse
-    table (RMQ): O(n log n) build, O(levels) batched query — replaces the
-    per-row Python slice loop. Requires hi > lo (trailing frames always
-    contain the current event)."""
-    n = len(val)
-    stmax, stmin = [val], [val]
-    j = 1
-    while (1 << j) <= n:
-        step = 1 << (j - 1)
-        stmax.append(np.maximum(stmax[-1][:-step], stmax[-1][step:]))
-        stmin.append(np.minimum(stmin[-1][:-step], stmin[-1][step:]))
-        j += 1
+    table (RMQ): O(n log maxwidth) build, O(levels) batched query.
+    Requires hi > lo (trailing frames always contain the current event).
+    Levels are built only up to the widest queried frame."""
     width = hi - lo
     # floor(log2(width)) via float exponent — exact for width < 2^52
     k = (np.frexp(width.astype(np.float64))[1] - 1).astype(np.int64)
+    kmax = int(k.max()) if len(k) else 0
+    stmax, stmin = [val], [val]
+    for j in range(1, kmax + 1):
+        step = 1 << (j - 1)
+        stmax.append(np.maximum(stmax[-1][:-step], stmax[-1][step:]))
+        stmin.append(np.minimum(stmin[-1][:-step], stmin[-1][step:]))
     mx = np.empty(len(lo), dtype=val.dtype)
     mn = np.empty(len(lo), dtype=val.dtype)
-    for level in range(int(k.max()) + 1 if len(k) else 0):
+    for level in range(kmax + 1):
         m = k == level
         if not m.any():
             continue
@@ -117,9 +208,106 @@ def _range_extrema(val: np.ndarray, lo: np.ndarray, hi: np.ndarray):
     return mx, mn
 
 
+def _step(
+    pool: Pool,
+    b_uid: np.ndarray,
+    b_ms: np.ndarray,
+    b_val: np.ndarray,
+    b_eid: np.ndarray,
+    windows: dict[str, int],
+    max_w_ms: int,
+) -> tuple[dict[str, Any], Pool]:
+    """One logical micro-batch: emit per-event window aggregates for the
+    (uid, ms, eid)-sorted batch rows against `pool`, return the updated
+    pool. Caller guarantees every pool/batch row is below the chunk
+    horizon so per-entity offsets fit one composite segment."""
+    t_uids = np.unique(b_uid)
+    n_t = len(t_uids)
+
+    # entities with no batch rows pass through untouched
+    p_uid, p_cnt = pool[0], pool[1]
+    ent_t = np.isin(p_uid, t_uids, assume_unique=True)
+    row_t = np.repeat(ent_t, p_cnt)
+    touched, untouched = _split_pool(pool, row_t)
+    tp_uid, tp_cnt, tp_ms, tp_val = touched
+
+    # per-entity base = earliest batch event − max window: every row a
+    # frame can see has ms ≥ base, every retained-state row too
+    bs = np.searchsorted(b_uid, t_uids, side="left")
+    base = b_ms[bs] - max_w_ms
+
+    # pre-evict frame-invisible state rows (final eviction at entity-last
+    # − max_w would drop them anyway, since entity-last ≥ earliest batch)
+    sp = np.searchsorted(t_uids, tp_uid)
+    row_sp = np.repeat(sp, tp_cnt)
+    keep0 = tp_ms >= np.repeat(base[sp], tp_cnt)
+    s_tidx, s_ms, s_val = row_sp[keep0], tp_ms[keep0], tp_val[keep0]
+
+    # merge sorted state rows with sorted batch rows by scatter: O(s + b)
+    comp_s = s_tidx * _TS_SPAN + (s_ms - base[s_tidx])
+    b_tidx = np.searchsorted(t_uids, b_uid)
+    comp_b = b_tidx * _TS_SPAN + (b_ms - base[b_tidx])
+    ins = np.searchsorted(comp_s, comp_b, side="left")
+    nb, ns = len(comp_b), len(comp_s)
+    pos_b = ins + np.arange(nb, dtype=np.int64)
+    is_b = np.zeros(ns + nb, dtype=bool)
+    is_b[pos_b] = True
+    m_comp = np.empty(ns + nb, np.int64)
+    m_ms = np.empty(ns + nb, np.int64)
+    m_val = np.empty(ns + nb, np.float64)
+    m_comp[pos_b] = comp_b
+    m_comp[~is_b] = comp_s
+    m_ms[pos_b] = b_ms
+    m_ms[~is_b] = s_ms
+    m_val[pos_b] = b_val
+    m_val[~is_b] = s_val
+
+    # running sums in integer cents: exact at any volume, and /100.0
+    # lands on the same double as the batch plan's DECIMAL route (batch
+    # rows were validated 2-decimal on arrival; state rows are replays
+    # of already-validated rows)
+    csum = np.concatenate(
+        [[0], np.cumsum(np.round(m_val * 100.0).astype(np.int64))]
+    )
+
+    hi = np.searchsorted(m_comp, comp_b, side="right")
+    cols: dict[str, Any] = {"user_id": b_uid, "event_id": b_eid, "ts_ms": b_ms}
+    for wname, wsecs in windows.items():
+        lo = np.searchsorted(m_comp, comp_b - wsecs * 1000, side="left")
+        n = hi - lo
+        s = (csum[hi] - csum[lo]) / 100.0
+        mx, mn = _range_extrema(m_val, lo, hi)
+        cols[f"txn_count_{wname}"] = n
+        cols[f"txn_amount_sum_{wname}"] = s
+        cols[f"avg_txn_amount_{wname}"] = s / n  # frames are non-empty
+        cols[f"max_txn_amount_{wname}"] = mx
+        cols[f"min_txn_amount_{wname}"] = mn
+
+    # evict per-entity state older than the largest window behind that
+    # entity's max event-time (segments end at composite boundaries)
+    seg_end = np.searchsorted(
+        m_comp, (np.arange(n_t, dtype=np.int64) + 1) * _TS_SPAN, side="left"
+    )
+    seg_cnt = np.diff(np.concatenate([[0], seg_end]))
+    cutoff = np.repeat(m_ms[seg_end - 1] - max_w_ms, seg_cnt)
+    kp = m_ms >= cutoff
+    new_cnt = np.add.reduceat(kp.astype(np.int64), seg_end - seg_cnt)
+    new_touched: Pool = (t_uids, new_cnt, m_ms[kp], m_val[kp])
+    return cols, _merge_pools(untouched, new_touched)
+
+
 def _processor(windows: dict[str, int]):
     max_w_ms = max(windows.values()) * 1000
     out_cols = [f.name for f in output_schema(windows)]
+    # chunk width: chunk rows + window context fit one composite segment
+    chunk_ms = int(_TS_SPAN) - max_w_ms - 1
+
+    def _empty_out() -> pd.DataFrame:
+        data = {
+            c: np.empty(0, np.int64 if c.startswith(("user_id", "event_id", "ts_ms", "txn_count")) else np.float64)
+            for c in out_cols
+        }
+        return pd.DataFrame(data)
 
     def fn(
         key: tuple[Any, ...],
@@ -128,20 +316,22 @@ def _processor(windows: dict[str, int]):
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             uid_raw, cnt_raw, ms_raw, val_raw = state.get
-            s_uid = np.frombuffer(uid_raw, dtype="<i8")
-            s_cnt = np.frombuffer(cnt_raw, dtype="<i8")
-            s_ms = np.frombuffer(ms_raw, dtype="<i8")
-            s_val = np.frombuffer(val_raw, dtype="<f8")
-            s_row_uid = np.repeat(s_uid, s_cnt)
+            pool: Pool = (
+                np.frombuffer(uid_raw, dtype="<i8"),
+                np.frombuffer(cnt_raw, dtype="<i8"),
+                np.frombuffer(ms_raw, dtype="<i8"),
+                np.frombuffer(val_raw, dtype="<f8"),
+            )
         else:
-            s_row_uid = np.empty(0, dtype=np.int64)
-            s_ms = np.empty(0, dtype=np.int64)
-            s_val = np.empty(0, dtype=np.float64)
+            pool = _empty_pool()
 
         chunks = list(pdfs)
         batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         if batch[["ts_ms", "event_id"]].isna().any().any():
             batch = batch.dropna(subset=["ts_ms", "event_id"])
+        if not len(batch):
+            yield _empty_out()
+            return
         b_uid = batch["user_id"].to_numpy(np.int64)
         b_ms = batch["ts_ms"].to_numpy(np.int64)
         b_val = batch["value"].to_numpy(np.float64)
@@ -152,83 +342,55 @@ def _processor(windows: dict[str, int]):
             b_uid[b_order], b_ms[b_order], b_val[b_order], b_eid[b_order]
         )
 
-        # merge state + batch rows into one (entity, ts)-sorted buffer
-        all_uid = np.concatenate([s_row_uid, b_uid])
-        all_ms = np.concatenate([s_ms, b_ms])
-        all_val = np.concatenate([s_val, b_val])
-        universe = np.unique(all_uid)
-        uidx = np.searchsorted(universe, all_uid)
-        base = all_ms.min() if len(all_ms) else np.int64(0)
-        span = int(all_ms.max() - base) if len(all_ms) else 0
-        if span + max_w_ms >= int(_TS_SPAN):
-            # composite-key isolation requires (data span + window) < 2^34 ms
-            # (~199 days); bound the span per micro-batch instead
-            raise ValueError(
-                f"per-bucket event-time span {span} ms + window {max_w_ms} ms "
-                f"exceeds the composite-key segment width 2^{_TS_BITS} ms; "
-                "set maxFilesPerTrigger to bound the batch span"
-            )
-        comp = uidx.astype(np.int64) * _TS_SPAN + (all_ms - base)
-        order = np.argsort(comp, kind="stable")
-        comp, all_uid, all_ms, all_val = (
-            comp[order], all_uid[order], all_ms[order], all_val[order]
-        )
-
-        # accumulate in integer cents: running sums are exact at any key
-        # volume, and dividing once by 100.0 lands on the same double as
-        # the batch plan's DECIMAL(25,2)->DOUBLE route. The round-trip
-        # check enforces the 2-decimal amount contract loudly — a finer-
-        # precision amount would otherwise silently diverge stream/batch.
-        cents = np.round(all_val * 100.0)
-        if not np.array_equal(cents / 100.0, all_val):
-            bad = all_val[cents / 100.0 != all_val][:3]
+        # the 2-decimal amount contract is enforced loudly on ARRIVAL —
+        # a finer-precision amount would otherwise silently diverge the
+        # stream results from the batch plan's DECIMAL(25,2) route
+        cents = np.round(b_val * 100.0)
+        if not np.array_equal(cents / 100.0, b_val):
+            bad = b_val[cents / 100.0 != b_val][:3]
             raise ValueError(
                 "per-event window state requires amounts with <= 2 decimal "
                 f"places (got e.g. {bad.tolist()}); widen the cents scale "
                 "or pre-round the amount column explicitly"
             )
-        csum = np.concatenate([[0], np.cumsum(cents.astype(np.int64))])
 
-        # every batch event's frames against the merged buffer, all
-        # entities at once: the composite key confines each frame to its
-        # entity's segment (window width << 2^34 ms)
-        b_uidx = np.searchsorted(universe, b_uid)
-        b_comp = b_uidx.astype(np.int64) * _TS_SPAN + (b_ms - base)
-        hi = np.searchsorted(comp, b_comp, side="right")
-        cols: dict[str, Any] = {
-            "user_id": b_uid,
-            "event_id": b_eid,
-            "ts_ms": b_ms,
-        }
-        for wname, wsecs in windows.items():
-            lo = np.searchsorted(comp, b_comp - wsecs * 1000, side="left")
-            n = hi - lo
-            s = (csum[hi] - csum[lo]) / 100.0
-            mx, mn = _range_extrema(all_val, lo, hi)
-            cols[f"txn_count_{wname}"] = n
-            cols[f"txn_amount_sum_{wname}"] = s
-            cols[f"avg_txn_amount_{wname}"] = s / n  # frames are non-empty
-            cols[f"max_txn_amount_{wname}"] = mx
-            cols[f"min_txn_amount_{wname}"] = mn
-        out_df = pd.DataFrame(cols)
-
-        # evict per-entity state older than the largest window behind that
-        # entity's max event-time (segment ends = exclusive prefix bounds)
-        seg_end = np.searchsorted(
-            comp, (np.arange(len(universe), dtype=np.int64) + 1) * _TS_SPAN,
-            side="left",
+        g0 = int(b_ms.min())
+        cid = (b_ms - g0) // chunk_ms
+        p_ms = pool[2]
+        single = cid.max() == 0 and (
+            len(p_ms) == 0 or int(p_ms.max()) < g0 + chunk_ms
         )
-        last_ms = all_ms[seg_end - 1]  # per-entity max (segments non-empty)
-        cutoff = np.repeat(last_ms - max_w_ms, np.diff(np.concatenate([[0], seg_end])))
-        keep = all_ms >= cutoff
-        k_uid, k_ms, k_val = all_uid[keep], all_ms[keep], all_val[keep]
-        n_uid, n_cnt = np.unique(k_uid, return_counts=True)
+        outs: list[dict[str, Any]] = []
+        if single:
+            cols, pool = _step(pool, b_uid, b_ms, b_val, b_eid, windows, max_w_ms)
+            outs.append(cols)
+        else:
+            # long-span replay: process in time chunks; state rows beyond
+            # the chunk horizon are parked and re-merged afterwards
+            for k in np.unique(cid):
+                ce = g0 + (int(k) + 1) * chunk_ms
+                work, park = _split_pool(pool, pool[2] < ce)
+                sel = cid == k
+                cols, work = _step(
+                    work, b_uid[sel], b_ms[sel], b_val[sel], b_eid[sel],
+                    windows, max_w_ms,
+                )
+                outs.append(cols)
+                # shared entities: work rows < ce ≤ park rows → time order
+                pool = _merge_pools(work, park)
+
+        out_df = (
+            pd.DataFrame(outs[0])
+            if len(outs) == 1
+            else pd.concat([pd.DataFrame(c) for c in outs], ignore_index=True)
+        )
+        n_uid, n_cnt, n_ms, n_val = pool
         state.update(
             (
                 np.ascontiguousarray(n_uid, dtype="<i8").tobytes(),
                 np.ascontiguousarray(n_cnt, dtype="<i8").tobytes(),
-                np.ascontiguousarray(k_ms, dtype="<i8").tobytes(),
-                np.ascontiguousarray(k_val, dtype="<f8").tobytes(),
+                np.ascontiguousarray(n_ms, dtype="<i8").tobytes(),
+                np.ascontiguousarray(n_val, dtype="<f8").tobytes(),
             )
         )
         yield out_df[out_cols]
@@ -245,6 +407,13 @@ def per_event_features(
     columns (user_id, event_id, ts, value). Returns the streaming output."""
     windows = windows or DEFAULT_WINDOWS
     n_buckets = n_buckets or DEFAULT_BUCKETS
+    max_w_ms = max(windows.values()) * 1000
+    if 2 * max_w_ms + 2 >= int(_TS_SPAN):
+        raise ValueError(
+            f"largest window {max_w_ms} ms does not fit the composite-key "
+            f"segment width 2^{_TS_BITS} ms (~199 days); windows must be "
+            "under ~99 days"
+        )
     prepared = stream.select(
         "user_id",
         "event_id",
@@ -261,6 +430,23 @@ def per_event_features(
     )
 
 
+_RUN_TMP_ROOT: str | None = None
+
+
+def _run_tmpdir(prefix: str) -> str:
+    """Session-scoped temp dirs for bounded runs, removed at interpreter
+    exit — repeated bench invocations must not litter the disk."""
+    global _RUN_TMP_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _RUN_TMP_ROOT is None:
+        _RUN_TMP_ROOT = tempfile.mkdtemp(prefix="per_event_runs_")
+        atexit.register(shutil.rmtree, _RUN_TMP_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_RUN_TMP_ROOT)
+
+
 def run_bounded(
     spark,
     source_dir: str,
@@ -273,9 +459,10 @@ def run_bounded(
 
     ``source_dir`` may be a directory of event-shaped parquet files, or a
     testdata sf dir — in the latter case only events.parquet is streamed
-    (the file source would otherwise read every table in the dir)."""
+    (the file source would otherwise read every table in the dir).
+    Arbitrarily long event-log spans are handled by the processor's
+    internal time-chunking; ``max_files_per_trigger`` stays optional."""
     import glob
-    import tempfile
 
     others = [
         p
@@ -291,12 +478,12 @@ def run_bounded(
 
     events = stream_events(spark, source_dir, max_files_per_trigger)
     out = per_event_features(events, windows)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_per_event_")
+    ckpt = _run_tmpdir("ckpt_per_event_")
     # parquet sink, not memory: the memory sink collects every output row
     # into the DRIVER — fine at test scale, the dominant cost at 1M rows
     # and a non-starter on a cluster. Executors write in parallel; the
     # bounded result reads back as a plain DataFrame.
-    dst = tempfile.mkdtemp(prefix="out_per_event_")
+    dst = _run_tmpdir("out_per_event_")
     q = (
         out.writeStream.outputMode("append")
         .format("parquet")
