@@ -111,10 +111,15 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
     total = int(lens.sum())
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    # flat concatenation of every emitted frame: frame f spans rows lo[f]:hi[f]
-    fid = np.repeat(np.arange(len(lens)), lens)
-    flat = np.arange(total) - starts[fid] + lo[fid]
-    v = cents[flat]
+    # flat concatenation of every emitted frame: frame f spans rows lo[f]:hi[f].
+    # Flat arrays are sized Σ frame (hot-key partitions reach tens of
+    # millions of rows), so every per-flat-row temporary is 32-bit where
+    # the value range allows — fid/offsets/ranks index partition-local
+    # rows (< 2^31 by partition sizing) — halving allocation and memory
+    # traffic of the kernel's dominant phase.
+    fid = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+    offs = np.arange(total, dtype=np.int64) - starts[fid]
+    v = cents[offs + lo[fid]]
     # rank values ascending inside each frame (tie order is irrelevant to
     # sum(rank*v): tied values have interchangeable consecutive ranks).
     # Pack (frame, value) into ONE int64 key when the value range fits —
@@ -130,7 +135,7 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
         v_sorted = comp & ((np.int64(1) << bits_v) - 1)
     else:
         v_sorted = v[np.lexsort((v, fid))]
-    ranks = np.arange(total) - starts[fid] + 1
+    ranks = offs + 1  # 1-based rank inside each frame
     s_cents = np.add.reduceat(v_sorted, starts) if total else np.array([], np.int64)
     s1_cents = (
         np.add.reduceat(ranks * v_sorted, starts) if total else np.array([], np.int64)
