@@ -124,6 +124,8 @@ ORDER = [
     "gbt_training_summary",
     "gbt_feature_contributions",
     "gbt_shap_values",
+    "gbt_lime_weights",
+    "gbt_nl_explanations",
     "stacking_ensemble_scores",
     "voting_ensemble_scores",
     "pca_anomaly_scores",

@@ -338,6 +338,130 @@ def gbt_shap_values(
     return feats.select(entity_col, *names).mapInPandas(kernel, schema=schema)
 
 
+def gbt_lime_weights(
+    feats: DataFrame,
+    model,
+    feature_cols: list[str],
+    entity_col: str = "user_id",
+    n_samples: int = 256,
+    kernel_width: float | None = None,
+    ridge: float = 1e-6,
+    seed: int = 7,
+) -> DataFrame:
+    """LIME local surrogate for a fitted GBT — library-free re-expression
+    of the reference's LimeTabularExplainer serving surface
+    (explainability/shap_explainer.py:256-296): per row, Gaussian
+    perturbations around x (scale = population stddev per feature) are
+    scored by the extracted-tree margin, weighted by the LIME exponential
+    kernel over standardized distance (width 0.75·√d, the lime-tabular
+    default), and fit with a ridge-regularized weighted linear surrogate.
+
+    Output long-format rows per (entity, feature):
+      weight           local linear effect per ORIGINAL feature unit
+      weight_per_sigma effect per population stddev (cross-feature
+                       comparable — the ranking surface)
+      intercept        surrogate value AT the instance (the local_pred
+                       analog: perturbation offsets are centered on x)
+      margin           the model's true margin at x
+      r2               weighted surrogate fit quality
+
+    Deterministic: the perturbation stream is seeded per (seed, entity
+    id), so results are independent of partitioning and batching.
+
+    Execution shape: trees + per-feature sigmas are closure metadata;
+    each Arrow batch scores all n·S perturbations in ONE vectorized tree
+    walk, then solves the n (d+1)×(d+1) weighted normal systems in a
+    single batched ``np.linalg.solve``. No shuffle; the corpus streams
+    through mapInPandas. Rows-only query surface: local surrogates are
+    sampling-based by definition; determinism, SHAP top-feature
+    agreement, and fit quality are pytest-pinned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    names = list(feature_cols)
+    d = len(names)
+    trees = gbt_trees(model)
+    kw = kernel_width if kernel_width is not None else 0.75 * float(np.sqrt(d))
+    sig_row = (
+        feats.na.fill(0, names)
+        .agg(*[F.stddev_pop(c).alias(c) for c in names])
+        .first()
+    )
+    sigma = np.array(
+        [s if s and s > 0 else 1.0 for s in (sig_row[c] for c in names)],
+        dtype=np.float64,
+    )
+    schema = (
+        f"{entity_col} long, feature string, weight double, "
+        "weight_per_sigma double, intercept double, margin double, r2 double"
+    )
+
+    def margin_of(X: "np.ndarray") -> "np.ndarray":
+        out = np.zeros(len(X))
+
+        def walk(node, mask, w):
+            if "feat" not in node:
+                out[mask] += w * node["pred"]
+                return
+            left = mask & (X[:, node["feat"]] <= node["thr"])
+            walk(node["left"], left, w)
+            walk(node["right"], mask & ~left, w)
+
+        for w, tree in trees:
+            walk(tree, np.ones(len(X), dtype=bool), w)
+        return out
+
+    def kernel(batches):
+        eye = np.eye(d + 1)
+        eye[0, 0] = 0.0  # no ridge on the intercept
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = pdf[names].fillna(0).to_numpy(np.float64)
+            uids = pdf[entity_col].to_numpy(np.int64)
+            z = np.empty((n, n_samples, d))
+            for i, uid in enumerate(uids):
+                z[i] = np.random.default_rng([seed, int(uid)]).standard_normal(
+                    (n_samples, d)
+                )
+            xp = x[:, None, :] + z * sigma[None, None, :]
+            y = margin_of(xp.reshape(n * n_samples, d)).reshape(n, n_samples)
+            w = np.exp(-(z**2).sum(axis=2) / (kw * kw))
+            a = np.concatenate([np.ones((n, n_samples, 1)), z], axis=2)
+            aw = a * w[:, :, None]
+            g = np.einsum("nsi,nsj->nij", aw, a) + ridge * eye[None, :, :]
+            b = np.einsum("nsi,ns->ni", aw, y)
+            beta = np.linalg.solve(g, b)
+            yhat = np.einsum("nsi,ni->ns", a, beta)
+            wsum = w.sum(axis=1)
+            ybar = (w * y).sum(axis=1) / wsum
+            ss_res = (w * (y - yhat) ** 2).sum(axis=1)
+            ss_tot = (w * (y - ybar[:, None]) ** 2).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r2 = np.where(ss_tot > 0, 1.0 - ss_res / ss_tot, 1.0)
+            marg = margin_of(x)
+            out = []
+            for j, name in enumerate(names):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            entity_col: uids,
+                            "feature": name,
+                            "weight": beta[:, 1 + j] / sigma[j],
+                            "weight_per_sigma": beta[:, 1 + j],
+                            "intercept": beta[:, 0],
+                            "margin": marg,
+                            "r2": r2,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return feats.select(entity_col, *names).mapInPandas(kernel, schema=schema)
+
+
 def retrain_decision(
     feedback: DataFrame,
     score_col: str = "predicted_score",

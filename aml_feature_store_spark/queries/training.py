@@ -110,6 +110,87 @@ def gbt_shap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.gbt_shap_values(feats, model, _GBT_FEATURES)
 
 
+@register("gbt_lime_weights", oracle=None)
+def gbt_lime_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIME local surrogate weights for the fitted GBT over every scored
+    entity (explainability/shap_explainer.py:256-296 re-expressed
+    library-free): perturbation + weighted local linear fit per row
+    batch, long-format (user_id, feature, weight, weight_per_sigma,
+    intercept, margin, r2) rows. Rows-only — sampling-based by
+    definition; determinism, SHAP top-feature agreement and fit quality
+    are pytest-pinned."""
+    feats = _gbt_inputs(spark, sf_dir)
+    model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
+    return training.gbt_lime_weights(feats, model, _GBT_FEATURES)
+
+
+@register("gbt_nl_explanations", oracle=None)
+def gbt_nl_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-language explanations for the FITTED model's decisions —
+    the reference's ExplanationGenerator (shap_explainer.py:298-420)
+    re-expressed as pure column expressions over the Saabas path
+    attributions (risk_explanations generalized from the rule model to
+    the fitted GBT): per entity, the top-3 |contribution| features each
+    yield one sentence with the reference's direction/strength wording
+    (raises/lowers, strongly beyond |0.1|), plus the probability-derived
+    risk level (LOW <= 0.3 < MEDIUM <= 0.6 < HIGH, api/main.py:100-104)
+    and the recommendation ladder (>0.8 block+investigate, >0.6 approve
+    with monitoring, >0.3 routine monitoring, else approve,
+    shap_explainer.py:396-420). Rows-only (tree fits are not
+    bit-portable); structure and wording pinned in pytest."""
+    from pyspark.sql import Window
+
+    feats = _gbt_inputs(spark, sf_dir)
+    model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
+    contrib = training.gbt_path_contributions(feats, model, _GBT_FEATURES)
+    stack_expr = "stack({}, {}) as (feature, feature_value)".format(
+        len(_GBT_FEATURES),
+        ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _GBT_FEATURES),
+    )
+    vals = feats.na.fill(0, _GBT_FEATURES).selectExpr("user_id", stack_expr)
+    joined = contrib.join(vals, ["user_id", "feature"])
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-2.0) * F.col("margin")))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.abs(F.col("contribution")).desc(), F.col("feature")
+        )
+    )
+    direction = F.when(F.col("contribution") >= 0, "raises").otherwise("lowers")
+    strength = F.when(
+        F.abs(F.col("contribution")) > 0.1, "strongly"
+    ).otherwise("moderately")
+    return (
+        joined.withColumn("rank", rn)
+        .filter(F.col("rank") <= 3)
+        .withColumn("risk_probability", prob)
+        .select(
+            "user_id",
+            "rank",
+            "feature",
+            "feature_value",
+            "contribution",
+            F.format_string(
+                "%s=%.3f %s risk %s (impact %+.3f)",
+                F.col("feature"),
+                F.col("feature_value"),
+                direction,
+                strength,
+                F.col("contribution"),
+            ).alias("explanation"),
+            F.round("risk_probability", 6).alias("risk_probability"),
+            F.when(F.col("risk_probability") <= 0.3, "LOW")
+            .when(F.col("risk_probability") <= 0.6, "MEDIUM")
+            .otherwise("HIGH")
+            .alias("risk_level"),
+            F.when(F.col("risk_probability") > 0.8, "block_and_investigate")
+            .when(F.col("risk_probability") > 0.6, "approve_with_monitoring")
+            .when(F.col("risk_probability") > 0.3, "approve_routine_monitoring")
+            .otherwise("approve")
+            .alias("recommendation"),
+        )
+    )
+
+
 @register("stacking_ensemble_scores", oracle=None)
 def stacking_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-fold stacking ensemble over the online feature table
