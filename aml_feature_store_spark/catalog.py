@@ -126,6 +126,8 @@ ORDER = [
     "gbt_shap_values",
     "gbt_lime_weights",
     "gbt_nl_explanations",
+    "mlp_training_summary",
+    "automl_tuning_summary",
     "stacking_ensemble_scores",
     "voting_ensemble_scores",
     "pca_anomaly_scores",

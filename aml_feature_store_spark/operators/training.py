@@ -462,6 +462,120 @@ def gbt_lime_weights(
     return feats.select(entity_col, *names).mapInPandas(kernel, schema=schema)
 
 
+def train_mlp(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    hidden_layers: list[int] | None = None,
+    max_iter: int = 100,
+    seed: int = 7,
+):
+    """Feed-forward neural classifier — the Spark-native fill for the
+    reference's deep-learning slot (models/advanced_models.py:74-105
+    builds a Dense feed-forward net; the stacking ensemble's MLP arm is
+    advanced_models.py:256): MLlib's MultilayerPerceptronClassifier
+    trains the same shrinking-width architecture with distributed L-BFGS
+    instead of an in-driver Keras fit. Deterministic seed; returns
+    (model, summary_df) with one row per layer plus train AUC/accuracy.
+    Rows-only surface — NN convergence is not bit-portable; separable-
+    model recovery is pytest-pinned."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    hidden = hidden_layers or [16, 8]
+    layers = [len(feature_cols), *hidden, 2]
+    assembled = VectorAssembler(
+        inputCols=feature_cols, outputCol="features"
+    ).transform(
+        df.withColumn("label", F.col(label_col).cast("double")).na.fill(
+            0, feature_cols
+        )
+    )
+    model = MultilayerPerceptronClassifier(
+        layers=layers, maxIter=max_iter, seed=seed, blockSize=64
+    ).fit(assembled)
+    scored = model.transform(assembled)
+    auc = float(
+        BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(scored)
+    )
+    acc = float(
+        scored.agg(
+            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+        ).first()[0]
+    )
+    rows = [
+        (i, int(sz), len(layers), int(model.weights.size), auc, acc)
+        for i, sz in enumerate(layers)
+    ]
+    summary = df.sparkSession.createDataFrame(
+        rows,
+        "layer_index int, layer_size int, n_layers int, n_weights int, "
+        "train_auc double, train_accuracy double",
+    )
+    return model, summary
+
+
+def cv_tuning_summary(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_folds: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Hyperparameter search summary — the AutoML slot
+    (models/advanced_models.py:309-362 runs Optuna cross-validated
+    trials over an XGBoost space) re-expressed Spark-native: MLlib
+    CrossValidator evaluates a deterministic param grid with k-fold ROC
+    AUC, fitting folds in parallel on the cluster instead of in-driver.
+    One row per grid combo: (regParam, elasticNetParam, avg_auc,
+    is_best), avg_auc = mean held-out AUC across folds. Rows-only —
+    fold assignment and LBFGS paths are engine-specific; grid shape,
+    metric bounds, and best-combo selection are pytest-pinned."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    assembled = VectorAssembler(
+        inputCols=feature_cols, outputCol="features"
+    ).transform(
+        df.withColumn("label", F.col(label_col).cast("double")).na.fill(
+            0, feature_cols
+        )
+    )
+    lr = LogisticRegression(maxIter=50)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.0, 0.01, 0.1])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(metricName="areaUnderROC"),
+        numFolds=n_folds,
+        parallelism=4,
+        seed=seed,
+    ).fit(assembled)
+    best = int(max(range(len(cv.avgMetrics)), key=cv.avgMetrics.__getitem__))
+    rows = [
+        (
+            float(pm[lr.regParam]),
+            float(pm[lr.elasticNetParam]),
+            float(m),
+            i == best,
+        )
+        for i, (pm, m) in enumerate(zip(cv.getEstimatorParamMaps(), cv.avgMetrics))
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "reg_param double, elastic_net_param double, avg_auc double, "
+        "is_best boolean",
+    )
+
+
 def retrain_decision(
     feedback: DataFrame,
     score_col: str = "predicted_score",

@@ -229,6 +229,30 @@ def pca_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pca(_gbt_inputs(spark, sf_dir), _GBT_FEATURES, k=2)
 
 
+@register("mlp_training_summary", oracle=None)
+def mlp_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-forward neural classifier on the online feature table — the
+    deep-learning parity slot (models/advanced_models.py:74-105, :256):
+    MLlib MultilayerPerceptronClassifier, shrinking-width layers, one
+    row per layer with train AUC/accuracy. Rows-only; separable-model
+    recovery pytest-pinned."""
+    _, summary = training.train_mlp(
+        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label"
+    )
+    return summary
+
+
+@register("automl_tuning_summary", oracle=None)
+def automl_tuning_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated hyperparameter grid over the online feature table
+    — the AutoML parity slot (models/advanced_models.py:309-362):
+    per-combo mean held-out AUC with the best combo flagged. Rows-only;
+    grid shape and selection pytest-pinned."""
+    return training.cv_tuning_summary(
+        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label"
+    )
+
+
 @register("model_training_summary", oracle=None)
 def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib logistic regression trained distributively on the online
