@@ -88,6 +88,98 @@ def write_event_log(df: DataFrame, path: str, ts_col: str = "event_timestamp") -
     )
 
 
+def generate_documents(
+    spark: SparkSession,
+    n: int = 50_000,
+    vocab_size: int = 40,
+    n_sources: int = 20,
+    near_dup_every: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Driver-testdata-shaped documents at arbitrary scale (doc_id, text,
+    lang, source, n_chars): word-salad text over a small vocabulary with
+    15-60 words per doc, and every ``near_dup_every``-th doc a one-word
+    mutation of the doc ``near_dup_every-1`` below it — so MinHash/LSH,
+    SimHash and connected-components queries see the same planted
+    duplicate structure at 10x that the shipped dirs have, and candidate
+    growth stays measurable. Pure column expressions, deterministic per
+    (seed, n)."""
+    vocab = [
+        "batch", "part", "spark", "line", "column", "order", "small", "sort",
+        "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
+        "query", "big", "key", "window", "row", "table", "stream", "merge",
+        "data", "join", "shard", "plan", "stage", "task", "node", "disk",
+        "cache", "spill", "skew", "probe", "build", "range", "frame", "state",
+    ][:vocab_size]
+    varr = F.array(*[F.lit(w) for w in vocab])
+    df = spark.range(n)
+    # near-dup pairs share a base id -> identical word stream
+    is_dup = (F.col("id") % near_dup_every == near_dup_every - 1) & (
+        F.col("id") >= near_dup_every
+    )
+    base = F.when(is_dup, F.col("id") - (near_dup_every - 1)).otherwise(
+        F.col("id")
+    )
+    n_words = (
+        F.pmod(F.xxhash64(base, F.lit(seed)), F.lit(46)) + 15
+    ).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda j: varr.getItem(
+            F.pmod(F.xxhash64(base, j, F.lit(seed + 1)), F.lit(len(vocab))).cast(
+                "int"
+            )
+        ),
+    )
+    text = F.concat(
+        F.array_join(words, " "),
+        F.when(is_dup, F.lit(" extra")).otherwise(F.lit("")),
+    )
+    u = lambda k: F.rand(seed + k)  # noqa: E731
+    lang = (
+        F.when(u(2) < 0.9, "en").when(u(2) < 0.96, "pt").otherwise("es")
+    )
+    return df.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.format_string(
+            "src%d", F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(n_sources))
+        ).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n: int = 20_000,
+    dim: int = 64,
+    n_clusters: int = 32,
+    noise: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """Driver-testdata-shaped embeddings at arbitrary scale (vec_id,
+    embedding float[dim], label): points scatter around ``n_clusters``
+    deterministic centroids, so IVF partitioning and probe pruning behave
+    the way the shipped dirs do. Pure column expressions."""
+    df = spark.range(n)
+    label = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_clusters)).cast("int")
+    emb = F.array(
+        *[
+            (
+                F.sin(label.cast("double") * F.lit(0.7) + F.lit(i * 1.3))
+                + F.randn(seed + 10 + i) * noise
+            ).cast("float")
+            for i in range(dim)
+        ]
+    )
+    return df.select(
+        F.col("id").alias("vec_id"),
+        emb.alias("embedding"),
+        label.alias("label"),
+    )
+
+
 def generate_events(
     spark: SparkSession,
     n: int = 1_000_000,

@@ -6,13 +6,14 @@ and prints ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 Materialization is a noop-sink write (not count()) so Catalyst cannot prune
 the computed columns away — every query pays its full plan.
 
-Timing hygiene: each query runs $BENCH_REPEATS times (default 3 in every
-section) and records the MIN, after one untimed per-section warm-up pass
-that pays the Python-worker/Arrow first-run cost outside the samples —
-single-shot numbers on a shared box moved ±40% round-to-round (minhash
-4.9<->6.8 s; gini hot-anchor 1.7<->21 s), which masks real regressions.
-Raw samples and load averages ship in the artifact so residual variance
-stays attributable.
+Timing hygiene: each query runs once untimed (its own plan JIT / worker
+code-path warm-up, recorded as "warm"), then $BENCH_REPEATS timed runs
+(default 3 in every section) whose MIN is the headline number; each
+section additionally opens with one untimed pass of the heaviest Python
+kernel. Single-shot numbers on this shared box moved ±40% round-to-round
+(minhash 4.9<->6.8 s; gini hot-anchor 1.7<->21 s), which masks real
+regressions. Raw samples and load averages ship in the artifact so
+residual variance stays attributable.
 
 `python bench.py --markdown <bench.json>` renders the BASELINE.md scale
 table from a recorded artifact — the table is generated, never hand-copied
@@ -57,7 +58,6 @@ HEADLINE = [
 ]
 
 # events-only queries re-run against the 10x generated events table
-# (the scale dir carries only events.parquet)
 SCALE_HEADLINE = [
     "trailing_multiwindow_features",
     "trailing_sums_cumsum_strategy",
@@ -69,6 +69,17 @@ SCALE_HEADLINE = [
     "user_sessions",
     "user_graph_degrees",
     "pit_join_purchases_24h",
+]
+
+# LLM-pipeline queries re-run against the 10x generated documents/
+# embeddings tables (gen_scale.py writes them next to events.parquet) —
+# the measured evidence that LSH candidate generation and IVF probe
+# pruning scale sublinearly (VERDICT r4 #7). Output row counts are
+# recorded alongside timings so candidate growth is visible.
+LLM_SCALE_HEADLINE = [
+    "dedup_minhash_lsh",
+    "dedup_components_lsh",
+    "ann_ivf_index_topk",
 ]
 
 
@@ -96,10 +107,23 @@ def _loadavg() -> list[float]:
 
 
 def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
-    """Time one query min-of-N. A failing query must not abort the whole
-    bench (r3 postmortem: one ANSI divide-by-zero zeroed the round's entire
-    artifact) — it records an "err" sample and a null timing instead."""
+    """Time one query min-of-N after ONE untimed per-query warm run. Each
+    query's first execution pays its own plan JIT / shuffle-file / worker
+    code-path cost (measured: the first sample of nearly every scale-anchor
+    query ran 1.5-3.5x its steady state even after a section warm-up), so
+    the warm run is excluded from the samples but recorded as "warm" in the
+    artifact — nothing is hidden, and the samples measure steady state.
+    A failing query must not abort the whole bench (r3 postmortem: one ANSI
+    divide-by-zero zeroed the round's entire artifact) — it records an
+    "err" sample and a null timing instead."""
     samples: list = []
+    t0 = time.perf_counter()
+    try:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        samples.append(f"err: {type(exc).__name__}: {exc}"[:300])
+        return None, samples
+    warm = round(time.perf_counter() - t0, 3)
     for _ in range(repeats):
         t0 = time.perf_counter()
         try:
@@ -109,7 +133,7 @@ def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
             break
         samples.append(round(time.perf_counter() - t0, 3))
     ok = [s for s in samples if isinstance(s, float)]
-    return (min(ok) if ok else None), samples
+    return (min(ok) if ok else None), {"warm": warm, "timed": samples}
 
 
 def render_markdown(artifact_path: str) -> str:
@@ -137,6 +161,14 @@ def render_markdown(artifact_path: str) -> str:
         row = f"| {name} | {sec} |"
         if "scale" in data:
             row += f" {scale_q.get(name, '—')} |"
+        if "scale_hot" in data:
+            row += f" {hot_q.get(name, '—')} |"
+        lines.append(row)
+    # scale-only queries (LLM anchors) that have no sf-dir headline row
+    for name, sec in scale_q.items():
+        if name in data["queries"]:
+            continue
+        row = f"| {name} (scale-only) | — | {sec} |"
         if "scale_hot" in data:
             row += f" {hot_q.get(name, '—')} |"
         lines.append(row)
@@ -181,7 +213,11 @@ def main() -> None:
     for name in names:
         timings[name], samples[name] = _time_query(qs, name, spark, sf_dir, repeats)
 
-    errors = {n: s[-1] for n, s in samples.items() if timings[n] is None and s}
+    errors = {
+        n: (s["timed"] if isinstance(s, dict) else s)[-1]
+        for n, s in samples.items()
+        if timings[n] is None and (s["timed"] if isinstance(s, dict) else s)
+    }
     out = {
         "metric": "headline-query wall time, noop sink, min of repeats",
         "value": round(sum(v for v in timings.values() if v is not None), 3),
@@ -192,9 +228,10 @@ def main() -> None:
         "samples": samples,
         "loadavg": {"before": load_before, "after": _loadavg()},
         "variance_note": (
-            "min-of-N per query after an untimed section warm-up; raw samples "
-            "and 1/5/15-min load averages retained — this is a shared box and "
-            "external load stretches CPU-heavy kernels"
+            "min-of-N steady-state samples per query after one untimed "
+            "per-query warm run (recorded as 'warm'); 1/5/15-min load "
+            "averages retained — this is a shared box and external load "
+            "stretches CPU-heavy kernels"
         ),
     }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -217,10 +254,21 @@ def main() -> None:
         scale_load = _loadavg()
         scale_timings: dict[str, float] = {}
         scale_samples: dict[str, list[float]] = {}
-        for name in SCALE_HEADLINE:
+        names_scale = list(SCALE_HEADLINE)
+        llm_rows: dict[str, int] = {}
+        has_llm = os.path.exists(os.path.join(scale_dir, "documents.parquet"))
+        if has_llm:
+            names_scale += LLM_SCALE_HEADLINE
+        for name in names_scale:
             scale_timings[name], scale_samples[name] = _time_query(
                 qs, name, spark, scale_dir, scale_repeats
             )
+        if has_llm:
+            for name in LLM_SCALE_HEADLINE:
+                try:  # result cardinality = candidate/pair growth evidence
+                    llm_rows[name] = qs[name](spark, scale_dir).count()
+                except Exception:
+                    llm_rows[name] = -1
         out["scale"] = {
             "sf": 1.0,
             "n_events": 1_000_000,
@@ -230,6 +278,7 @@ def main() -> None:
             ),
             "queries": scale_timings,
             "samples": scale_samples,
+            "llm_rows": llm_rows,
             "loadavg": {"before": scale_load, "after": _loadavg()},
         }
 

@@ -1,11 +1,14 @@
-"""Generate a scaled-up events table for scaling benchmarks.
+"""Generate scaled-up tables for scaling benchmarks.
 
-Usage: python tools/gen_scale.py [n_events] [out_dir]
+Usage: python tools/gen_scale.py [n_events] [out_dir] [--llm]
 
 Default: 1,000,000 events (10x the shipped sf0.1) into
-/root/repo/.scale/sf1/events.parquet. bench.py picks the directory up via
+/root/repo/.scale/sf1/events.parquet; with --llm (default for the
+standard out dir) also 10x documents (50k) and embeddings (20k) so the
+LSH/IVF scale anchors get measured. bench.py picks the directory up via
 $SPARK_GRAFT_SCALE_DIR (same default) and appends a "scale" section to
-its JSON line when present.
+its JSON line when present; the LLM queries join that section when the
+documents/embeddings files exist.
 """
 
 from __future__ import annotations
@@ -17,20 +20,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    n = int(args[0]) if args else 1_000_000
+    default_out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale",
+        "sf1",
     )
+    out = args[1] if len(args) > 1 else default_out
+    llm = "--llm" in flags or (out == default_out and "--no-llm" not in flags)
     from aml_feature_store_spark.session import get_spark
-    from aml_feature_store_spark.sources.generator import generate_events
+    from aml_feature_store_spark.sources.generator import (
+        generate_documents,
+        generate_embeddings,
+        generate_events,
+    )
 
     spark = get_spark("gen-scale")
     df = generate_events(spark, n=n, n_users=max(150, n * 15 // 1000))
     os.makedirs(out, exist_ok=True)
-    df.coalesce(8).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    df.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
     print(f"wrote {n} events to {out}/events.parquet")
+    if llm:
+        n_docs = max(500, n // 20)
+        n_vecs = max(500, n // 50)
+        generate_documents(spark, n=n_docs).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "documents.parquet"))
+        generate_embeddings(spark, n=n_vecs).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "embeddings.parquet"))
+        print(f"wrote {n_docs} documents and {n_vecs} embeddings to {out}")
 
 
 if __name__ == "__main__":
