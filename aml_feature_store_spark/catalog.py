@@ -71,6 +71,7 @@ ORDER = [
     "streaming_per_event_features",
     "streaming_graph_edges",
     "streaming_tumbling_complete",
+    "streaming_per_event_extended",
     "windowed_gini_24h",
     "windowed_hhi_24h",
     "windowed_entropy_24h",
@@ -91,7 +92,6 @@ ORDER = [
     "dedup_simhash",
     "embedding_near_dup_pairs",
     "ann_ivf_topk",
-    "ann_ivf_multiprobe",
     # --- driver cap boundary (50) is here; below are rotated-out rows,
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
     # then rows-only queries ---
@@ -112,6 +112,7 @@ ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "knn_cosine_bruteforce",
+    "ann_ivf_multiprobe",
     "ann_recall_at_k",
     "ann_ivf_topk_refined",
     "ann_recall_refined",

@@ -115,3 +115,75 @@ def streaming_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _ext_window_sql(w: str, w_ms: int) -> str:
+    mins = w_ms / 60000.0
+    cents = "CAST(ROUND(value * 100) AS BIGINT)"
+    s1 = f"CAST(SUM({cents}) OVER {w} AS DOUBLE)"
+    s2 = f"CAST(SUM({cents} * {cents}) OVER {w} AS DOUBLE)"
+    n = f"CAST(COUNT(*) OVER {w} AS DOUBLE)"
+    return f"""
+  COUNT(*) OVER {w} AS txn_count_{w},
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER {w} AS DOUBLE) AS txn_amount_sum_{w},
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER {w} AS DOUBLE) / {n}
+    AS avg_txn_amount_{w},
+  MAX(value) OVER {w} AS max_txn_amount_{w},
+  MIN(value) OVER {w} AS min_txn_amount_{w},
+  ROUND(SQRT(GREATEST({s2} / {n} - ({s1} / {n}) * ({s1} / {n}), 0.0)) / 100, 6)
+    + 0.0 AS std_txn_amount_{w},
+  {n} / {mins} AS velocity_score_{w},
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 6 OR EXTRACT(hour FROM ts) > 22
+      THEN 1 ELSE 0 END) OVER {w} AS BIGINT) AS night_txn_count_{w},
+  CAST(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END) OVER {w} AS BIGINT)
+    AS weekend_txn_count_{w},
+  (SELECT COUNT(DISTINCT COALESCE(TRY_CAST(
+       regexp_extract(e2.props, '"k": (\\d+)', 1) AS BIGINT), -1))
+   FROM events e2
+   WHERE e2.user_id = e.user_id
+     AND epoch_ms(e2.ts) BETWEEN epoch_ms(e.ts) - {w_ms} AND epoch_ms(e.ts))
+    AS unique_k_{w}"""
+
+
+_PER_EVENT_EXT_ORACLE = f"""
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+{_ext_window_sql('w5m', 300000)},
+{_ext_window_sql('w1h', 3600000)}
+FROM events e
+WINDOW
+  w5m AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW),
+  w1h AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+""".replace("txn_count_w5m", "txn_count_5m").replace("_w5m", "_5m").replace(
+    "_w1h", "_1h"
+)
+
+
+@register("streaming_per_event_extended", oracle=_PER_EVENT_EXT_ORACLE)
+def streaming_per_event_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL per-event streaming vector (T3 deepened;
+    aml_stream_processor.py:147-199): on every event, per trailing window
+    — count/sum/avg/max/min PLUS population stddev (integer-cents second
+    moment, exact), velocity score (txn per minute), night and weekend
+    conditional counts (UTC, reference definitions), and the EXACT
+    distinct category count (props.k — the unique-merchants analog)
+    computed inside the stateful kernel by previous-occurrence interval
+    markers: distinct(t) = #{max(ms, prev+W+1) <= t} − #{ms+W < t} over
+    two sorted marker arrays, two searchsorted probes per frame — no
+    per-frame set materialization, O(buffer log buffer) per bucket per
+    batch. Oracle-checked against the batch window SQL (online/offline
+    consistency for the full vector, not just the 5 basic aggregates)."""
+    src = isolate_events_files(sf_dir)
+    name = f"pex_q_{uuid.uuid4().hex[:8]}"
+    out = run_bounded(
+        spark, src, {"5m": 300, "1h": 3600}, query_name=name, extended=True
+    )
+    # engine-wide round-6 contract for the stddev columns (Spark ROUND
+    # pairs with the oracle's ROUND; the kernel emits raw doubles)
+    for w in ("5m", "1h"):
+        out = out.withColumn(
+            f"std_txn_amount_{w}",
+            F.round(F.col(f"std_txn_amount_{w}"), 6) + F.lit(0.0),
+        )
+    return out

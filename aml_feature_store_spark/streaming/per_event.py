@@ -91,12 +91,13 @@ STATE_SCHEMA = T.StructType(
         T.StructField("cnt", T.BinaryType()),   # rows per entity
         T.StructField("ms", T.BinaryType()),    # concatenated event times
         T.StructField("val", T.BinaryType()),   # concatenated amounts
+        T.StructField("cat", T.BinaryType()),   # concatenated category keys
     ]
 )
 
 # a state "pool": (uid unique+sorted, rows per uid, ms grouped by uid and
-# ascending within, val aligned with ms)
-Pool = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+# ascending within, val and cat aligned with ms)
+Pool = tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]
 
 
 def _empty_pool() -> Pool:
@@ -105,10 +106,13 @@ def _empty_pool() -> Pool:
         np.empty(0, np.int64),
         np.empty(0, np.int64),
         np.empty(0, np.float64),
+        np.empty(0, np.int64),
     )
 
 
-def output_schema(windows: dict[str, int]) -> T.StructType:
+def output_schema(
+    windows: dict[str, int], extended: bool = False
+) -> T.StructType:
     fields = [
         T.StructField("user_id", T.LongType()),
         T.StructField("event_id", T.LongType()),
@@ -122,6 +126,14 @@ def output_schema(windows: dict[str, int]) -> T.StructType:
             T.StructField(f"max_txn_amount_{w}", T.DoubleType()),
             T.StructField(f"min_txn_amount_{w}", T.DoubleType()),
         ]
+        if extended:
+            fields += [
+                T.StructField(f"std_txn_amount_{w}", T.DoubleType()),
+                T.StructField(f"velocity_score_{w}", T.DoubleType()),
+                T.StructField(f"night_txn_count_{w}", T.LongType()),
+                T.StructField(f"weekend_txn_count_{w}", T.LongType()),
+                T.StructField(f"unique_k_{w}", T.LongType()),
+            ]
     return T.StructType(fields)
 
 
@@ -138,8 +150,8 @@ def _merge_pools(a: Pool, b: Pool) -> Pool:
     """Merge two entity-grouped pools in O(rows); for entities present in
     both, pool-a rows precede pool-b rows (callers guarantee a's rows are
     not event-time-newer than b's for shared entities)."""
-    a_uid, a_cnt, a_ms, a_val = a
-    b_uid, b_cnt, b_ms, b_val = b
+    a_uid, a_cnt, *a_rows = a
+    b_uid, b_cnt, *b_rows = b
     if len(a_uid) == 0:
         return b
     if len(b_uid) == 0:
@@ -156,19 +168,19 @@ def _merge_pools(a: Pool, b: Pool) -> Pool:
     a_len[a_pos] = a_cnt
     b_idx = np.repeat(starts[b_pos] + a_len[b_pos], b_cnt) + _block_ranges(b_cnt)
     total = int(f_cnt.sum())
-    f_ms = np.empty(total, np.int64)
-    f_val = np.empty(total, np.float64)
-    f_ms[a_idx] = a_ms
-    f_ms[b_idx] = b_ms
-    f_val[a_idx] = a_val
-    f_val[b_idx] = b_val
-    return f_uid, f_cnt, f_ms, f_val
+    merged = []
+    for ar, br in zip(a_rows, b_rows):
+        m = np.empty(total, ar.dtype)
+        m[a_idx] = ar
+        m[b_idx] = br
+        merged.append(m)
+    return (f_uid, f_cnt, *merged)
 
 
 def _split_pool(pool: Pool, row_mask: np.ndarray) -> tuple[Pool, Pool]:
     """Split a pool row-wise by a boolean mask (True → first pool).
     Filtering preserves per-entity grouping and time order."""
-    uid, cnt, ms, val = pool
+    uid, cnt, *rows = pool
     if len(uid) == 0:
         return pool, pool
     starts = np.cumsum(cnt) - cnt
@@ -176,8 +188,8 @@ def _split_pool(pool: Pool, row_mask: np.ndarray) -> tuple[Pool, Pool]:
     out_cnt = cnt - in_cnt
     ka, kb = in_cnt > 0, out_cnt > 0
     return (
-        (uid[ka], in_cnt[ka], ms[row_mask], val[row_mask]),
-        (uid[kb], out_cnt[kb], ms[~row_mask], val[~row_mask]),
+        (uid[ka], in_cnt[ka], *[r[row_mask] for r in rows]),
+        (uid[kb], out_cnt[kb], *[r[~row_mask] for r in rows]),
     )
 
 
@@ -214,8 +226,10 @@ def _step(
     b_ms: np.ndarray,
     b_val: np.ndarray,
     b_eid: np.ndarray,
+    b_cat: np.ndarray,
     windows: dict[str, int],
     max_w_ms: int,
+    extended: bool,
 ) -> tuple[dict[str, Any], Pool]:
     """One logical micro-batch: emit per-event window aggregates for the
     (uid, ms, eid)-sorted batch rows against `pool`, return the updated
@@ -229,7 +243,7 @@ def _step(
     ent_t = np.isin(p_uid, t_uids, assume_unique=True)
     row_t = np.repeat(ent_t, p_cnt)
     touched, untouched = _split_pool(pool, row_t)
-    tp_uid, tp_cnt, tp_ms, tp_val = touched
+    tp_uid, tp_cnt, tp_ms, tp_val, tp_cat = touched
 
     # per-entity base = earliest batch event − max window: every row a
     # frame can see has ms ≥ base, every retained-state row too
@@ -241,7 +255,8 @@ def _step(
     sp = np.searchsorted(t_uids, tp_uid)
     row_sp = np.repeat(sp, tp_cnt)
     keep0 = tp_ms >= np.repeat(base[sp], tp_cnt)
-    s_tidx, s_ms, s_val = row_sp[keep0], tp_ms[keep0], tp_val[keep0]
+    s_tidx, s_ms = row_sp[keep0], tp_ms[keep0]
+    s_val, s_cat = tp_val[keep0], tp_cat[keep0]
 
     # merge sorted state rows with sorted batch rows by scatter: O(s + b)
     comp_s = s_tidx * _TS_SPAN + (s_ms - base[s_tidx])
@@ -255,25 +270,66 @@ def _step(
     m_comp = np.empty(ns + nb, np.int64)
     m_ms = np.empty(ns + nb, np.int64)
     m_val = np.empty(ns + nb, np.float64)
+    m_cat = np.empty(ns + nb, np.int64)
     m_comp[pos_b] = comp_b
     m_comp[~is_b] = comp_s
     m_ms[pos_b] = b_ms
     m_ms[~is_b] = s_ms
     m_val[pos_b] = b_val
     m_val[~is_b] = s_val
+    m_cat[pos_b] = b_cat
+    m_cat[~is_b] = s_cat
 
     # running sums in integer cents: exact at any volume, and /100.0
     # lands on the same double as the batch plan's DECIMAL route (batch
     # rows were validated 2-decimal on arrival; state rows are replays
     # of already-validated rows)
-    csum = np.concatenate(
-        [[0], np.cumsum(np.round(m_val * 100.0).astype(np.int64))]
-    )
+    cents = np.round(m_val * 100.0).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(cents)])
+
+    if extended:
+        # second-moment prefix in integer cents² (exact; guarded against
+        # int64 overflow, which needs ~4e5 buffer rows of max-scale
+        # amounts per bucket — far beyond a window's worth of state)
+        cmax = int(np.abs(cents).max()) if len(cents) else 0
+        if cmax * cmax * max(len(cents), 1) >= 2**62:
+            raise ValueError(
+                "windowed stddev second-moment prefix would overflow "
+                "int64 for this bucket; raise the bucket count"
+            )
+        csum2 = np.concatenate([[0], np.cumsum(cents * cents)])
+        # night/weekend indicator prefixes (UTC, reference definitions:
+        # hour < 6 or > 22; ISO weekday >= Saturday)
+        hour = (m_ms % 86400000) // 3600000
+        dow = (m_ms // 86400000 + 3) % 7  # 1970-01-01 = Thursday, Mon=0
+        cnight = np.concatenate(
+            [[0], np.cumsum(((hour < 6) | (hour > 22)).astype(np.int64))]
+        )
+        cweekend = np.concatenate([[0], np.cumsum((dow >= 5).astype(np.int64))])
+        # previous same-(entity, category) occurrence for exact windowed
+        # distinct counts by interval-marker decomposition: a row is the
+        # FIRST occurrence of its category inside frame(t) iff
+        # max(ms, prev + W + 1) <= t <= ms + W, so
+        # distinct(t) = #{A <= t} - #{B < t} with sorted marker arrays
+        # A = max(comp, prev_comp + W + 1), B = comp + W (clamped into
+        # the entity segment; queried t never reaches the segment end)
+        order2 = np.lexsort((m_comp, m_cat))
+        prev_comp = np.full(len(m_comp), np.int64(-1))
+        oc, ocat = m_comp[order2], m_cat[order2]
+        otidx = oc // _TS_SPAN
+        same = np.zeros(len(oc), dtype=bool)
+        if len(oc) > 1:
+            same[1:] = (ocat[1:] == ocat[:-1]) & (otidx[1:] == otidx[:-1])
+        pv = np.full(len(oc), np.int64(-1))
+        pv[1:][same[1:]] = oc[:-1][same[1:]]
+        prev_comp[order2] = pv
+        seg_hi = (m_comp // _TS_SPAN + 1) * _TS_SPAN - 1
 
     hi = np.searchsorted(m_comp, comp_b, side="right")
     cols: dict[str, Any] = {"user_id": b_uid, "event_id": b_eid, "ts_ms": b_ms}
     for wname, wsecs in windows.items():
-        lo = np.searchsorted(m_comp, comp_b - wsecs * 1000, side="left")
+        w_ms = wsecs * 1000
+        lo = np.searchsorted(m_comp, comp_b - w_ms, side="left")
         n = hi - lo
         s = (csum[hi] - csum[lo]) / 100.0
         mx, mn = _range_extrema(m_val, lo, hi)
@@ -282,6 +338,25 @@ def _step(
         cols[f"avg_txn_amount_{wname}"] = s / n  # frames are non-empty
         cols[f"max_txn_amount_{wname}"] = mx
         cols[f"min_txn_amount_{wname}"] = mn
+        if extended:
+            s1 = (csum[hi] - csum[lo]).astype(np.float64)
+            s2 = (csum2[hi] - csum2[lo]).astype(np.float64)
+            nd = n.astype(np.float64)
+            var = s2 / nd - (s1 / nd) ** 2
+            # unrounded here; the query layer applies the engine-wide
+            # round-6 contract with Spark's ROUND (pairs with the oracle)
+            cols[f"std_txn_amount_{wname}"] = (
+                np.sqrt(np.maximum(var, 0.0)) / 100.0
+            )
+            cols[f"velocity_score_{wname}"] = nd / (wsecs / 60.0)
+            cols[f"night_txn_count_{wname}"] = cnight[hi] - cnight[lo]
+            cols[f"weekend_txn_count_{wname}"] = cweekend[hi] - cweekend[lo]
+            pc = np.where(prev_comp >= 0, prev_comp + w_ms + 1, np.int64(-1))
+            a_mark = np.sort(np.minimum(np.maximum(m_comp, pc), seg_hi))
+            b_mark = np.sort(np.minimum(m_comp + w_ms, seg_hi))
+            cols[f"unique_k_{wname}"] = np.searchsorted(
+                a_mark, comp_b, side="right"
+            ) - np.searchsorted(b_mark, comp_b, side="left")
 
     # evict per-entity state older than the largest window behind that
     # entity's max event-time (segments end at composite boundaries)
@@ -292,19 +367,24 @@ def _step(
     cutoff = np.repeat(m_ms[seg_end - 1] - max_w_ms, seg_cnt)
     kp = m_ms >= cutoff
     new_cnt = np.add.reduceat(kp.astype(np.int64), seg_end - seg_cnt)
-    new_touched: Pool = (t_uids, new_cnt, m_ms[kp], m_val[kp])
+    new_touched: Pool = (t_uids, new_cnt, m_ms[kp], m_val[kp], m_cat[kp])
     return cols, _merge_pools(untouched, new_touched)
 
 
-def _processor(windows: dict[str, int]):
+def _processor(windows: dict[str, int], extended: bool = False):
     max_w_ms = max(windows.values()) * 1000
-    out_cols = [f.name for f in output_schema(windows)]
+    out_cols = [f.name for f in output_schema(windows, extended)]
     # chunk width: chunk rows + window context fit one composite segment
     chunk_ms = int(_TS_SPAN) - max_w_ms - 1
 
+    int_prefixes = (
+        "user_id", "event_id", "ts_ms", "txn_count", "night_txn_count",
+        "weekend_txn_count", "unique_k",
+    )
+
     def _empty_out() -> pd.DataFrame:
         data = {
-            c: np.empty(0, np.int64 if c.startswith(("user_id", "event_id", "ts_ms", "txn_count")) else np.float64)
+            c: np.empty(0, np.int64 if c.startswith(int_prefixes) else np.float64)
             for c in out_cols
         }
         return pd.DataFrame(data)
@@ -315,12 +395,13 @@ def _processor(windows: dict[str, int]):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            uid_raw, cnt_raw, ms_raw, val_raw = state.get
+            uid_raw, cnt_raw, ms_raw, val_raw, cat_raw = state.get
             pool: Pool = (
                 np.frombuffer(uid_raw, dtype="<i8"),
                 np.frombuffer(cnt_raw, dtype="<i8"),
                 np.frombuffer(ms_raw, dtype="<i8"),
                 np.frombuffer(val_raw, dtype="<f8"),
+                np.frombuffer(cat_raw, dtype="<i8"),
             )
         else:
             pool = _empty_pool()
@@ -336,10 +417,16 @@ def _processor(windows: dict[str, int]):
         b_ms = batch["ts_ms"].to_numpy(np.int64)
         b_val = batch["value"].to_numpy(np.float64)
         b_eid = batch["event_id"].to_numpy(np.int64)
+        b_cat = (
+            batch["cat"].fillna(-1).to_numpy(np.int64)
+            if "cat" in batch.columns
+            else np.full(len(batch), np.int64(-1))
+        )
         # batch rows in (entity, event-time, id) order
         b_order = np.lexsort((b_eid, b_ms, b_uid))
-        b_uid, b_ms, b_val, b_eid = (
-            b_uid[b_order], b_ms[b_order], b_val[b_order], b_eid[b_order]
+        b_uid, b_ms, b_val, b_eid, b_cat = (
+            b_uid[b_order], b_ms[b_order], b_val[b_order], b_eid[b_order],
+            b_cat[b_order],
         )
 
         # the 2-decimal amount contract is enforced loudly on ARRIVAL —
@@ -362,7 +449,10 @@ def _processor(windows: dict[str, int]):
         )
         outs: list[dict[str, Any]] = []
         if single:
-            cols, pool = _step(pool, b_uid, b_ms, b_val, b_eid, windows, max_w_ms)
+            cols, pool = _step(
+                pool, b_uid, b_ms, b_val, b_eid, b_cat,
+                windows, max_w_ms, extended,
+            )
             outs.append(cols)
         else:
             # long-span replay: process in time chunks; state rows beyond
@@ -373,7 +463,7 @@ def _processor(windows: dict[str, int]):
                 sel = cid == k
                 cols, work = _step(
                     work, b_uid[sel], b_ms[sel], b_val[sel], b_eid[sel],
-                    windows, max_w_ms,
+                    b_cat[sel], windows, max_w_ms, extended,
                 )
                 outs.append(cols)
                 # shared entities: work rows < ce ≤ park rows → time order
@@ -384,13 +474,14 @@ def _processor(windows: dict[str, int]):
             if len(outs) == 1
             else pd.concat([pd.DataFrame(c) for c in outs], ignore_index=True)
         )
-        n_uid, n_cnt, n_ms, n_val = pool
+        n_uid, n_cnt, n_ms, n_val, n_cat = pool
         state.update(
             (
                 np.ascontiguousarray(n_uid, dtype="<i8").tobytes(),
                 np.ascontiguousarray(n_cnt, dtype="<i8").tobytes(),
                 np.ascontiguousarray(n_ms, dtype="<i8").tobytes(),
                 np.ascontiguousarray(n_val, dtype="<f8").tobytes(),
+                np.ascontiguousarray(n_cat, dtype="<i8").tobytes(),
             )
         )
         yield out_df[out_cols]
@@ -402,9 +493,13 @@ def per_event_features(
     stream: DataFrame,
     windows: dict[str, int] | None = None,
     n_buckets: int | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """Apply the per-event stateful processor to a streaming DataFrame with
-    columns (user_id, event_id, ts, value). Returns the streaming output."""
+    columns (user_id, event_id, ts, value). With ``extended=True`` the
+    reference's FULL per-event vector is emitted (std/velocity/night/
+    weekend/unique-category per window — aml_stream_processor.py:147-199);
+    the category key is parsed from ``props.k`` when present."""
     windows = windows or DEFAULT_WINDOWS
     n_buckets = n_buckets or DEFAULT_BUCKETS
     max_w_ms = max(windows.values()) * 1000
@@ -414,16 +509,24 @@ def per_event_features(
             f"segment width 2^{_TS_BITS} ms (~199 days); windows must be "
             "under ~99 days"
         )
+    from ..schemas import EVENT_PROPS
+
+    cat = (
+        F.coalesce(F.from_json("props", EVENT_PROPS)["k"], F.lit(-1))
+        if "props" in stream.columns
+        else F.lit(-1).cast("long")
+    )
     prepared = stream.select(
         "user_id",
         "event_id",
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         "value",
+        cat.alias("cat"),
         F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("_bucket"),
     )
     return prepared.groupBy("_bucket").applyInPandasWithState(
-        _processor(windows),
-        outputStructType=output_schema(windows),
+        _processor(windows, extended),
+        outputStructType=output_schema(windows, extended),
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -453,6 +556,7 @@ def run_bounded(
     windows: dict[str, int] | None = None,
     query_name: str = "per_event_features",
     max_files_per_trigger: int | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """Drive the per-event processor over a bounded file stream to
     completion (availableNow) and return the materialized result.
@@ -477,7 +581,7 @@ def run_bounded(
     from ..sources.tables import stream_events
 
     events = stream_events(spark, source_dir, max_files_per_trigger)
-    out = per_event_features(events, windows)
+    out = per_event_features(events, windows, extended=extended)
     ckpt = _run_tmpdir("ckpt_per_event_")
     # parquet sink, not memory: the memory sink collects every output row
     # into the DRIVER — fine at test scale, the dominant cost at 1M rows
@@ -493,4 +597,4 @@ def run_bounded(
         .start()
     )
     q.awaitTermination()
-    return spark.read.schema(output_schema(windows)).parquet(dst)
+    return spark.read.schema(output_schema(windows, extended)).parquet(dst)
