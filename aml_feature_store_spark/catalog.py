@@ -94,7 +94,9 @@ ORDER = [
     "ann_ivf_topk",
     # --- driver cap boundary (50) is here; below are rotated-out rows,
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
-    # then rows-only queries ---
+    # then rows-only queries. sequence_lag_features is new this round
+    # (locally oracle-exact) and leads the r6 rotation queue ---
+    "sequence_lag_features",
     "batch_score_requests",
     "risk_explanations",
     "gini_per_user",
@@ -129,6 +131,7 @@ ORDER = [
     "gbt_nl_explanations",
     "mlp_training_summary",
     "automl_tuning_summary",
+    "sequence_mlp_summary",
     "stacking_ensemble_scores",
     "voting_ensemble_scores",
     "pca_anomaly_scores",

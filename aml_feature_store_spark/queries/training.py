@@ -277,3 +277,79 @@ def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     return summary
+
+
+_SEQ_K = 5
+
+
+def _seq_oracle() -> str:
+    lags = ",\n  ".join(
+        f"COALESCE(LAG(value, {i}) OVER w, 0.0) AS lag_value_{i}"
+        for i in range(1, _SEQ_K + 1)
+    )
+    gaps = ",\n  ".join(
+        "COALESCE(CAST(epoch_ms(ts) - LAG(epoch_ms(ts), {i}) OVER w AS "
+        "DOUBLE) / 1000.0, -1.0) AS gap_s_{i}".format(i=i)
+        for i in range(1, _SEQ_K + 1)
+    )
+    return f"""
+SELECT event_id, user_id,
+  {lags},
+  {gaps}
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+"""
+
+
+@register("sequence_lag_features", oracle=_seq_oracle())
+def sequence_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event sequence encoding — the input builder for the reference's
+    sequence models (models/advanced_models.py:144-172 LSTM consumes
+    (sequence_length, n_features) windows): each event carries its
+    entity's last k amounts and inter-arrival gaps as flat columns, built
+    in ONE window pass (k LAG expressions over one partition/sort — one
+    shuffle, one sort, no self-join). This is the standard tabular
+    encoding of fixed-length sequences at 100 TB: lag columns stay
+    columnar, prune, and feed any downstream trainer. Missing history
+    pads with 0.0 (amounts) / -1.0 (gaps), mirroring Keras-style
+    pre-padding."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis(F.col("ts")), "event_id"
+    )
+    ms = F.unix_millis(F.col("ts"))
+    cols = [
+        F.coalesce(F.lag("value", i).over(w), F.lit(0.0)).alias(f"lag_value_{i}")
+        for i in range(1, _SEQ_K + 1)
+    ] + [
+        F.coalesce(
+            (ms - F.lag(ms, i).over(w)).cast("double") / 1000.0, F.lit(-1.0)
+        ).alias(f"gap_s_{i}")
+        for i in range(1, _SEQ_K + 1)
+    ]
+    return ev.select("event_id", "user_id", *cols)
+
+
+@register("sequence_mlp_summary", oracle=None)
+def sequence_mlp_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence classifier — the engine's fill for the reference's LSTM
+    slot (models/advanced_models.py:144-172): the MLP trains on the
+    flat lag-k sequence encoding (sequence_lag_features) to predict
+    purchase events from each entity's recent amount/gap history. The
+    recurrent cell is replaced by a fixed-horizon feed-forward net — the
+    architecture that actually distributes (no sequential dependency
+    between rows), trained with MLlib's distributed L-BFGS. Rows-only
+    (NN convergence is not bit-portable); the pipeline shape and seed
+    determinism are pytest-pinned via train_mlp."""
+    feats = sequence_lag_features(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_type") == "purchase").alias("label")
+    )
+    df = feats.join(ev, "event_id")
+    cols = [f"lag_value_{i}" for i in range(1, _SEQ_K + 1)] + [
+        f"gap_s_{i}" for i in range(1, _SEQ_K + 1)
+    ]
+    _, summary = training.train_mlp(df, cols, "label", hidden_layers=[16, 8])
+    return summary

@@ -55,6 +55,7 @@ HEADLINE = [
     "text_stats",
     "knn_cosine_bruteforce",
     "streaming_per_event_features",
+    "streaming_per_event_extended",
 ]
 
 # events-only queries re-run against the 10x generated events table
@@ -69,6 +70,7 @@ SCALE_HEADLINE = [
     "user_sessions",
     "user_graph_degrees",
     "pit_join_purchases_24h",
+    "streaming_per_event_extended",
 ]
 
 # LLM-pipeline queries re-run against the 10x generated documents/
