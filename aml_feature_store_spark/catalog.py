@@ -86,7 +86,7 @@ ORDER = [
     "user_sessions",
     "ks_drift_value",
     "model_auc",
-    "user_clustering_coeff",
+    "sequence_lag_features",
     "curate_training_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -94,9 +94,8 @@ ORDER = [
     "ann_ivf_topk",
     # --- driver cap boundary (50) is here; below are rotated-out rows,
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
-    # then rows-only queries. sequence_lag_features is new this round
-    # (locally oracle-exact) and leads the r6 rotation queue ---
-    "sequence_lag_features",
+    # then rows-only queries ---
+    "user_clustering_coeff",
     "batch_score_requests",
     "risk_explanations",
     "gini_per_user",
