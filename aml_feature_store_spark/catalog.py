@@ -138,6 +138,7 @@ ORDER = [
     "seeded_sample",
     "multimodal_image_features",
     "multimodal_decode_features",
+    "multimodal_png_features",
     "multimodal_resize_features",
     "multimodal_frame_sample",
     "streaming_tumbling_rollup",

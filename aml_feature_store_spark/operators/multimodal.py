@@ -6,9 +6,12 @@ format header). Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so payload bytes never round-trip through Python row
 objects. Decode is REAL for the library-free formats — uncompressed BMP,
 binary PPM/PGM, and integer-PCM WAV are parsed with pure struct+numpy
-(`decode_features`) — and gated behind a PIL import for compressed
-images; `extract_image_features` remains the deterministic fake
-featurizer for pipeline tests that want format-independent output.
+(`decode_features`) — PLUS compressed PNG, decoded natively with stdlib
+zlib + numpy (`_parse_png_pixels`: chunk walk, DEFLATE inflate, the five
+scanline filters inverted). Only the remaining compressed formats
+(JPEG/GIF/WebP) are gated behind a PIL import; `extract_image_features`
+remains the deterministic fake featurizer for pipeline tests that want
+format-independent output.
 
 Scale notes: payloads skew partition sizes — repartition by a digest
 prefix before decode so one executor doesn't get all the large blobs;
@@ -190,10 +193,142 @@ def _decode_wav(b: bytes):
             float(x.std()) if n else 0.0)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png_pixels(b: bytes):
+    """(width, height, channels, HxWxC uint8 array) for non-interlaced
+    8-bit-depth PNGs (grayscale / RGB / palette / gray+alpha / RGBA), or
+    None. Pure stdlib-zlib + numpy — PNG is DEFLATE-compressed filtered
+    scanlines, so no codec library is needed: walk the chunk stream
+    (IHDR / PLTE / IDAT / IEND), inflate the concatenated IDAT payload,
+    and invert the five per-row filters (None/Sub/Up/Average/Paeth).
+    Sub inverts as a per-channel cumsum mod 256 (vectorized); Average and
+    Paeth carry a genuine per-byte data dependency and run sequentially.
+    Interlaced (Adam7) and 16-bit images return None (PIL fallback)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 + 25 or b[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if (depth != 8 or comp != 0 or filt != 0 or interlace != 0
+            or color not in _PNG_CHANNELS or w == 0 or h == 0):
+        return None
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(rows[y, 0])
+        row = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-nch] -> cumsum mod 256
+            rec = (np.cumsum(row.reshape(w, nch), axis=0) & 0xFF).reshape(stride)
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = row
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = row
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                up = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    if color == 3:  # palette-indexed: map through PLTE to RGB
+        if plte is None or len(plte) % 3:
+            return None
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(table):
+            return None
+        return w, h, 3, table[idx]
+    return w, h, nch, out.reshape(h, w, nch)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _encode_png(px) -> bytes:
+    """Encode an HxW (grayscale) or HxWxC (C in 1/2/3/4) uint8 array as a
+    non-interlaced 8-bit PNG — stdlib zlib DEFLATE, filter 0 rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = px.reshape(h, w * nch)
+    scan = np.zeros((h, w * nch + 1), dtype=np.uint8)
+    scan[:, 1:] = flat
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(b: bytes):
+    import numpy as np
+
+    parsed = _parse_png_pixels(b)
+    if parsed is None:
+        return None
+    w, h, nch, px = parsed
+    x = px.astype(np.float64)
+    return ("png", w, h, nch, None, None, float(x.mean()), float(x.std()))
+
+
 def _decode_any(b: bytes):
-    """Dispatch on magic bytes; pure-numpy for uncompressed formats, PIL
-    (if installed) for compressed images, else None."""
-    for dec in (_decode_bmp, _decode_ppm, _decode_wav):
+    """Dispatch on magic bytes; pure-numpy for uncompressed formats,
+    stdlib zlib+numpy for PNG, PIL (if installed) for the remaining
+    compressed formats (JPEG/GIF/WebP), else None."""
+    for dec in (_decode_bmp, _decode_ppm, _decode_wav, _decode_png):
         try:
             got = dec(b)
         except Exception:
@@ -223,8 +358,9 @@ def _decode_any(b: bytes):
 
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL multimodal decode over opaque binary payloads: BMP / PPM / PGM
-    / WAV-PCM are parsed with pure struct+numpy (no codec library needed);
-    compressed images go through PIL when installed; unrecognized payloads
+    / WAV-PCM are parsed with pure struct+numpy and PNG with stdlib
+    zlib+numpy (no codec library needed); the remaining compressed image
+    formats go through PIL when installed; unrecognized payloads
     yield a (doc_id, format=NULL, ..., n_bytes) row rather than failing
     the batch. Arrow-batched mapInPandas — payload bytes stay in columnar
     buffers, one Python call per batch, not per blob."""
@@ -286,6 +422,27 @@ def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_png_payloads(docs: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """Deterministically build REAL compressed RGB PNG bytes per document
+    (pixels = repeating UTF-8 text bytes, DEFLATE-compressed scanlines) —
+    exercises the native zlib decode path on genuine format bytes without
+    shipping binary fixtures."""
+    import numpy as np
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                src = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
+                px = np.resize(src, h * w * 3).reshape(h, w, 3)
+                payloads.append(_encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
 # --- resize + frame sampling -------------------------------------------------
 
 
@@ -331,26 +488,31 @@ def _encode_bmp(px) -> bytes:
 
 
 def resize_bmp(b: bytes, out_w: int, out_h: int) -> bytes | None:
-    """Nearest-neighbor resize of a real BMP payload — pure numpy index
-    sampling (the canonical GPU-free decode→resize preprocessing step),
-    re-encoded as a BMP."""
+    """Nearest-neighbor resize of a real BMP or PNG payload — pure numpy
+    index sampling (the canonical GPU-free decode→resize preprocessing
+    step), re-encoded in the source format."""
     import numpy as np
 
-    parsed = _parse_bmp_pixels(b)
+    is_png = b[:8] == _PNG_SIG
+    try:
+        parsed = _parse_png_pixels(b) if is_png else _parse_bmp_pixels(b)
+    except Exception:
+        parsed = None
     if parsed is None:
         return None
     w, h, nch, px = parsed
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
-    return _encode_bmp(px[ys][:, xs])
+    out = px[ys][:, xs]
+    return _encode_png(out) if is_png else _encode_bmp(out)
 
 
 def resize_images(
     df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Arrow-batched decode→nearest-neighbor-resize→re-encode over BMP
-    payloads; undecodable payloads yield NULL (kept, so the caller sees
-    the failure rate rather than silently losing rows)."""
+    """Arrow-batched decode→nearest-neighbor-resize→re-encode over BMP or
+    PNG payloads; undecodable payloads yield NULL (kept, so the caller
+    sees the failure rate rather than silently losing rows)."""
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -168,6 +168,19 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(multimodal.synthesize_bmp_payloads(docs))
 
 
+@register("multimodal_png_features", oracle=None)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-format decode with zero codec libraries (X5): real RGB
+    PNGs (DEFLATE-compressed scanlines) are synthesized from each
+    document's UTF-8 bytes, then decoded natively with stdlib
+    zlib+numpy — chunk walk, inflate, scanline-filter inversion. Rows-only
+    (binary payloads aren't SQL-expressible); exact decode of all five
+    PNG filter types, palette images, and encode/decode round-trips are
+    pytest-pinned in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.synthesize_png_payloads(docs))
+
+
 @register("multimodal_resize_features", oracle=None)
 def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→resize→re-decode round trip (X5): synthesized 8×8 BMPs are
