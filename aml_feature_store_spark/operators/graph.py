@@ -170,6 +170,99 @@ def connected_components(
     return final
 
 
+def multi_source_bfs(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Distributed multi-source BFS: exact shortest-path distance from
+    each source ("landmark") node to every node within ``max_depth`` hops.
+    ``edges`` is a directed (src, dst) list — pass both directions for an
+    undirected graph; ``sources`` has one ``node`` column.
+
+    This is the Pregel / GraphFrames aggregateMessages shape expressed in
+    DataFrames: each round joins the current frontier to the edge list,
+    anti-joins out already-visited (root, node) pairs, and checkpoints to
+    cut lineage. Rounds = min(graph diameter, max_depth) Spark jobs;
+    distributed state is K·V (root, node, dist) rows — never a
+    driver-side adjacency structure. The frontier-empty check is one
+    bounded driver action per round, same budget as connected_components.
+
+    At 100 TB this is the published landmark/pivot pattern (Eppstein-
+    Wang): K landmarks give exact per-landmark closeness and a 2-approx
+    all-pairs distance bound at K·V state instead of V² — the only BFS
+    shape that survives V in the billions.
+
+    Returns (root, node, dist) with dist = exact BFS distance ≤ max_depth.
+    """
+    dist = sources.select(
+        F.col("node").alias("root"), F.col("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select("root", F.col("_d").alias("node"))
+            .distinct()
+            .join(dist.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def landmark_closeness(
+    edges: DataFrame, k_landmarks: int = 4, max_depth: int = 8
+) -> DataFrame:
+    """Exact closeness centrality (networkx convention, reachable-set
+    scaled) for the K highest-degree nodes with src ≥ 0, via distributed
+    multi-source BFS. Distances are capped at ``max_depth`` hops — the
+    oracle applies the identical cap, so results stay engine-portable on
+    graphs deeper than the cap (a documented bounded-radius closeness).
+
+    Reference semantic: explainability-grade closeness from
+    advanced_features.py's networkx closeness_centrality, restricted to
+    landmark nodes so the computation is K·V, not V² (A28 at scale)."""
+    deg = (
+        edges.filter(F.col("src") >= 0)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .orderBy(F.col("_deg").desc(), F.col("src").asc())
+        .limit(k_landmarks)
+        .select(F.col("src").alias("node"))
+    )
+    nn = edges.select("src").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    dist = multi_source_bfs(edges, deg, max_depth=max_depth)
+    cnt = F.count(F.lit(1)).cast("double")
+    sd = F.sum("dist").cast("double")
+    return (
+        dist.groupBy("root")
+        .agg(
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("total_dist"),
+            ((cnt - 1.0) / sd).alias("_inv"),
+            (cnt - 1.0).alias("_nr"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("root").alias("node"),
+            "n_reached",
+            "total_dist",
+            F.round(
+                F.when(
+                    F.col("total_dist") > 0,
+                    F.col("_inv")
+                    * (F.col("_nr") / (F.col("n_nodes").cast("double") - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("closeness"),
+        )
+    )
+
+
 def global_centralities(
     pairs: DataFrame,
     max_nodes: int = 20_000,

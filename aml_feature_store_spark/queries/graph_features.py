@@ -83,6 +83,68 @@ def merchant_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "landmark_closeness",
+    oracle=r"""
+WITH RECURSIVE
+base AS (
+  SELECT user_id AS u, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+),
+edges AS (
+  SELECT u AS src, -k - 1 AS dst FROM base
+  UNION ALL
+  SELECT -k - 1 AS src, u AS dst FROM base
+),
+nn AS (SELECT COUNT(DISTINCT src) AS n_nodes FROM edges),
+landmarks AS (
+  SELECT src AS node FROM edges WHERE src >= 0
+  GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 4
+),
+bfs(root, node, dist) AS (
+  SELECT node, node, 0 FROM landmarks
+  UNION
+  SELECT b.root, e.dst, b.dist + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < 8
+),
+dmin AS (SELECT root, node, MIN(dist) AS dist FROM bfs GROUP BY root, node)
+SELECT root AS node,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS total_dist,
+       ROUND(CASE WHEN SUM(dist) > 0
+         THEN ((COUNT(*) - 1.0) / SUM(dist))
+              * ((COUNT(*) - 1.0) / ((SELECT n_nodes FROM nn) - 1.0))
+         ELSE 0.0 END, 6) AS closeness
+FROM dmin GROUP BY root
+""",
+)
+def landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED closeness centrality (A28) for the 4 highest-degree
+    user nodes of the undirected user↔prop_k bipartite graph, computed by
+    distributed multi-source BFS (Pregel-style frontier joins — no
+    driver-side graph) and verified against a DuckDB WITH RECURSIVE BFS.
+    prop_k nodes are encoded as -k-1 so the two node families share one
+    bigint id space. Distances capped at 8 hops on BOTH engines (bounded-
+    radius closeness; this graph's diameter is well under the cap).
+    Reference: advanced_features.py networkx closeness_centrality — here
+    exact per landmark at K·V state, the shape that survives 100 TB."""
+    from ..operators.graph import landmark_closeness as _lc
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("u"),
+            F.from_json("props", EVENT_PROPS)["k"].cast("long").alias("k"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("u").alias("src"), (-F.col("k") - 1).alias("dst")
+    ).unionAll(base.select((-F.col("k") - 1).alias("src"), F.col("u").alias("dst")))
+    return _lc(edges, k_landmarks=4, max_depth=8)
+
+
 @register("graph_global_centralities", oracle=None)
 def graph_global_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness + betweenness centrality over the projected user graph

@@ -74,3 +74,49 @@ def test_connected_components_labels(spark):
         for r in connected_components(_pairs(spark, pairs)).collect()
     }
     assert labels == {5: 5, 6: 5, 7: 5, 1: 1, 2: 1, 9: 9}
+
+
+def test_multi_source_bfs_exact_distances(spark):
+    """Path graph 1-2-3-4-5 plus isolated pair (8,9): exact BFS distances
+    from two roots, unreachable nodes absent, max_depth cap honored."""
+    from aml_feature_store_spark.operators.graph import multi_source_bfs
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,), (8,)], "node long")
+    got = {
+        (r["root"], r["node"]): r["dist"]
+        for r in multi_source_bfs(edges, sources, max_depth=8).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3, (1, 5): 4,
+        (8, 8): 0, (8, 9): 1,
+    }
+    capped = {
+        (r["root"], r["node"]): r["dist"]
+        for r in multi_source_bfs(edges, sources, max_depth=2).collect()
+    }
+    assert (1, 4) not in capped and (1, 3) in capped
+
+
+def test_landmark_closeness_networkx_convention(spark):
+    """Star graph (center 0, leaves 1..4): center closeness = 1.0, leaf
+    closeness = (n-1)/sum_dist * (n-1)/(N-1) with dist 1 + 2*3."""
+    from aml_feature_store_spark.operators.graph import landmark_closeness
+
+    und = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r["node"]: r
+        for r in landmark_closeness(edges, k_landmarks=2, max_depth=8).collect()
+    }
+    # landmarks: node 0 (degree 4) then node 1 (degree 1, lowest id tie)
+    assert set(got) == {0, 1}
+    assert got[0]["closeness"] == pytest.approx(1.0, abs=1e-9)
+    # leaf: dists to 0,2,3,4 = 1,2,2,2 -> (4/7)*(4/4) = 0.571429
+    assert got[1]["closeness"] == pytest.approx(round(4 / 7, 6), abs=1e-9)
+    assert got[1]["n_reached"] == 4 and got[1]["total_dist"] == 7
