@@ -89,13 +89,14 @@ ORDER = [
     "sequence_lag_features",
     "curate_training_docs",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dbscan_outliers_sliced",
     "landmark_closeness",
     "ann_ivf_topk",
     # --- driver cap boundary (50) is here; below are rotated-out rows,
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
     # then rows-only queries ---
     "user_clustering_coeff",
+    "dedup_simhash",
     "embedding_near_dup_pairs",
     "batch_score_requests",
     "risk_explanations",

@@ -98,3 +98,51 @@ def dbscan_outlier_features(
         F.hour(ts_col).cast("double").alias("hour"),
     )
     return prep.groupBy("user_id").applyInPandas(per_group, schema=OUT_SCHEMA)
+
+
+def dbscan_cluster_stats(
+    df: DataFrame,
+    z_cols: "tuple[str, str]" = ("z1", "z2"),
+    entity_col: str = "user_id",
+    eps: float = 0.5,
+    min_samples: int = 5,
+) -> DataFrame:
+    """DBSCAN cluster count + noise ratio per entity on PRE-SCALED
+    coordinate columns — the oracle-checkable configuration of A26/D3.
+
+    Unlike ``dbscan_outlier_features`` (which standardizes by per-group
+    mean/std inside the kernel — a float-summation-order hazard between
+    engines), the caller supplies fixed-scale coordinates as plain column
+    expressions, so the engine and a SQL oracle evaluate the SAME IEEE
+    expression tree: identical pairwise d², identical eps comparisons,
+    bit-identical cluster counts. Groups smaller than min_samples yield
+    the zero-features default (reference advanced_features.py:292-297).
+    """
+    z1, z2 = z_cols
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf[entity_col].iloc[0])
+        n = len(pdf)
+        if n < min_samples:
+            return pd.DataFrame(
+                [{"user_id": uid, "n_points": n, "n_clusters": 0,
+                  "outlier_ratio": 0.0}]
+            )
+        x = pdf[[z1, z2]].to_numpy(np.float64)
+        labels = _dbscan_labels(x, eps, min_samples)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "n_points": n,
+                    "n_clusters": int(labels.max() + 1) if labels.max() >= 0 else 0,
+                    "outlier_ratio": float((labels == -1).mean()),
+                }
+            ]
+        )
+
+    return (
+        df.select(entity_col, z1, z2)
+        .groupBy(entity_col)
+        .applyInPandas(per_group, schema=OUT_SCHEMA)
+    )

@@ -148,6 +148,87 @@ def dbscan_outlier_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outliers.dbscan_outlier_features(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "dbscan_outliers_sliced",
+    oracle=r"""
+WITH RECURSIVE
+sl AS (
+  SELECT user_id, event_id, value/50.0 AS z1, hour(ts)/4.0 AS z2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+  WHERE rn <= 64
+),
+pairs AS (
+  SELECT a.user_id, a.event_id AS i, b.event_id AS j
+  FROM sl a JOIN sl b ON a.user_id = b.user_id
+  WHERE (a.z1-b.z1)*(a.z1-b.z1) + (a.z2-b.z2)*(a.z2-b.z2) <= 0.25
+),
+core AS (SELECT user_id, i AS id FROM pairs GROUP BY user_id, i HAVING COUNT(*) >= 5),
+core_edges AS (
+  SELECT p.user_id, p.i AS src, p.j AS dst
+  FROM pairs p
+  JOIN core c1 ON c1.user_id = p.user_id AND c1.id = p.i
+  JOIN core c2 ON c2.user_id = p.user_id AND c2.id = p.j
+),
+reach(user_id, node, lab) AS (
+  SELECT user_id, id, id FROM core
+  UNION
+  SELECT e.user_id, e.dst, r.lab
+  FROM reach r JOIN core_edges e ON e.user_id = r.user_id AND e.src = r.node
+),
+comp AS (SELECT user_id, node, MIN(lab) AS comp FROM reach GROUP BY user_id, node),
+withcore AS (
+  SELECT DISTINCT p.user_id, p.i AS id
+  FROM pairs p JOIN core c ON c.user_id = p.user_id AND c.id = p.j
+),
+stats AS (SELECT user_id, COUNT(*) AS n_points FROM sl GROUP BY user_id),
+nclus AS (SELECT user_id, COUNT(DISTINCT comp) AS n_clusters FROM comp GROUP BY user_id),
+noise AS (
+  SELECT s.user_id, COUNT(*) AS n_noise
+  FROM sl s
+  WHERE NOT EXISTS (SELECT 1 FROM withcore w WHERE w.user_id = s.user_id AND w.id = s.event_id)
+  GROUP BY s.user_id
+)
+SELECT st.user_id,
+  CAST(st.n_points AS BIGINT) AS n_points,
+  CAST(CASE WHEN st.n_points < 5 THEN 0 ELSE COALESCE(nc.n_clusters, 0) END AS BIGINT) AS n_clusters,
+  CASE WHEN st.n_points < 5 THEN 0.0
+       ELSE CAST(COALESCE(no.n_noise, 0) AS DOUBLE) / st.n_points END AS outlier_ratio
+FROM stats st
+LEFT JOIN nclus nc USING (user_id)
+LEFT JOIN noise no USING (user_id)
+""",
+)
+def dbscan_outliers_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED DBSCAN (A26/D3): cluster count + noise ratio per
+    user over each user's first 64 events (ts, event_id order) on fixed-
+    scale (value/50, hour/4) coordinates, eps=0.5, min_samples=5. The
+    DuckDB oracle mirrors the full algorithm — eps-neighbor self-join,
+    core-point predicate, WITH RECURSIVE reachability closure over the
+    core-core graph for cluster count, no-core-neighbor noise test — on
+    the identical IEEE expression tree, so cluster counts and noise
+    ratios are bit-exact across engines. The production variant
+    (dbscan_outlier_features, per-group standardization, unbounded slice)
+    stays rows-only by declared design; this query driver-certifies the
+    DBSCAN semantics themselves. Reference: advanced_features.py:274-297."""
+    from pyspark.sql import Window
+
+    from ..operators.outliers import dbscan_cluster_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sl = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .select(
+            "user_id",
+            (F.col("value") / F.lit(50.0)).alias("z1"),
+            (F.hour("ts") / F.lit(4.0)).alias("z2"),
+        )
+    )
+    return dbscan_cluster_stats(sl, eps=0.5, min_samples=5)
+
+
 # --- A24: feature-target correlation ----------------------------------------
 
 

@@ -111,3 +111,22 @@ def test_dbscan_detects_outlier(spark):
     r = outliers.dbscan_outlier_features(df, eps=0.5, min_samples=4).collect()[0]
     assert r["n_clusters"] == 1
     assert r["outlier_ratio"] == pytest.approx(1 / 11)
+
+
+def test_dbscan_cluster_stats_known_geometry(spark):
+    """Pre-scaled DBSCAN (the oracle-checkable configuration): two tight
+    5-point clusters far apart plus one isolated point -> 2 clusters,
+    noise ratio 1/11; border points count as clustered, not noise."""
+    from aml_feature_store_spark.operators.outliers import dbscan_cluster_stats
+
+    pts = (
+        [(0.0 + 0.1 * i, 0.0) for i in range(5)]        # cluster A
+        + [(10.0 + 0.1 * i, 0.0) for i in range(5)]     # cluster B
+        + [(5.0, 5.0)]                                   # noise
+    )
+    df = spark.createDataFrame(
+        [(1, z1, z2) for z1, z2 in pts], "user_id long, z1 double, z2 double"
+    )
+    r = dbscan_cluster_stats(df, eps=0.5, min_samples=4).collect()[0]
+    assert (r["n_points"], r["n_clusters"]) == (11, 2)
+    assert r["outlier_ratio"] == pytest.approx(1 / 11, abs=1e-12)
