@@ -91,12 +91,13 @@ ORDER = [
     "dedup_minhash_lsh",
     "dbscan_outliers_sliced",
     "landmark_closeness",
-    "ann_ivf_topk",
+    "span_dup_coverage",
     # --- driver cap boundary (50) is here; below are rotated-out rows,
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
     # then rows-only queries ---
     "user_clustering_coeff",
     "dedup_simhash",
+    "ann_ivf_topk",
     "embedding_near_dup_pairs",
     "batch_score_requests",
     "risk_explanations",

@@ -518,3 +518,91 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN reach r ON r.src = d.doc_id
 GROUP BY d.doc_id
 """
+
+
+def duplicated_span_coverage(docs: DataFrame, n: int = 8,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Duplicated n-gram SPAN coverage per document — the C4 / RefinedWeb
+    span-dedup signal: what fraction of a document's word n-grams also
+    occur elsewhere in the corpus (or again in the same document).
+
+    Plan: one JVM-side explode of per-position n-gram spans
+    (sequence+transform+slice — no Python in the hot path), a corpus-wide
+    groupBy counting occurrences, and a join back to tag each position.
+    At 100 TB: hash spans to 64-bit (xxhash64) before the shuffle to cut
+    shuffle bytes ~10×, let partial aggregation collapse repeats map-side,
+    and broadcast the duplicated-only span set when it fits (it is the
+    heavy-tail minority by construction). Exact string keys kept here for
+    oracle parity at test scale.
+
+    Reference anchor: the reference dedups whole documents only
+    (SURVEY §2.11 X1/X2); span coverage is the standard extension a
+    training-data pipeline needs (C4 §2.3 three-sentence spans, RefinedWeb
+    exact-substring) re-expressed as n-gram spans over the same tokens.
+    """
+    from pyspark.sql import functions as F
+
+    # sequence(1, 0) descends ([1, 0]) rather than yielding an empty
+    # array, so docs shorter than n words need an explicit guard
+    spans = F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    ex = docs.select(F.col(id_col), F.explode(spans).alias("span"))
+    counts = ex.groupBy("span").agg(F.count(F.lit(1)).alias("_n"))
+    dup = counts.filter(F.col("_n") >= 2).select("span")
+    tagged = ex.join(dup.withColumn("_dup", F.lit(1)), "span", "left")
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_spans"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def duplicated_span_coverage_sql(n: int = 8, table: str = "documents",
+                                 id_col: str = "doc_id") -> str:
+    """DuckDB mirror of duplicated_span_coverage: same 1-based slice
+    semantics, same >= 2 occurrence predicate, same double division."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split(text, ' ') AS words FROM {table}
+),
+pos AS (
+  SELECT {id_col}, UNNEST(range(1, GREATEST(len(words) - {n - 1}, 0) + 1)) AS i, words
+  FROM w
+),
+ex AS (
+  SELECT {id_col}, array_to_string(words[i:i + {n - 1}], ' ') AS span FROM pos
+),
+counts AS (SELECT span, COUNT(*) AS _n FROM ex GROUP BY span),
+per_doc AS (
+  SELECT e.{id_col}, COUNT(*) AS n_spans,
+         SUM(CASE WHEN c._n >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM ex e JOIN counts c ON c.span = e.span
+  GROUP BY e.{id_col}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) > 0
+         THEN CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+         ELSE 0.0 END AS dup_fraction
+FROM {table} d LEFT JOIN per_doc p ON p.{id_col} = d.{id_col}
+"""

@@ -47,6 +47,16 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("span_dup_coverage", oracle=dedup.duplicated_span_coverage_sql(n=3))
+def span_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 3-gram span coverage per document (C4 §2.3 / RefinedWeb
+    span-dedup signal): fraction of each doc's word trigrams occurring
+    ≥2× corpus-wide. One explode + one count + one join-back; scale path
+    (xxhash64 span keys, broadcast duplicated-set) in the op docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_span_coverage(docs, n=3)
+
+
 @register("dedup_simhash", oracle=dedup.simhash_pairs_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 near-dup pairs with Hamming ≤ 6 (X2 fingerprint path)."""

@@ -529,3 +529,30 @@ def test_png_decode_and_resize_on_spark(spark):
         r = small[doc_id]
         assert (r["format"], r["width"], r["height"], r["channels"]) == (
             "png", 4, 4, 3)
+
+
+def test_duplicated_span_coverage_known_corpus(spark):
+    """3-gram span coverage on a hand-built corpus: shared phrase tagged
+    in both docs, unique tails untagged, short docs yield zero spans."""
+    from aml_feature_store_spark.operators.dedup import duplicated_span_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # spans: 3 (1 shared w/ doc 2)
+            (2, "the quick brown cat sleeps"),     # spans: 3 (1 shared w/ doc 1)
+            (3, "aa bb aa bb aa bb"),              # intra-doc repeats: 4 spans
+            (4, "too short"),                      # < 3 words -> 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           duplicated_span_coverage(docs, n=3).collect()}
+    # doc 1: spans {the quick brown, quick brown fox, brown fox jumps};
+    # only "the quick brown" occurs twice corpus-wide
+    assert got[1]["n_spans"] == 3 and got[1]["n_dup_spans"] == 1
+    assert got[1]["dup_fraction"] == pytest.approx(1 / 3, abs=1e-12)
+    assert got[2]["n_dup_spans"] == 1
+    # doc 3: spans [aa bb aa, bb aa bb, aa bb aa, bb aa bb] -> all dup'd
+    assert got[3]["n_spans"] == 4 and got[3]["n_dup_spans"] == 4
+    assert got[3]["dup_fraction"] == 1.0
+    assert got[4]["n_spans"] == 0 and got[4]["dup_fraction"] == 0.0
