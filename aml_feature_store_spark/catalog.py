@@ -76,7 +76,7 @@ ORDER = [
     "windowed_hhi_24h",
     "windowed_entropy_24h",
     "pit_join_purchases_24h",
-    "online_feature_view",
+    "repetition_stats",
     "risk_scores",
     "behavioral_feature_vector",
     "risk_shapley",
@@ -96,6 +96,7 @@ ORDER = [
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
     # then rows-only queries ---
     "user_clustering_coeff",
+    "online_feature_view",
     "dedup_simhash",
     "ann_ivf_topk",
     "embedding_near_dup_pairs",

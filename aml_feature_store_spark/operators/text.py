@@ -225,3 +225,92 @@ SELECT d.doc_id,
        m.min_shingle_hash
 FROM {table} d LEFT JOIN m ON d.doc_id = m.doc_id
 """
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    Table A1): top-unigram fraction, top-bigram fraction, and distinct-
+    word ratio per document. High top-n-gram mass flags boilerplate /
+    degenerate generations; standard training-data quality filters.
+
+    Plan: one explode per n-gram order, per-(doc, gram) count, per-doc
+    max/sum — two shuffles keyed by doc_id, partial-agg friendly, no
+    Python. At 100 TB both aggregations pre-combine map-side and the two
+    branches share the one documents scan."""
+    uni = docs.select(
+        F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("g")
+    )
+    big = docs.filter(F.expr("size(split(text, ' ')) >= 2")).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+            )
+        ).alias("g"),
+    )
+
+    def per_doc(ex: DataFrame, top_name: str) -> DataFrame:
+        counts = ex.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("_c"))
+        return counts.groupBy(id_col).agg(
+            F.sum("_c").cast("long").alias(f"_n_{top_name}"),
+            (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+                f"top_{top_name}_frac"
+            ),
+            (
+                F.count(F.lit(1)).cast("double") / F.sum("_c").cast("double")
+            ).alias(f"distinct_{top_name}_ratio"),
+        )
+
+    u = per_doc(uni, "unigram")
+    b = per_doc(big, "bigram")
+    return (
+        docs.select(id_col)
+        .join(u, id_col, "left")
+        .join(b, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_unigram", F.lit(0)).alias("n_words"),
+            F.coalesce("top_unigram_frac", F.lit(0.0)).alias("top_unigram_frac"),
+            F.coalesce("distinct_unigram_ratio", F.lit(0.0)).alias(
+                "distinct_word_ratio"
+            ),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB mirror of repetition_stats (same splits, same divisions)."""
+    return f"""
+WITH uni AS (
+  SELECT {id_col}, UNNEST(string_split(text, ' ')) AS g FROM {table}
+),
+ucnt AS (SELECT {id_col}, g, COUNT(*) AS c FROM uni GROUP BY {id_col}, g),
+u AS (
+  SELECT {id_col}, SUM(c) AS n_words,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_unigram_frac,
+         CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_word_ratio
+  FROM ucnt GROUP BY {id_col}
+),
+w AS (SELECT {id_col}, string_split(text, ' ') AS words FROM {table}),
+pos AS (
+  SELECT {id_col}, UNNEST(range(1, len(words))) AS i, words
+  FROM w WHERE len(words) >= 2
+),
+bi AS (SELECT {id_col}, array_to_string(words[i:i + 1], ' ') AS g FROM pos),
+bcnt AS (SELECT {id_col}, g, COUNT(*) AS c FROM bi GROUP BY {id_col}, g),
+b AS (
+  SELECT {id_col},
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+  FROM bcnt GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(u.n_words, 0) AS BIGINT) AS n_words,
+       COALESCE(u.top_unigram_frac, 0.0) AS top_unigram_frac,
+       COALESCE(u.distinct_word_ratio, 0.0) AS distinct_word_ratio,
+       COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM {table} d
+LEFT JOIN u ON u.{id_col} = d.{id_col}
+LEFT JOIN b ON b.{id_col} = d.{id_col}
+"""

@@ -130,6 +130,15 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+@register("repetition_stats", oracle=text.repetition_stats_sql())
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition quality filters (Rae et al. 2021
+    Table A1): top-unigram / top-bigram mass + distinct-word ratio per
+    document — the boilerplate/degeneration signals a curation pipeline
+    thresholds on. Exact oracle; X4 family."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("doc_fingerprints", oracle=text.fingerprints_sql())
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content md5 + min-shingle-hash anchor per document (X4)."""

@@ -556,3 +556,26 @@ def test_duplicated_span_coverage_known_corpus(spark):
     assert got[3]["n_spans"] == 4 and got[3]["n_dup_spans"] == 4
     assert got[3]["dup_fraction"] == 1.0
     assert got[4]["n_spans"] == 0 and got[4]["dup_fraction"] == 0.0
+
+
+def test_repetition_stats_known_docs(spark):
+    """Top-n-gram fractions on hand-built docs: degenerate repetition
+    scores 1.0, diverse text scores 1/n, single-word doc has no bigrams."""
+    from aml_feature_store_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # top uni 4/4, top bi 3/3
+            (2, "a b c d"),               # top uni 1/4, distinct 1.0
+            (3, "x"),                      # no bigrams -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["top_unigram_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["distinct_word_ratio"] == pytest.approx(0.25, abs=1e-12)
+    assert got[2]["top_unigram_frac"] == pytest.approx(0.25, abs=1e-12)
+    assert got[2]["distinct_word_ratio"] == 1.0
+    assert got[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-12)
+    assert got[3]["n_words"] == 1 and got[3]["top_bigram_frac"] == 0.0
