@@ -238,7 +238,11 @@ def _parse_png_pixels(b: bytes):
         return None
     nch = _PNG_CHANNELS[color]
     stride = w * nch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error:  # corrupt DEFLATE stream -> undecodable, not an error
+        return None
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) < h * (stride + 1):
         return None
     rows = raw[: h * (stride + 1)].reshape(h, stride + 1)

@@ -56,6 +56,12 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "streaming_per_event_features",
     "streaming_per_event_extended",
+    # r5 additions — headline totals before/after r5 are therefore not
+    # directly comparable; compare per-query rows
+    "span_dup_coverage",
+    "repetition_stats",
+    "dbscan_outliers_sliced",
+    "landmark_closeness",
 ]
 
 # events-only queries re-run against the 10x generated events table

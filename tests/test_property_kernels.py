@@ -113,3 +113,48 @@ def test_simhash_banding_is_exact_for_r6(fps):
                     for k in range(8)
                 )
                 assert shared, (a, b, ham)
+
+
+# --- PNG codec property tests (no Spark, pure stdlib-zlib + numpy) ----------
+
+png_array_strategy = st.tuples(
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=1, max_value=24),   # width
+    st.sampled_from([1, 2, 3, 4]),            # channels
+    st.integers(min_value=0, max_value=2**32 - 1),  # seed
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(png_array_strategy)
+def test_png_encode_decode_roundtrip(params):
+    """Any uint8 HxWxC array round-trips bit-exactly through the native
+    PNG encoder/decoder for every supported channel count and size."""
+    from aml_feature_store_spark.operators.multimodal import (
+        _encode_png,
+        _parse_png_pixels,
+    )
+
+    h, w, nch, seed = params
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, nch), dtype=np.uint8)
+    got = _parse_png_pixels(_encode_png(px))
+    assert got is not None
+    gw, gh, gc, arr = got
+    assert (gw, gh, gc) == (w, h, nch)
+    assert np.array_equal(arr, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_png_decoder_never_raises_on_garbage(blob):
+    """Arbitrary bytes (including ones starting with the PNG signature)
+    must yield None or a valid parse — never an uncaught exception, per
+    decode_features' NULL-row contract."""
+    from aml_feature_store_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png_pixels,
+    )
+
+    for payload in (blob, _PNG_SIG + blob):
+        got = _parse_png_pixels(payload)
+        assert got is None or len(got) == 4

@@ -1,6 +1,9 @@
 """Generate scaled-up tables for scaling benchmarks.
 
-Usage: python tools/gen_scale.py [n_events] [out_dir] [--llm]
+Usage: python tools/gen_scale.py [n_events] [out_dir] [--llm] [--hot]
+
+--hot pins n_users=150 (the hot-key anchor bench.py reads from
+.scale/hot: ~220-row 24h frames instead of ~2-row).
 
 Default: 1,000,000 events (10x the shipped sf0.1) into
 /root/repo/.scale/sf1/events.parquet; with --llm (default for the
@@ -38,7 +41,8 @@ def main() -> None:
     )
 
     spark = get_spark("gen-scale")
-    df = generate_events(spark, n=n, n_users=max(150, n * 15 // 1000))
+    n_users = 150 if "--hot" in flags else max(150, n * 15 // 1000)
+    df = generate_events(spark, n=n, n_users=n_users)
     os.makedirs(out, exist_ok=True)
     df.coalesce(8).write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
