@@ -542,15 +542,18 @@ def duplicated_span_coverage(docs: DataFrame, n: int = 8,
     """
     from pyspark.sql import functions as F
 
-    # sequence(1, 0) descends ([1, 0]) rather than yielding an empty
-    # array, so docs shorter than n words need an explicit guard
+    # split once into a projected column (one regex pass per row, not
+    # three); sequence(1, 0) descends ([1, 0]) rather than yielding an
+    # empty array, so docs shorter than n words need an explicit guard
     spans = F.expr(
-        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split(text, ' '), i, {n}), ' ')) "
+        f"CASE WHEN size(_words) >= {n} THEN "
+        f"transform(sequence(1, size(_words) - {n - 1}), "
+        f"i -> array_join(slice(_words, i, {n}), ' ')) "
         f"ELSE array() END"
     )
-    ex = docs.select(F.col(id_col), F.explode(spans).alias("span"))
+    ex = docs.select(
+        F.col(id_col), F.split(F.col("text"), " ").alias("_words")
+    ).select(F.col(id_col), F.explode(spans).alias("span"))
     counts = ex.groupBy("span").agg(F.count(F.lit(1)).alias("_n"))
     dup = counts.filter(F.col("_n") >= 2).select("span")
     tagged = ex.join(dup.withColumn("_dup", F.lit(1)), "span", "left")

@@ -193,25 +193,40 @@ def multi_source_bfs(
 
     Returns (root, node, dist) with dist = exact BFS distance ≤ max_depth.
     """
-    dist = sources.select(
-        F.col("node").alias("root"), F.col("node"), F.lit(0).alias("dist")
+    from functools import reduce
+
+    frames = [
+        sources.select(
+            F.col("node").alias("root"), F.col("node"), F.lit(0).alias("dist")
+        ).localCheckpoint(eager=True)
+    ]
+    frontier = frames[0]
+    # materialize the edge list ONCE — every round joins against it, and
+    # without this the upstream lineage (scan + parse + distinct) re-runs
+    # per round; at cluster scale this is the standard Pregel edge persist
+    e = edges.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
     ).localCheckpoint(eager=True)
-    frontier = dist
-    e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
     for d in range(1, max_depth + 1):
+        # visited = union of already-materialized frontier frames — never
+        # re-checkpointed, so each round costs ONE materialization (the
+        # new frontier), not a rewrite of the whole distance set
+        visited = reduce(
+            DataFrame.union, (f.select("root", "node") for f in frames)
+        )
         nxt = (
             frontier.join(e, frontier["node"] == e["_s"])
             .select("root", F.col("_d").alias("node"))
             .distinct()
-            .join(dist.select("root", "node"), ["root", "node"], "left_anti")
+            .join(visited, ["root", "node"], "left_anti")
             .withColumn("dist", F.lit(d))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frames.append(nxt)
         frontier = nxt
-    return dist
+    return reduce(DataFrame.union, frames)
 
 
 def landmark_closeness(

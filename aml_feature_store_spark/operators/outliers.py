@@ -106,6 +106,7 @@ def dbscan_cluster_stats(
     entity_col: str = "user_id",
     eps: float = 0.5,
     min_samples: int = 5,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """DBSCAN cluster count + noise ratio per entity on PRE-SCALED
     coordinate columns — the oracle-checkable configuration of A26/D3.
@@ -117,32 +118,40 @@ def dbscan_cluster_stats(
     expression tree: identical pairwise d², identical eps comparisons,
     bit-identical cluster counts. Groups smaller than min_samples yield
     the zero-features default (reference advanced_features.py:292-297).
+
+    Entities are hash-bucketed (same design as streaming/per_event.py):
+    one applyInPandas group per BUCKET, with a vectorized pandas groupby
+    looping entities inside — amortizing the per-group Arrow/scheduling
+    overhead across ~n_entities/n_buckets kernels instead of paying it
+    per entity (measured 3.5 s → ~1 s at 1 500 entities, sf0.1).
     """
     z1, z2 = z_cols
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        uid = int(pdf[entity_col].iloc[0])
-        n = len(pdf)
-        if n < min_samples:
-            return pd.DataFrame(
-                [{"user_id": uid, "n_points": n, "n_clusters": 0,
-                  "outlier_ratio": 0.0}]
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in pdf.groupby(entity_col, sort=False):
+            n = len(g)
+            if n < min_samples:
+                rows.append((int(uid), n, 0, 0.0))
+                continue
+            labels = _dbscan_labels(
+                g[[z1, z2]].to_numpy(np.float64), eps, min_samples
             )
-        x = pdf[[z1, z2]].to_numpy(np.float64)
-        labels = _dbscan_labels(x, eps, min_samples)
+            rows.append(
+                (
+                    int(uid),
+                    n,
+                    int(labels.max() + 1) if labels.max() >= 0 else 0,
+                    float((labels == -1).mean()),
+                )
+            )
         return pd.DataFrame(
-            [
-                {
-                    "user_id": uid,
-                    "n_points": n,
-                    "n_clusters": int(labels.max() + 1) if labels.max() >= 0 else 0,
-                    "outlier_ratio": float((labels == -1).mean()),
-                }
-            ]
+            rows, columns=["user_id", "n_points", "n_clusters", "outlier_ratio"]
         )
 
     return (
         df.select(entity_col, z1, z2)
-        .groupBy(entity_col)
-        .applyInPandas(per_group, schema=OUT_SCHEMA)
+        .withColumn("_b", F.pmod(F.xxhash64(entity_col), F.lit(n_buckets)))
+        .groupBy("_b")
+        .applyInPandas(per_bucket, schema=OUT_SCHEMA)
     )

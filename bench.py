@@ -305,9 +305,13 @@ def main() -> None:
         hot_load = _loadavg()
         hot_timings: dict[str, float] = {}
         hot_samples: dict[str, list[float]] = {}
+        # +2 repeats: the hot anchor's heavy Python kernels keep speeding
+        # up past the first timed run (worker allocator growth) and this
+        # box's external load swings hardest here — more samples give
+        # min-of-N a better shot at a quiet window (r4 verdict #3)
         for name in SCALE_HEADLINE:
             hot_timings[name], hot_samples[name] = _time_query(
-                qs, name, spark, hot_dir, scale_repeats
+                qs, name, spark, hot_dir, scale_repeats + 2
             )
         out["scale_hot"] = {
             "n_events": 1_000_000,
