@@ -172,3 +172,26 @@ def test_scalable_trailing_single_exchange(spark):
     spec = TrailingWindowSpec(windows={"5m": 300, "1h": 3600, "24h": 86400})
     plan = _plan(trailing_features_scalable(df, spec))
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_span_dup_coverage_equi_joins_only(spark, qs):
+    # corpus span-count join-back must stay an equi-join on the span key
+    # (never a nested-loop), and the per-doc agg pre-combines map-side
+    plan = _plan(qs["span_dup_coverage"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _nodes(plan, "Exchange") <= 4
+
+
+def test_repetition_stats_equi_joins_only(spark, qs):
+    plan = _plan(qs["repetition_stats"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dbscan_sliced_two_shuffles(spark, qs):
+    # one Exchange for the per-user row_number window, one for the hash
+    # buckets feeding the vectorized kernel — nothing else
+    plan = _plan(qs["dbscan_outliers_sliced"](spark, SF))
+    assert _nodes(plan, "Exchange") <= 2
+    assert "CartesianProduct" not in plan
