@@ -609,3 +609,124 @@ SELECT d.{id_col},
          ELSE 0.0 END AS dup_fraction
 FROM {table} d LEFT JOIN per_doc p ON p.{id_col} = d.{id_col}
 """
+
+
+def near_dup_components_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the fixed-log-round scale path for the near-dup
+    component step.
+
+    Unlike min-label propagation (rounds ∝ cluster diameter), star
+    contraction halves component "height" every round, converging in
+    O(log n) rounds on ANY graph shape — 12 rounds covers components of
+    ~2^12 diameter, where label propagation would need thousands of
+    rounds. Each half-round is one groupBy (per-node min) plus one
+    equi-join (attach the min back to each edge) — no collect_list, no
+    driver-side graph. Convergence is detected with a single-row
+    (count, xxhash64-sum) probe per round, not a full-frame comparison.
+
+    Both directions emit the same fixpoint: a star per component centered
+    at its minimum id, so the final label read-off is one per-node min.
+    Same output contract as near_dup_components (component = min reachable
+    id, is_canonical on the minimum).
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _probe(e: DataFrame):
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (a SUM of xxhash64 values overflows long)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _probe(edges)
+    converged = edges.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        # large-star: every strictly-larger neighbor of u links to
+        # m = min(N(u) ∪ {u}); symmetric processing covers both endpoints
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        # small-star: orient edges large→small; every smaller neighbor
+        # (and u itself) links to the minimum
+        mins2 = (
+            large.groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        joined = large.join(mins2, "u")
+        small = (
+            joined.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                joined.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _probe(small)
+        converged = new_sig == sig or small.isEmpty()
+        sig = new_sig
+        edges = small
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_components_star did not converge in {max_rounds} "
+            "rounds (components of diameter > 2^rounds); raise max_rounds"
+        )
+    comp = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(F.col("u").alias("node"), F.least("_mv", F.col("u")).alias("_m"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(
+                F.col("node"), F.coalesce(F.col("_m"), F.col("node"))
+            ).alias("component"),
+            (
+                F.col("node")
+                == F.least(F.col("node"), F.coalesce(F.col("_m"), F.col("node")))
+            ).alias("is_canonical"),
+        )
+    )

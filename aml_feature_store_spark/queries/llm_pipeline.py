@@ -38,11 +38,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_components_lsh", oracle=dedup.near_dup_components_sql(0.5))
 def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the verified
-    MinHash-LSH pair graph via iterative min-label propagation, one
-    canonical doc per cluster (X2 completion — pair detection alone does
-    not dedup a corpus). Oracle = recursive-CTE transitive closure."""
+    MinHash-LSH pair graph via large-star/small-star contraction
+    (Kiveris et al. SoCC'14 — fixed O(log n) rounds on any graph shape;
+    the min-label-propagation twin stays as near_dup_components,
+    pytest-pinned identical), one canonical doc per cluster (X2
+    completion — pair detection alone does not dedup a corpus).
+    Oracle = recursive-CTE transitive closure."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_components(
+    return dedup.near_dup_components_star(
         docs, dedup.minhash_lsh_pairs(docs, threshold=0.5)
     )
 

@@ -579,3 +579,61 @@ def test_repetition_stats_known_docs(spark):
     assert got[2]["distinct_word_ratio"] == 1.0
     assert got[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-12)
     assert got[3]["n_words"] == 1 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_star_contraction_components_match_label_propagation(spark):
+    """Star contraction on a 40-node random graph + long path + isolated
+    nodes: labels match brute-force union-find exactly, and a
+    diameter-12 path converges within the fixed O(log n) round budget
+    (label propagation would need 12 rounds; star needs ~4)."""
+    import random
+
+    from aml_feature_store_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_components_star,
+    )
+
+    rng = random.Random(42)
+    nodes = list(range(1, 41))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+    edges += [(100 + i, 101 + i) for i in range(12)]  # path of diameter 12
+    all_nodes = sorted({n for e in edges for n in e} | set(nodes) | {999})
+
+    # brute-force union-find reference
+    parent = {n: n for n in all_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in all_nodes}
+
+    docs = spark.createDataFrame([(n,) for n in all_nodes], "doc_id long")
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components_star(docs, pairs, max_rounds=6).collect()
+    }
+    assert got == want
+    # and agrees with the label-propagation implementation
+    lp = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components(docs, pairs, max_iterations=20).collect()
+    }
+    assert got == lp
+
+
+def test_star_contraction_empty_and_singletons(spark):
+    from aml_feature_store_spark.operators.dedup import near_dup_components_star
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([], "d1 long, d2 long")
+    got = {r["doc_id"]: (r["component"], r["is_canonical"])
+           for r in near_dup_components_star(docs, pairs).collect()}
+    assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
