@@ -36,9 +36,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # (oracle-less) queries come last. Names not listed keep insertion order
 # after the listed ones.
 ORDER = [
-    # --- r5 rotation (VERDICT r4 #1): the 23 oracle-bearing queries that
-    # had never had a 2026 driver row lead the window so the driver
-    # certifies them; 23 twice-green r4 rows rotate out below ---
+    # --- r5 rotation (VERDICT r4 #1): every oracle-bearing query that has
+    # never had a 2026 driver row sits in the 50-slot window — the 23
+    # rows rotated in from past caps plus the queries NEW in r5
+    # (repetition_stats, stratified_sample, sequence_lag_features,
+    # dbscan_outliers_sliced, landmark_closeness, span_dup_coverage);
+    # multi-round-green r4 rows rotated out below ---
     "dedup_components_lsh",
     "session_window_rollup",
     "ann_ivf_index_topk",
@@ -79,7 +82,7 @@ ORDER = [
     "repetition_stats",
     "risk_scores",
     "behavioral_feature_vector",
-    "risk_shapley",
+    "stratified_sample",
     "interarrival_stats_per_user",
     "population_zscore_per_user",
     "conditional_window_counts",
@@ -96,6 +99,7 @@ ORDER = [
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
     # then rows-only queries ---
     "user_clustering_coeff",
+    "risk_shapley",
     "online_feature_view",
     "dedup_simhash",
     "ann_ivf_topk",

@@ -187,6 +187,38 @@ def seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    oracle="""
+SELECT event_type, event_id, user_id, value, rnk FROM (
+  SELECT event_type, event_id, user_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR) || ':7'), event_id
+         ) AS rnk
+  FROM events
+) WHERE rnk <= 100
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 100 rows per event_type,
+    chosen by md5(event_id||seed) order — the engine-portable analog of
+    per-stratum df.sample (O4 extension a training pipeline needs for
+    class-balanced subsets). One window shuffle keyed by the stratum; at
+    100 TB strata with billions of rows switch the full sort for an
+    approximate hash-threshold pre-filter (keep rows whose hash < k·N/|S|,
+    then exact-rank the survivors) — same output, bounded sort input."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat_ws(":", F.col("event_id"), F.lit("7"))), "event_id"
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("event_type", "event_id", "user_id", "value", "rnk")
+    )
+
+
+@register(
     "salted_user_totals",
     oracle="""
 SELECT user_id,
