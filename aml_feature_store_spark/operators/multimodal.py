@@ -8,8 +8,9 @@ objects. Decode is REAL for the library-free formats — uncompressed BMP,
 binary PPM/PGM, and integer-PCM WAV are parsed with pure struct+numpy
 (`decode_features`) — PLUS compressed PNG, decoded natively with stdlib
 zlib + numpy (`_parse_png_pixels`: chunk walk, DEFLATE inflate, the five
-scanline filters inverted). Only the remaining compressed formats
-(JPEG/GIF/WebP) are gated behind a PIL import; `extract_image_features`
+scanline filters inverted) and compressed GIF, decoded with a
+pure-Python LZW + palette parser (`_parse_gif_pixels`). Only JPEG/WebP
+remain gated behind a PIL import; `extract_image_features`
 remains the deterministic fake featurizer for pipeline tests that want
 format-independent output.
 
@@ -330,9 +331,11 @@ def _decode_png(b: bytes):
 
 def _decode_any(b: bytes):
     """Dispatch on magic bytes; pure-numpy for uncompressed formats,
-    stdlib zlib+numpy for PNG, PIL (if installed) for the remaining
-    compressed formats (JPEG/GIF/WebP), else None."""
-    for dec in (_decode_bmp, _decode_ppm, _decode_wav, _decode_png):
+    stdlib zlib+numpy for PNG and pure-Python LZW for GIF, PIL (if
+    installed) for the remaining compressed formats (JPEG/WebP), else
+    None."""
+    for dec in (_decode_bmp, _decode_ppm, _decode_wav, _decode_png,
+                _decode_gif):
         try:
             got = dec(b)
         except Exception:
@@ -585,3 +588,187 @@ def sample_frames(
     return df.select("doc_id", payload_col).mapInPandas(
         _batch, schema="doc_id long, frame_idx int, payload binary"
     )
+
+
+# --- GIF (LZW) ---------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/EOI codes,
+    dictionary grows to 12 bits). Returns a list of palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None  # corrupt stream
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return out[:max_pixels]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return out
+
+
+def _parse_gif_pixels(b: bytes):
+    """(width, height, 3, HxWx3 uint8 array) for the FIRST frame of a
+    GIF87a/GIF89a payload — pure-Python LZW + palette mapping, no codec
+    library. Interlaced frames are deinterlaced; frames without any color
+    table return None."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in _GIF_SIGS:
+        return None
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 11 > len(b):
+                return None
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(b):
+                    return None
+                table = np.frombuffer(
+                    b, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None or w == 0 or h == 0 or pos >= len(b):
+                return None
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            chunks = []
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunks.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[: w * h], dtype=np.uint16).reshape(h, w)
+            if ipacked & 0x40:  # Adam-style 4-pass interlace
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.empty_like(arr)
+                de[np.asarray(order)] = arr
+                arr = de
+            if int(arr.max(initial=0)) >= len(table):
+                return None
+            return w, h, 3, table[arr]
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def _encode_gif(px) -> bytes:
+    """Encode an HxWx3 uint8 array as a single-frame GIF using the
+    classic 'uncompressed LZW' trick: every pixel index is emitted as its
+    own code with a CLEAR before the dictionary could force a width
+    change — valid LZW, zero compression. The palette is built from the
+    distinct colors (≤256 required)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF encoder supports <= 256 distinct colors")
+    depth = max(2, int(len(colors) - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    clear = 1 << depth
+    eoi = clear + 1
+    code_size = depth + 1
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for i in range(code_size):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    for i, code in enumerate(inverse):
+        emit(int(code))
+        if (i + 1) % (clear - 2 or 1) == 0:
+            emit(clear)  # keep the dictionary from growing past code_size
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(bit << j for j, bit in enumerate(bits[i : i + 8])))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(depth)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def _decode_gif(b: bytes):
+    import numpy as np
+
+    parsed = _parse_gif_pixels(b)
+    if parsed is None:
+        return None
+    w, h, nch, px = parsed
+    x = px.astype(np.float64)
+    return ("gif", w, h, nch, None, None, float(x.mean()), float(x.std()))

@@ -184,8 +184,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-bit BMPs are synthesized from each document's UTF-8 bytes, then
     parsed back by the pure struct+numpy decoder — dimensions, channels,
     pixel mean/std per doc. Rows-only; exact decode of hand-built
-    BMP/PPM/WAV fixtures is pytest-pinned (PIL-gated path covers
-    compressed formats when a codec library is present)."""
+    BMP/PPM/WAV fixtures is pytest-pinned. Compressed PNG and GIF decode
+    natively too (stdlib zlib / pure-Python LZW); only JPEG/WebP remain
+    PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.synthesize_bmp_payloads(docs))
 

@@ -637,3 +637,74 @@ def test_star_contraction_empty_and_singletons(spark):
     got = {r["doc_id"]: (r["component"], r["is_canonical"])
            for r in near_dup_components_star(docs, pairs).collect()}
     assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
+
+
+def test_gif_roundtrip_and_spark_decode(spark):
+    """GIF encode -> decode round-trips bit-exactly (palette build + LZW),
+    and decode_features dispatches .gif payloads on Spark."""
+    import numpy as np
+
+    from aml_feature_store_spark.operators.multimodal import (
+        _encode_gif,
+        _parse_gif_pixels,
+        decode_features,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 6, (11, 7), dtype=np.uint8) * 40
+    px = np.stack([base, 255 - base, base // 2], axis=-1).astype(np.uint8)
+    w, h, c, arr = _parse_gif_pixels(_encode_gif(px))
+    assert (w, h, c) == (7, 11, 3)
+    assert np.array_equal(arr, px)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_gif(px)))], "doc_id long, payload binary"
+    )
+    r = decode_features(df).collect()[0]
+    assert (r["format"], r["width"], r["height"], r["channels"]) == (
+        "gif", 7, 11, 3)
+    assert r["mean_val"] == pytest.approx(float(px.astype(float).mean()),
+                                          abs=1e-12)
+
+
+def test_gif_lzw_dictionary_growth_per_spec():
+    """A hand-assembled LZW stream with REAL dictionary growth — the
+    deferred code (code == table size) and the 3->4 bit width increase —
+    must decode to the spec-mandated pixel run. The round-trip encoder
+    never grows the dictionary (uncompressed-LZW trick), so this pins the
+    decoder against the GIF spec independently."""
+    import struct
+
+    import numpy as np
+
+    from aml_feature_store_spark.operators.multimodal import _parse_gif_pixels
+
+    # 7x1 image, all palette index 0, min code size 2:
+    # codes = CLEAR(4) 0 6 7 0 EOI(5); 6 and 7 are dictionary entries
+    # created mid-stream ("00", "000"); widths: 3,3,3,3,4,4 bits LSB-first
+    bits = []
+    for code, width in ((4, 3), (0, 3), (6, 3), (7, 3), (0, 4), (5, 4)):
+        bits += [(code >> i) & 1 for i in range(width)]
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+
+    palette = bytes([10, 20, 30] + [0, 0, 0] * 3)  # 4 entries (depth 2)
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 7, 1, 0x81, 0, 0) + palette
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, 7, 1, 0)
+           + bytes([2, len(data)]) + bytes(data) + b"\x00\x3B")
+    got = _parse_gif_pixels(gif)
+    assert got is not None
+    w, h, c, arr = got
+    assert (w, h, c) == (7, 1, 3)
+    assert np.array_equal(arr, np.tile(np.array([10, 20, 30], np.uint8),
+                                       (1, 7, 1)))
+
+
+def test_gif_malformed_yields_none():
+    from aml_feature_store_spark.operators.multimodal import _parse_gif_pixels
+
+    assert _parse_gif_pixels(b"NOTGIF" + b"\x00" * 20) is None
+    assert _parse_gif_pixels(b"GIF89a" + b"\x01" * 4) is None
+    # truncated mid color table
+    assert _parse_gif_pixels(b"GIF89a" + bytes([7, 0, 1, 0, 0x81, 0, 0, 1])) is None

@@ -158,3 +158,38 @@ def test_png_decoder_never_raises_on_garbage(blob):
     for payload in (blob, _PNG_SIG + blob):
         got = _parse_png_pixels(payload)
         assert got is None or len(got) == 4
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=2, max_value=200),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_encode_decode_roundtrip(h, w, n_colors, seed):
+    """Any uint8 image with <= 256 distinct colors round-trips bit-exactly
+    through the pure-Python GIF LZW encoder/decoder."""
+    from aml_feature_store_spark.operators.multimodal import (
+        _encode_gif,
+        _parse_gif_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    px = palette[rng.integers(0, n_colors, (h, w))]
+    got = _parse_gif_pixels(_encode_gif(px))
+    assert got is not None
+    gw, gh, gc, arr = got
+    assert (gw, gh, gc) == (w, h, 3)
+    assert np.array_equal(arr, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=150))
+def test_gif_decoder_never_raises_on_garbage(blob):
+    from aml_feature_store_spark.operators.multimodal import _parse_gif_pixels
+
+    for payload in (blob, b"GIF89a" + blob):
+        got = _parse_gif_pixels(payload)
+        assert got is None or len(got) == 4
