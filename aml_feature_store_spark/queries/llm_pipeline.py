@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import register
-from ..operators import dedup, multimodal, simsearch, text
+from ..operators import dedup, multimodal, retrieval, simsearch, text
 from ..sources import load_table
 
 # --- X1/X2: dedup -----------------------------------------------------------
@@ -403,3 +403,30 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return simsearch.ivf_topk(emb, queries, k=10, n_probes=2)
+
+
+# --- X4 extension: ranked retrieval ----------------------------------------
+
+BM25_TERMS = ["spark", "window", "join", "stream", "hash"]
+
+
+@register("bm25_rank", oracle=retrieval.bm25_rank_sql(BM25_TERMS))
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents for a bag-of-words query under Okapi BM25
+    (Lucene idf variant, k1=1.2 b=0.75) — the targeted-curation /
+    decontamination retrieval pass of a training-data pipeline (X4).
+    The exploded token stream is filtered to the query terms BEFORE any
+    shuffle, corpus stats and per-term idf ride broadcasts, and the
+    final top-k is a TakeOrderedAndProject — the 100 TB shape."""
+    return retrieval.bm25_rank(
+        load_table(spark, sf_dir, "documents"), BM25_TERMS
+    )
+
+
+@register("tfidf_top_terms", oracle=retrieval.tfidf_top_terms_sql())
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by TF-IDF (sklearn smooth idf) —
+    topic tagging / index keys per doc (X4). Whole-vocabulary df via two
+    token-keyed shuffles; per-doc top-k is a doc_id-partitioned window
+    (WindowGroupLimit), never a global sort."""
+    return retrieval.tfidf_top_terms(load_table(spark, sf_dir, "documents"))

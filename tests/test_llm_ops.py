@@ -708,3 +708,62 @@ def test_gif_malformed_yields_none():
     assert _parse_gif_pixels(b"GIF89a" + b"\x01" * 4) is None
     # truncated mid color table
     assert _parse_gif_pixels(b"GIF89a" + bytes([7, 0, 1, 0, 0x81, 0, 0, 1])) is None
+
+
+def test_bm25_hand_computed(spark):
+    """Two-doc corpus, one query term: BM25 verified against the closed
+    form. doc 1 = 'cat dog' (tf=1, dl=2), doc 2 = 'cat cat cat fish'
+    (tf=3, dl=4); N=2, both contain 'cat' so df=2, avgdl=3."""
+    import math
+
+    from aml_feature_store_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat cat fish")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in retrieval.bm25_rank(docs, ["cat"]).collect()
+    }
+    idf = math.log(1.0 + (2 - 2 + 0.5) / (2 + 0.5))
+    k1, b, avgdl = 1.2, 0.75, 3.0
+
+    def score(tf, dl):
+        return round(
+            round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6),
+            6,
+        )
+
+    assert out == {1: score(1, 2), 2: score(3, 4)}
+    assert out[2] > out[1]  # higher tf wins despite longer doc
+
+
+def test_bm25_excludes_nonmatching_and_limits(spark):
+    from aml_feature_store_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, "cat" if i % 2 else "dog") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    rows = retrieval.bm25_rank(docs, ["cat"], top_n=3).collect()
+    assert len(rows) == 3
+    # identical scores -> doc_id ascending tiebreak
+    assert [r["doc_id"] for r in rows] == [1, 3, 5]
+
+
+def test_tfidf_top_terms_ranks_rare_term_first(spark):
+    """'zebra' appears once in one doc of three -> highest idf; the
+    shared term 'cat' ranks below it despite equal tf."""
+    from aml_feature_store_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "cat zebra"), (2, "cat dog"), (3, "cat dog")],
+        ["doc_id", "text"],
+    )
+    rows = retrieval.tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["term_rank"], r["term"]))
+    assert sorted(by_doc[1]) == [(1, "zebra"), (2, "cat")]
+    # docs 2/3: dog (df=2) beats cat (df=3)
+    assert sorted(by_doc[2]) == [(1, "dog"), (2, "cat")]
