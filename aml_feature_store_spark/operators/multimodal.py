@@ -162,8 +162,15 @@ def _decode_ppm(b: bytes):
             float(px.mean()), float(px.std()))
 
 
-def _decode_wav(b: bytes):
-    """RIFF/WAVE with 8/16-bit integer PCM — pure struct/numpy parse."""
+def _parse_wav(b: bytes):
+    """RIFF/WAVE with 8/16-bit integer PCM — pure struct/numpy parse.
+
+    Returns ``(rate, nch, x, bits)`` where ``x`` is the interleaved
+    sample stream as float64 (16-bit: raw counts; 8-bit: centered at 0
+    by subtracting 128), or None if the payload is not integer-PCM WAV.
+    Shared by :func:`_decode_wav` (summary stats) and
+    `operators/audio.py` (spectral analysis).
+    """
     import struct
 
     import numpy as np
@@ -189,6 +196,15 @@ def _decode_wav(b: bytes):
         x = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64)
     else:
         x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    return rate, nch, x, bits
+
+
+def _decode_wav(b: bytes):
+    """WAV summary stats row for :func:`decode_features`."""
+    parsed = _parse_wav(b)
+    if parsed is None:
+        return None
+    rate, nch, x, _bits = parsed
     n = len(x) // nch
     return ("wav", None, None, nch, rate, n, float(x.mean()) if n else 0.0,
             float(x.std()) if n else 0.0)

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import register
-from ..operators import dedup, multimodal, retrieval, simsearch, text
+from ..operators import audio, dedup, multimodal, retrieval, simsearch, text
 from ..sources import load_table
 
 # --- X1/X2: dedup -----------------------------------------------------------
@@ -430,3 +430,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-keyed shuffles; per-doc top-k is a doc_id-partitioned window
     (WindowGroupLimit), never a global sort."""
     return retrieval.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("audio_spectral_features", oracle=None)
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio analysis over genuine WAV bytes (X5 audio path):
+    deterministic pure-tone 16-bit PCM WAVs are synthesized per document,
+    then analyzed with numpy rFFT — duration, RMS, zero-crossing rate,
+    dominant frequency, spectral centroid/bandwidth/85% rolloff. One
+    Arrow-batched mapInPandas pass, no shuffle. Rows-only (binary
+    payloads are not SQL-expressible); every feature is pinned against
+    closed-form tone/silence/stereo expectations in tests/test_audio.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio.spectral_features(audio.synthesize_wav_payloads(docs))
