@@ -345,13 +345,29 @@ def _decode_png(b: bytes):
     return ("png", w, h, nch, None, None, float(x.mean()), float(x.std()))
 
 
+def _decode_jpeg(b: bytes):
+    """Baseline JPEG via the native pure-Python codec (operators/jpeg.py)."""
+    if len(b) < 2 or b[:2] != b"\xff\xd8":
+        return None
+    import numpy as np
+
+    from .jpeg import decode_jpeg
+
+    px = decode_jpeg(b)
+    if px is None:
+        return None
+    x = px.astype(np.float64)
+    h, w, nch = px.shape
+    return ("jpeg", w, h, nch, None, None, float(x.mean()), float(x.std()))
+
+
 def _decode_any(b: bytes):
     """Dispatch on magic bytes; pure-numpy for uncompressed formats,
-    stdlib zlib+numpy for PNG and pure-Python LZW for GIF, PIL (if
-    installed) for the remaining compressed formats (JPEG/WebP), else
-    None."""
+    stdlib zlib+numpy for PNG, pure-Python LZW for GIF and pure-Python
+    Huffman+IDCT for baseline JPEG, PIL (if installed) for the remaining
+    compressed formats (WebP / progressive JPEG), else None."""
     for dec in (_decode_bmp, _decode_ppm, _decode_wav, _decode_png,
-                _decode_gif):
+                _decode_gif, _decode_jpeg):
         try:
             got = dec(b)
         except Exception:
@@ -459,6 +475,31 @@ def synthesize_png_payloads(docs: DataFrame, w: int = 8, h: int = 8) -> DataFram
                 src = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
                 px = np.resize(src, h * w * 3).reshape(h, w, 3)
                 payloads.append(_encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def synthesize_jpeg_payloads(
+    docs: DataFrame, w: int = 16, h: int = 16, quality: int = 92
+) -> DataFrame:
+    """Deterministically build REAL baseline JPEG bytes per document
+    (pixels = repeating UTF-8 text bytes, DCT+Huffman entropy-coded by
+    the native encoder) — exercises the pure-Python JPEG decode path on
+    genuine lossy-compressed format bytes without shipping fixtures."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                src = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
+                px = np.resize(src, h * w * 3).reshape(h, w, 3)
+                payloads.append(encode_jpeg(px, quality=quality))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(

@@ -184,8 +184,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-bit BMPs are synthesized from each document's UTF-8 bytes, then
     parsed back by the pure struct+numpy decoder — dimensions, channels,
     pixel mean/std per doc. Rows-only; exact decode of hand-built
-    BMP/PPM/WAV fixtures is pytest-pinned. Compressed PNG and GIF decode
-    natively too (stdlib zlib / pure-Python LZW); only JPEG/WebP remain
+    BMP/PPM/WAV fixtures is pytest-pinned. Compressed PNG, GIF and
+    baseline JPEG decode natively too (stdlib zlib / pure-Python LZW /
+    pure-Python Huffman+IDCT); only WebP and progressive JPEG remain
     PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.synthesize_bmp_payloads(docs))
@@ -443,3 +444,18 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form tone/silence/stereo expectations in tests/test_audio.py."""
     docs = load_table(spark, sf_dir, "documents")
     return audio.spectral_features(audio.synthesize_wav_payloads(docs))
+
+
+@register("multimodal_jpeg_features", oracle=None)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY compressed decode with zero codec libraries (X5): real
+    baseline JPEGs (DCT + Annex-K Huffman entropy coding) are synthesized
+    from each document's UTF-8 bytes by the native pure-Python encoder,
+    then decoded natively — marker walk, canonical Huffman, dequant,
+    IDCT, YCbCr→RGB (operators/jpeg.py). Rows-only; the decoder is
+    spec-pinned in tests/test_jpeg.py by streams hand-assembled from
+    T.81 (4:4:4, 4:2:0 subsampled, restart markers) so the encoder and
+    decoder cannot share a compensating bug. Only WebP and progressive
+    JPEG remain PIL-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.synthesize_jpeg_payloads(docs))

@@ -1,0 +1,225 @@
+"""Pins for the pure-Python baseline JPEG codec (operators/jpeg.py).
+
+Layered: DCT/Huffman/bit-layer round trips in isolation; encode→decode
+round trips bounded by the quantization step; and decoder-only checks
+against streams assembled BY HAND in this file from the T.81 spec (so
+the decoder cannot share a compensating bug with the encoder) — 4:4:4,
+4:2:0 subsampled, and restart-marker variants.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from aml_feature_store_spark.operators import jpeg
+from aml_feature_store_spark.operators.jpeg import (
+    AC_LUM_BITS,
+    AC_LUM_VALS,
+    DC_LUM_BITS,
+    DC_LUM_VALS,
+    ZIGZAG,
+    _BitReader,
+    _BitWriter,
+    _C,
+    canonical_codes,
+    _decode_table,
+)
+
+
+def test_dct_matrix_orthonormal_roundtrip():
+    rng = np.random.default_rng(7)
+    block = rng.integers(0, 256, (8, 8)).astype(np.float64)
+    coef = _C @ block @ _C.T
+    back = _C.T @ coef @ _C
+    assert np.max(np.abs(back - block)) < 1e-9
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_standard_order():
+    # first and last few entries of the canonical scan
+    assert list(ZIGZAG[:8]) == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert list(ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_huffman_canonical_known_codes():
+    """T.81 Annex K DC luminance: category 0 -> 00 (len 2), 5 -> 110
+    (len 3), 6 -> 1110 (len 4); AC luminance EOB -> 1010 (len 4)."""
+    dc = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    assert dc[0] == (0b00, 2)
+    assert dc[5] == (0b110, 3)
+    assert dc[6] == (0b1110, 4)
+    ac = canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    assert ac[0x00] == (0b1010, 4)  # EOB
+    assert ac[0x01] == (0b00, 2)
+    assert ac[0xF0] == (0b11111111001, 11)  # ZRL
+
+
+def test_bit_layer_roundtrip_with_stuffing():
+    w = _BitWriter()
+    pattern = [(0xFF, 8), (0b1, 1), (0b0, 1), (0x3FFF, 14), (0xAB, 8)]
+    for code, length in pattern:
+        w.write(code, length)
+    w.flush()
+    data = bytes(w.out) + b"\xff\xd9"
+    assert b"\xff\x00" in data  # stuffing happened
+    r = _BitReader(data, 0)
+    for code, length in pattern:
+        assert r.take(length) == code
+
+
+def _seg(marker: bytes, body: bytes) -> bytes:
+    return marker + struct.pack(">H", len(body) + 2) + body
+
+
+def _hand_stream(h, w, comps_sof, comps_sos, entropy, dri=None, q=1):
+    """Assemble a baseline JPEG container by hand (test-side, not via
+    the encoder): unit/flat quant table, Annex-K lum Huffman tables."""
+    out = b"\xff\xd8"
+    out += _seg(b"\xff\xdb", bytes([0]) + bytes([q] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps_sof))
+    for cid, hv in comps_sof:
+        sof += bytes([cid, hv, 0])
+    out += _seg(b"\xff\xc0", sof)
+    out += _seg(
+        b"\xff\xc4", bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    )
+    out += _seg(
+        b"\xff\xc4", bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
+    )
+    if dri is not None:
+        out += _seg(b"\xff\xdd", struct.pack(">H", dri))
+    sos = bytes([len(comps_sos)])
+    for cid in comps_sos:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(b"\xff\xda", sos)
+    return out + entropy + b"\xff\xd9"
+
+
+def test_decode_hand_assembled_grayscale():
+    """Constant 8x8 gray block at value 130, q=1: DC = 8*(130-128) = 16,
+    category 5 -> DC code 110 + bits 10000, then EOB 1010; 12 bits padded
+    with 1s -> bytes D0 AF. Every layer hand-derived from the spec."""
+    entropy = bytes([0b11010000, 0b10101111])
+    b = _hand_stream(8, 8, [(1, 0x11)], [1], entropy)
+    px = jpeg.decode_jpeg(b)
+    assert px is not None and px.shape == (8, 8, 1)
+    assert np.all(px == 130)
+
+
+def _write_constant_blocks(writer, n_blocks, dc_value, dc_codes, ac_codes, pred=0):
+    """Entropy-encode n constant blocks (DC-only) via the public tables."""
+    for _ in range(n_blocks):
+        diff = dc_value - pred
+        pred = dc_value
+        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        code, length = dc_codes[s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+    return pred
+
+
+def test_decode_hand_driven_420_subsampling():
+    """16x16 3-component 4:2:0 stream assembled in the test: Y=2x2
+    blocks DC=16 (value 130), Cb/Cr 1 block each DC=0 (neutral 128)
+    -> constant gray RGB(130,130,130) after upsampling."""
+    dc = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    w = _BitWriter()
+    # MCU: 4 Y blocks (first DC diff 16, then 0), then Cb, Cr (diff 0)
+    pred = _write_constant_blocks(w, 4, 16, dc, ac)
+    _write_constant_blocks(w, 1, 0, dc, ac)
+    _write_constant_blocks(w, 1, 0, dc, ac)
+    w.flush()
+    b = _hand_stream(
+        16, 16, [(1, 0x22), (2, 0x11), (3, 0x11)], [1, 2, 3], bytes(w.out)
+    )
+    px = jpeg.decode_jpeg(b)
+    assert px is not None and px.shape == (16, 16, 3)
+    assert np.all(px == 130)
+
+
+def test_decode_restart_markers_reset_predictors():
+    """Two 8x8 MCUs with DRI=1: each begins from a fresh DC predictor,
+    so both encode diff=16 and an RST0 sits between them."""
+    dc = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    w1 = _BitWriter()
+    _write_constant_blocks(w1, 1, 16, dc, ac)
+    w1.flush()
+    w2 = _BitWriter()
+    _write_constant_blocks(w2, 1, 16, dc, ac)
+    w2.flush()
+    entropy = bytes(w1.out) + b"\xff\xd0" + bytes(w2.out)
+    b = _hand_stream(8, 16, [(1, 0x11)], [1], entropy, dri=1)
+    px = jpeg.decode_jpeg(b)
+    assert px is not None and px.shape == (8, 16, 1)
+    assert np.all(px == 130)
+
+
+def test_roundtrip_smooth_gradient_rgb():
+    yy, xx = np.mgrid[0:24, 0:32]
+    px = np.stack(
+        [(yy * 5 + 20) % 256, (xx * 4 + 10) % 256, ((yy + xx) * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95))
+    assert out is not None and out.shape == (24, 32, 3)
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 40
+
+
+def test_roundtrip_constant_color_near_exact():
+    px = np.full((8, 8, 3), [200, 64, 32], dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90))
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert err.max() <= 2  # only YCbCr round-trip rounding
+
+
+def test_roundtrip_noise_and_nonmultiple_of_8():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (13, 10, 3)).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=97))
+    assert out is not None and out.shape == (13, 10, 3)
+    # noise has full-scale high-frequency content; quality 97 keeps the
+    # quantization denominators small, so error stays bounded
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 16
+
+
+def test_roundtrip_grayscale():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=98))
+    assert out is not None and out.shape == (16, 16, 1)
+    assert np.abs(out[..., 0].astype(int) - px.astype(int)).mean() < 12
+
+
+def test_decoder_rejects_progressive_and_garbage():
+    assert jpeg.decode_jpeg(b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x00" * 11) is None
+    assert jpeg.decode_jpeg(b"not a jpeg") is None
+    assert jpeg.decode_jpeg(b"") is None
+    # truncated entropy segment must not raise
+    full = jpeg.encode_jpeg(np.full((8, 8), 130, dtype=np.uint8))
+    assert jpeg.decode_jpeg(full[: len(full) // 2]) is None or True
+
+
+def test_decode_features_jpeg_on_spark(spark):
+    from aml_feature_store_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], ["doc_id", "text"]
+    )
+    out = multimodal.decode_features(
+        multimodal.synthesize_jpeg_payloads(docs)
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["format"] == "jpeg"
+        assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
+        assert r["mean_val"] is not None and 0.0 <= r["mean_val"] <= 255.0
