@@ -399,3 +399,61 @@ def shared_neighbor_pairs(edges: DataFrame) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared_dsts"))
     )
+
+
+def pagerank(
+    edges: DataFrame, n_iters: int = 8, damping: float = 0.85
+) -> DataFrame:
+    """PageRank by fixed-round power iteration over a directed edge list
+    (`src`, `dst` columns; pass a symmetrized list for undirected
+    semantics — then every node has outdeg ≥ 1 and no dangling-mass
+    term is needed).
+
+    Determinism contract (mirrors the unrolled-CTE DuckDB oracle): every
+    iteration's rank is rounded to 12 dp, resynchronizing Spark's and the
+    oracle's float summation orders; the final output rounds to 9 dp.
+
+    Scale shape: per iteration, one src-keyed broadcast-free join + one
+    dst-keyed hash aggregation — the canonical distributed PageRank. The
+    rank/outdeg/node frames are `localCheckpoint`-materialized so the
+    plan stays O(1) deep across iterations instead of O(iters), and the
+    edge list is scanned once per iteration (never re-derived from the
+    source scan). A 1000-executor run partitions edges by src and
+    reuses that layout every round.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    outdeg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node", (F.round(F.col("rank"), 9) + F.lit(0.0)).alias("pagerank")
+    )

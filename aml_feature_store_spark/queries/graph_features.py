@@ -171,3 +171,75 @@ def user_shared_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the edge self-join primitive for clustering/triangle metrics
     (A28). Scale note: cap/sample hub nodes before this join at 100 TB."""
     return shared_neighbor_pairs(_edges(spark, sf_dir))
+
+
+def _pagerank_sql(n_iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain (same pattern as the k-means
+    Lloyd oracle): one CTE per iteration, each rounding to 12 dp exactly
+    like the engine, so the comparison is bit-exact."""
+    head = r"""
+WITH base AS (
+  SELECT DISTINCT
+         'u:' || CAST(user_id AS VARCHAR) AS a,
+         'm:' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                      AS VARCHAR) AS b
+  FROM events
+  WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM base
+  UNION ALL
+  SELECT b AS src, a AS dst FROM base
+),
+outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM edges),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM outdeg)"""
+    cte = ""
+    for i in range(1, n_iters + 1):
+        cte += f""",
+r{i} AS (
+  SELECT o.node,
+         round((1.0 - {damping!r}) / (SELECT n FROM nn)
+               + {damping!r} * coalesce(s.c, 0.0), 12) AS rank
+  FROM outdeg o LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / od.outdeg) AS c
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outdeg od ON od.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+    return (
+        head
+        + cte
+        + f"""
+SELECT node, round(rank, 9) + 0.0 AS pagerank FROM r{n_iters}
+"""
+    )
+
+
+@register("pagerank_bipartite", oracle=_pagerank_sql())
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized user↔prop_k bipartite graph — the
+    canonical iterative distributed-graph workload (A28 family; reference
+    scope-caps centralities to networkx on collected edges,
+    advanced_features.py:59-88 — this is the shape that actually scales).
+    8 power iterations, damping 0.85, per-iteration 12-dp resync
+    rounding; oracle is an unrolled CTE chain, bit-exact."""
+    from ..operators.graph import pagerank
+    from ..schemas import EVENT_PROPS
+
+    df = load_table(spark, sf_dir, "events")
+    base = (
+        df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
+        .filter(F.col("prop_k").isNotNull())
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("a"),
+            F.concat(F.lit("m:"), F.col("prop_k")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, n_iters=8, damping=0.85)

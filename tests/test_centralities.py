@@ -120,3 +120,33 @@ def test_landmark_closeness_networkx_convention(spark):
     # leaf: dists to 0,2,3,4 = 1,2,2,2 -> (4/7)*(4/4) = 0.571429
     assert got[1]["closeness"] == pytest.approx(round(4 / 7, 6), abs=1e-9)
     assert got[1]["n_reached"] == 4 and got[1]["total_dist"] == 7
+
+
+def test_pagerank_star_converges_to_closed_form(spark):
+    """Undirected star (center + 3 leaves): the stationary solution
+    solves r_c = 0.15/4 + 0.85*3*r_l, r_l = 0.15/4 + 0.85*r_c/3 ->
+    r_c = 0.133125/0.2775, r_l = (1 - r_c)/3. 60 iterations converge
+    well past 9 dp."""
+    from aml_feature_store_spark.operators.graph import pagerank
+
+    pairs = [("c", "l1"), ("c", "l2"), ("c", "l3")]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["pagerank"] for r in pagerank(edges, n_iters=60).collect()}
+    r_c = 0.133125 / 0.2775
+    assert ranks["c"] == pytest.approx(r_c, abs=1e-4)
+    for leaf in ("l1", "l2", "l3"):
+        assert ranks[leaf] == pytest.approx((1 - r_c) / 3, abs=1e-4)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-8)
+
+
+def test_pagerank_ring_is_uniform(spark):
+    """A directed 4-cycle is rank-regular: every node keeps exactly 1/n."""
+    from aml_feature_store_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    ranks = [r["pagerank"] for r in pagerank(edges, n_iters=8).collect()]
+    assert ranks == [0.25] * 4
