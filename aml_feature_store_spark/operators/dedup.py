@@ -730,3 +730,89 @@ def near_dup_components_star(
             ).alias("is_canonical"),
         )
     )
+
+
+def ngrams(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-grams per document — the generalized form of
+    :func:`shingles` (same tokenizer, same materialize-tokens-once and
+    dedup-before-explode design, shuffle-free)."""
+    parts = ", ".join(f"_toks[i+{j}]" for j in range(n))
+    g = F.expr(
+        f"""CASE WHEN size(_toks) >= {n} THEN
+              array_distinct(
+                transform(sequence(0, size(_toks) - {n}),
+                          i -> concat_ws(' ', {parts})))
+            ELSE array() END"""
+    )
+    return docs.withColumn("_toks", F.expr(_TOKS)).select(
+        F.col(id_col), F.explode(g).alias("gram")
+    )
+
+
+def _ngrams_sql(n: int, table: str = "documents", id_col: str = "doc_id",
+                where: str = "") -> str:
+    sel = " || ' ' || ".join(f"toks[CAST(i+{j} AS INT)]" for j in range(n))
+    return f"""
+  SELECT DISTINCT {id_col}, {sel} AS gram
+  FROM (SELECT {id_col},
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '') AS toks
+        FROM {table} {where}) t,
+       LATERAL (SELECT unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS i) u
+"""
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C / Llama style): flag training
+    documents sharing any word n-gram with the evaluation set.
+
+    Scale shape: the eval side is small by construction, so its distinct
+    n-gram set rides a broadcast — the training corpus is scanned once,
+    its exploded n-grams hash-probe the broadcast, and one doc-keyed
+    aggregation counts hits. No shuffle touches the full n-gram stream.
+    Every training doc appears in the output (zero hits included), so
+    the pass doubles as the keep-list for the next pipeline stage.
+    """
+    train_grams = ngrams(train, n, id_col)
+    eval_grams = ngrams(eval_docs, n, id_col).select("gram").distinct()
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    eval_max_id: int, n: int = 5, table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`decontaminate` with the eval set defined
+    as ``{id_col} < eval_max_id``."""
+    return f"""
+WITH train_grams AS ({_ngrams_sql(n, table, id_col, f"WHERE {id_col} >= {eval_max_id}")}),
+eval_grams AS (
+  SELECT DISTINCT gram
+  FROM ({_ngrams_sql(n, table, id_col, f"WHERE {id_col} < {eval_max_id}")})
+),
+hits AS (
+  SELECT g.{id_col}, COUNT(*) AS n_shared_grams
+  FROM train_grams g JOIN eval_grams USING (gram)
+  GROUP BY g.{id_col}
+)
+SELECT d.{id_col},
+       coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+       coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+FROM (SELECT {id_col} FROM {table} WHERE {id_col} >= {eval_max_id}) d
+LEFT JOIN hits h USING ({id_col})
+"""

@@ -235,3 +235,76 @@ WITH toks AS (
 SELECT {id_col}, term_rank, term, tfidf
 FROM ranked WHERE term_rank <= {top_k}
 """
+
+
+def unigram_logprob_quality(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own empirical token distribution — the lightweight analog
+    of CCNet/KenLM perplexity filtering (docs full of rare/garbage
+    tokens score high, fluent-for-this-corpus docs score low).
+
+    Two token-keyed aggregations (per-doc tf, corpus term counts), one
+    broadcast of the corpus total, one join back — the same shuffle
+    budget as TF-IDF. Per-token contributions round to 6 dp before the
+    per-doc mean (house float discipline, both engines identical).
+    """
+    toks = docs.select(F.col(id_col), F.expr(_TOKS).alias("toks"))
+    tf = (
+        toks.select(id_col, F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    term_counts = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = term_counts.agg(F.sum("ct").alias("total"))
+    scored = (
+        tf.join(term_counts, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "tf",
+            F.round(
+                F.col("tf") * -F.log(F.col("ct") / F.col("total")), 6
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        # numerator rounded to 6 dp BEFORE the division: both engines'
+        # sums resync to the same 1e-6 multiple, so the quotient (and its
+        # final rounding) is computed from bit-identical operands
+        (F.round(F.round(F.sum("nll"), 6) / F.sum("tf"), 6) + F.lit(0.0)).alias(
+            "mean_token_nll"
+        ),
+    )
+
+
+def unigram_logprob_quality_sql(
+    table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`unigram_logprob_quality`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT {id_col}, unnest(toks) AS term FROM toks)
+  GROUP BY {id_col}, term
+), term_counts AS (
+  SELECT term, SUM(tf) AS ct FROM tf GROUP BY term
+), total AS (
+  SELECT SUM(ct) AS total FROM term_counts
+), scored AS (
+  SELECT tf.{id_col}, tf.tf,
+         round(tf.tf * -ln(tc.ct / t.total), 6) AS nll
+  FROM tf JOIN term_counts tc USING (term) CROSS JOIN total t
+)
+SELECT {id_col},
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(round(SUM(nll), 6) / SUM(tf), 6) + 0.0 AS mean_token_nll
+FROM scored GROUP BY {id_col}
+"""

@@ -459,3 +459,91 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG remain PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.synthesize_jpeg_payloads(docs))
+
+
+EVAL_MAX_ID = 25  # docs below this id play the held-out benchmark set
+DECON_N = 5  # 13 in GPT-3; 5 collides meaningfully on the synthetic vocab
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=dedup.decontaminate_sql(EVAL_MAX_ID, DECON_N),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/Llama-style training-set decontamination: flag every
+    training doc (doc_id >= 25) sharing any word 5-gram with the
+    held-out benchmark slice (doc_id < 25). Eval n-grams ride a
+    broadcast; the training n-gram stream is never shuffled (X2/X4
+    family). n is configurable — 13 in GPT-3's protocol; 5 here so the
+    synthetic corpus actually collides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("doc_id") >= EVAL_MAX_ID),
+        docs.filter(F.col("doc_id") < EVAL_MAX_ID),
+        n=DECON_N,
+    )
+
+
+@register(
+    "unigram_logprob_quality", oracle=retrieval.unigram_logprob_quality_sql()
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score per document (mean
+    token negative log-likelihood) — the scalable analog of CCNet's
+    KenLM perplexity filter (X4). Two token-keyed shuffles + one
+    broadcast scalar."""
+    return retrieval.unigram_logprob_quality(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "domain_mixture_weights",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_docs) AS total FROM counts),
+p AS (
+  SELECT source, n_docs, n_chars,
+         round(n_docs / t.total, 6) AS proportion,
+         pow(n_docs / t.total, 0.7) AS pw
+  FROM counts CROSS JOIN tot t
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_chars, proportion,
+       round(pw / SUM(pw) OVER (), 6) + 0.0 AS sample_weight
+FROM p
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain sampling weights (Llama/GPT-style data
+    mixing): per-source doc counts and α=0.7 temperature reweighting
+    p_i^α / Σ p_j^α — upweights small domains, deterministic (X4).
+    One tiny groupBy; the weight table is the broadcast input to a
+    downstream stratified sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("proportion"),
+        F.pow(F.col("n_docs") / F.col("total"), F.lit(0.7)).alias("pw"),
+    )
+    # normalizer as a broadcast scalar, not an unpartitioned window (house
+    # rule: no single-partition WindowExec anywhere, test_plans.py)
+    pw_sum = p.agg(F.sum("pw").alias("pw_sum"))
+    return p.crossJoin(F.broadcast(pw_sum)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_chars",
+        "proportion",
+        (F.round(F.col("pw") / F.col("pw_sum"), 6) + F.lit(0.0)).alias(
+            "sample_weight"
+        ),
+    )

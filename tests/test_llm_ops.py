@@ -767,3 +767,70 @@ def test_tfidf_top_terms_ranks_rare_term_first(spark):
     assert sorted(by_doc[1]) == [(1, "zebra"), (2, "cat")]
     # docs 2/3: dog (df=2) beats cat (df=3)
     assert sorted(by_doc[2]) == [(1, "dog"), (2, "cat")]
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    """Train doc 10 repeats eval doc 1's 5-word phrase verbatim -> both
+    its 5-grams... exactly 1 shared distinct 5-gram; doc 11 is clean."""
+    from aml_feature_store_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (10, "x alpha beta gamma delta epsilon y"),
+            (11, "totally different words here now honest"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in dd.decontaminate(
+            docs.filter(F.col("doc_id") >= 10),
+            docs.filter(F.col("doc_id") < 10),
+            n=5,
+        ).collect()
+    }
+    assert out[10] == (1, True)
+    assert out[11] == (0, False)
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    """A doc of corpus-rare tokens must have higher mean NLL than one of
+    corpus-common tokens."""
+    from aml_feature_store_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, "common words common words") for i in range(8)]
+        + [(100, "rareword otherrare thirdrare xyzzy")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["mean_token_nll"]
+        for r in retrieval.unigram_logprob_quality(docs).collect()
+    }
+    assert out[100] > out[0]
+    import math
+
+    # common docs: p(common)=p(words)=16/36 -> NLL = ln(36/16)
+    assert out[0] == pytest.approx(round(math.log(36 / 16), 6), abs=2e-6)
+
+
+def test_domain_mixture_weights_upweight_small_domain(spark):
+    """alpha=0.7 temperature: the small domain's sample_weight exceeds
+    its raw proportion, the big domain's shrinks; weights sum to 1."""
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    # build directly from a tiny frame via the same operators
+    from aml_feature_store_spark.queries.llm_pipeline import (
+        domain_mixture_weights as q,
+    )
+
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    total_w = sum(r["sample_weight"] for r in rows)
+    assert total_w == pytest.approx(1.0, abs=1e-5)
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    if big["n_docs"] != small["n_docs"]:
+        assert small["sample_weight"] > small["proportion"]
+        assert big["sample_weight"] < big["proportion"]
