@@ -195,3 +195,37 @@ def test_dbscan_sliced_two_shuffles(spark, qs):
     plan = _plan(qs["dbscan_outliers_sliced"](spark, SF))
     assert _nodes(plan, "Exchange") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_and_take_ordered(spark, qs):
+    """BM25: idf/corpus stats ride broadcasts, the term filter lands
+    before the first aggregation's shuffle, and the final top-k is a
+    TakeOrderedAndProject — no global Sort node materializes."""
+    plan = _plan(qs["bm25_rank"](spark, SF))
+    assert _nodes(plan, "TakeOrderedAndProject") == 1
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_uses_partitioned_window(spark, qs):
+    """Per-doc top-k is a doc_id-partitioned window (no 'Moving all data
+    to a single partition' shape) with the rank filter pushed into a
+    WindowGroupLimit."""
+    plan = _plan(qs["tfidf_top_terms"](spark, SF))
+    assert _nodes(plan, "WindowGroupLimit") >= 1
+    assert "partitionBy=[doc_id" in plan.replace(" ", "") or "doc_id" in plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark, qs):
+    """The eval-side n-gram set is the broadcast build side; the training
+    n-gram stream is probe-only (no shuffle of the exploded grams into a
+    SortMergeJoin)."""
+    plan = _plan(qs["benchmark_decontamination"](spark, SF))
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mixture_no_single_partition_window(spark, qs):
+    plan = _plan(qs["domain_mixture_weights"](spark, SF))
+    assert _nodes(plan, "Window") == 0
