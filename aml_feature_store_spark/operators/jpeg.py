@@ -385,9 +385,14 @@ def _write_block(zz, dc_codes, ac_codes, writer: _BitWriter, pred: int) -> int:
 # --- decoder ----------------------------------------------------------------
 
 
+MAX_PIXELS = 1 << 26  # 64M px decode guard — a corrupted SOF header must
+# not trigger a multi-GB allocation inside a mapInPandas task
+
+
 def decode_jpeg(b: bytes):
     """Decode a baseline JPEG; returns an (h, w, ncomp) uint8 array or
-    None if the payload is not baseline sequential Huffman JPEG."""
+    None if the payload is not baseline sequential Huffman JPEG (or its
+    declared dimensions exceed MAX_PIXELS)."""
     try:
         return _decode_jpeg_strict(bytes(b))
     except Exception:
@@ -475,6 +480,8 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
         return None
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    if mcux * mcuy * 64 * hmax * vmax > MAX_PIXELS:
+        return None
     planes = [
         np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64) for c in comps
     ]

@@ -62,6 +62,10 @@ HEADLINE = [
     "repetition_stats",
     "dbscan_outliers_sliced",
     "landmark_closeness",
+    "pagerank_bipartite",
+    "bm25_rank",
+    "unigram_logprob_quality",
+    "benchmark_decontamination",
 ]
 
 # events-only queries re-run against the 10x generated events table

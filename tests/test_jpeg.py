@@ -223,3 +223,26 @@ def test_decode_features_jpeg_on_spark(spark):
         assert r["format"] == "jpeg"
         assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
         assert r["mean_val"] is not None and 0.0 <= r["mean_val"] <= 255.0
+
+
+def test_decode_never_raises_on_mutations():
+    """Garbage robustness (same contract as the PNG codec's property
+    test):random byte mutations of a valid stream must yield an array or
+    None, never an exception escaping decode_jpeg."""
+    rng = np.random.default_rng(5)
+    base = bytearray(
+        jpeg.encode_jpeg(
+            rng.integers(0, 256, (16, 16, 3)).astype(np.uint8), quality=85
+        )
+    )
+    for trial in range(200):
+        mutated = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+        out = jpeg.decode_jpeg(bytes(mutated))
+        assert out is None or out.dtype == np.uint8
+    # pure noise with the SOI magic prepended
+    for trial in range(50):
+        blob = b"\xff\xd8" + bytes(rng.integers(0, 256, 300).astype(np.uint8))
+        out = jpeg.decode_jpeg(blob)
+        assert out is None or out.dtype == np.uint8
