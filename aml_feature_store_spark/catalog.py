@@ -70,25 +70,25 @@ ORDER = [
     # windowed-stats kernel) or are the flagship / family representatives
     "trailing_multiwindow_features",
     "trailing_sums_cumsum_strategy",
-    "merchant_trailing_features",
+    "pagerank_bipartite",
     "streaming_per_event_features",
-    "streaming_graph_edges",
-    "streaming_tumbling_complete",
+    "bm25_rank",
+    "tfidf_top_terms",
     "streaming_per_event_extended",
     "windowed_gini_24h",
     "windowed_hhi_24h",
-    "windowed_entropy_24h",
+    "benchmark_decontamination",
     "pit_join_purchases_24h",
     "repetition_stats",
     "risk_scores",
     "behavioral_feature_vector",
     "stratified_sample",
     "interarrival_stats_per_user",
-    "population_zscore_per_user",
+    "unigram_logprob_quality",
     "conditional_window_counts",
     "user_sessions",
     "ks_drift_value",
-    "model_auc",
+    "domain_mixture_weights",
     "sequence_lag_features",
     "curate_training_docs",
     "dedup_minhash_lsh",
@@ -98,6 +98,15 @@ ORDER = [
     # --- driver cap boundary (50) is here; below are rotated-out rows,
     # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
     # then rows-only queries ---
+    # --- rotated out in r5 session 2: all six hold green 2026 driver rows
+    # (CORRECTNESS_r04) — swapped for the six queries NEW this session so
+    # the driver certifies them too ---
+    "merchant_trailing_features",
+    "streaming_graph_edges",
+    "streaming_tumbling_complete",
+    "windowed_entropy_24h",
+    "population_zscore_per_user",
+    "model_auc",
     "user_clustering_coeff",
     "risk_shapley",
     "online_feature_view",
