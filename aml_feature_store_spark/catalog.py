@@ -157,6 +157,8 @@ ORDER = [
     "multimodal_decode_features",
     "multimodal_png_features",
     "multimodal_resize_features",
+    "multimodal_jpeg_features",
+    "audio_spectral_features",
     "multimodal_frame_sample",
     "streaming_tumbling_rollup",
     "unique_users_approx_by_type",

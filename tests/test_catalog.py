@@ -76,6 +76,12 @@ def test_r5_rotated_queries_are_inside_the_cap():
         "streaming_per_event_features",
         "windowed_gini_24h",
         "ks_drift_value",
-        "population_zscore_per_user",
+        # session-2 additions (never driver-checked before r5)
+        "pagerank_bipartite",
+        "bm25_rank",
+        "tfidf_top_terms",
+        "benchmark_decontamination",
+        "unigram_logprob_quality",
+        "domain_mixture_weights",
     ):
         assert name in window, f"{name} fell outside the driver cap"
