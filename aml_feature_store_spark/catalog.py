@@ -157,6 +157,7 @@ ORDER = [
     "multimodal_decode_features",
     "multimodal_png_features",
     "multimodal_resize_features",
+    "bm25_index_topk",
     "multimodal_jpeg_features",
     "audio_spectral_features",
     "multimodal_frame_sample",

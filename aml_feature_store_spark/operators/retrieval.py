@@ -308,3 +308,120 @@ SELECT {id_col},
        round(round(SUM(nll), 6) / SUM(tf), 6) + 0.0 AS mean_token_nll
 FROM scored GROUP BY {id_col}
 """
+
+
+N_INDEX_BUCKETS = 16
+
+
+def _term_bucket_col(col: str = "term") -> "F.Column":
+    """Engine-portable term bucket: first 8 hex chars of md5 mod
+    N_INDEX_BUCKETS (same md5-bucket trick as the seeded sampler, so the
+    driver can recompute it for pruning literals without Spark)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long")
+        % N_INDEX_BUCKETS
+    ).cast("int")
+
+
+def term_bucket(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % N_INDEX_BUCKETS
+
+
+def build_text_index(docs: DataFrame, path: str, id_col: str = "doc_id") -> None:
+    """Materialize the inverted index for BM25: postings
+    ``(term, doc_id, tf, dl)`` written ``partitionBy(bucket)`` (md5 term
+    bucket), per-term document frequencies in a same-partitioned `terms`
+    table, and the 1-row corpus stats table. A query for T terms then
+    reads ONLY the ≤T bucket partitions via file-listing pruning — at
+    100 TB the postings list is the big table and this is the entire
+    point of persisting. Build once, query many; `index_bm25` is the
+    read side and returns bit-identical results to :func:`bm25_rank`.
+    """
+    import os
+
+    toks = docs.select(
+        F.col(id_col), F.expr(_TOKS).alias("toks")
+    ).select(id_col, F.size("toks").alias("dl"), "toks")
+    toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    postings = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("bucket", _term_bucket_col())
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    ).withColumn("bucket", _term_bucket_col()).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(path, "terms"))
+
+
+def index_bm25(
+    spark,
+    path: str,
+    terms: list[str],
+    k1: float = K1,
+    b: float = B,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 against the persisted inverted index: the query terms'
+    buckets become literal IN partition filters (pruned at file listing
+    — unprobed buckets are never read), scoring and tiebreaks are
+    identical to :func:`bm25_rank`, so index round trips are
+    bit-identical to the scan path (and share its DuckDB oracle)."""
+    import os
+
+    buckets = sorted({term_bucket(t) for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    df_t = (
+        spark.read.parquet(os.path.join(path, "terms"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+    contrib = postings.join(F.broadcast(idf), "term").select(
+        id_col,
+        F.round(
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+            6,
+        ).alias("term_score"),
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            (F.round(F.sum("term_score"), 6) + F.lit(0.0)).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(top_n)
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import register
 from ..operators import audio, dedup, multimodal, retrieval, simsearch, text
 from ..sources import load_table
+from ..streaming.per_event import _run_tmpdir
 
 # --- X1/X2: dedup -----------------------------------------------------------
 
@@ -91,7 +92,7 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = _run_tmpdir("ivf_index_")
     simsearch.build_ivf_index(emb, path)
     return simsearch.ivf_index_topk(spark, path, queries, k=10)
 
@@ -547,3 +548,17 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_weight"
         ),
     )
+
+
+@register("bm25_index_topk", oracle=retrieval.bm25_rank_sql(BM25_TERMS))
+def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index (X4 scale path):
+    postings partitioned by md5 term bucket, query terms -> literal IN
+    partition filters pruned at file listing, so a T-term query reads
+    <= T of the 16 bucket partitions however large the corpus. Same
+    oracle as bm25_rank — the index round trip must be bit-identical
+    to the scan path."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _run_tmpdir("text_index_")
+    retrieval.build_text_index(docs, path)
+    return retrieval.index_bm25(spark, path, BM25_TERMS)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register
 from ..sources.tables import isolate_events_files, stream_events
-from ..streaming.per_event import run_bounded
+from ..streaming.per_event import _run_tmpdir, run_bounded
 from ..streaming.sliding import tumbling_rollup
 
 _PER_EVENT_ORACLE = """
@@ -64,12 +64,12 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # append mode supports a file sink: executor-parallel writes instead
     # of collecting the emission into the driver (complete-mode twins
     # must keep the memory sink - file sinks are append-only)
-    dst = tempfile.mkdtemp(prefix="out_roll_")
+    dst = _run_tmpdir("out_roll_")
     q = (
         out.writeStream.outputMode("append")
         .format("parquet")
         .option("path", dst)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _run_tmpdir("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -109,7 +109,7 @@ def streaming_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _run_tmpdir("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -187,3 +187,48 @@ def streaming_per_event_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col(f"std_txn_amount_{w}"), 6) + F.lit(0.0),
         )
     return out
+
+
+_DEDUP_ORACLE = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
+FROM events
+"""
+
+
+@register("streaming_dedup_events", oracle=_DEDUP_ORACLE)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication via ``dropDuplicatesWithinWatermark``
+    (T-family + X1's streaming twin): the bounded replay unions the event
+    stream with itself — every event genuinely arrives twice, across
+    micro-batch boundaries — and the dedup operator must emit each
+    event_id exactly once. Append emission of first-seen rows is
+    watermark-independent (only state EVICTION depends on the watermark),
+    so the output is deterministic and oracle-checked against plain
+    batch DISTINCT. At scale the state store holds one entry per key
+    within the watermark horizon — the bounded-memory streaming dedup
+    the batch X1 operator cannot provide."""
+    src = isolate_events_files(sf_dir)
+    events = stream_events(spark, src)
+    doubled = events.union(stream_events(spark, src))
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_millis("ts")).alias("ts_ms"),
+            "event_type",
+            "value",
+        )
+    )
+    dst = _run_tmpdir("out_dedup_")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", _run_tmpdir("ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(deduped.schema).parquet(dst)

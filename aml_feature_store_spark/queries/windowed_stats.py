@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..catalog import register
+from ..streaming.per_event import _run_tmpdir
 from ..schemas import EVENT_PROPS
 from ..sources import load_table
 from ..sources.tables import isolate_events_files
@@ -372,7 +373,7 @@ def streaming_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _run_tmpdir("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -834,3 +834,49 @@ def test_domain_mixture_weights_upweight_small_domain(spark):
     if big["n_docs"] != small["n_docs"]:
         assert small["sample_weight"] > small["proportion"]
         assert big["sample_weight"] < big["proportion"]
+
+
+def test_text_index_roundtrip_matches_scan_bm25(spark, tmp_path):
+    """Index-served BM25 must be bit-identical to the direct scan path,
+    and the probe must prune partitions at file listing (PartitionFilters
+    with a literal IN over the md5 term buckets)."""
+    from aml_feature_store_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window join stream hash spark"),
+            (2, "join join join window other words"),
+            (3, "completely unrelated text body here"),
+            (4, "hash stream hash stream hash stream"),
+        ],
+        ["doc_id", "text"],
+    )
+    terms = ["spark", "join", "hash"]
+    path = str(tmp_path / "tidx")
+    retrieval.build_text_index(docs, path)
+    direct = retrieval.bm25_rank(docs, terms).collect()
+    via_index = retrieval.index_bm25(spark, path, terms).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in via_index]
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        retrieval.index_bm25(spark, path, terms).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_term_bucket_portable_hash(spark):
+    """Driver-side md5 bucket must equal the Spark column expression for
+    the same term (the pruning literals depend on it)."""
+    from aml_feature_store_spark.operators import retrieval
+
+    terms = ["spark", "join", "zzz", "a", "42"]
+    df = spark.createDataFrame([(t,) for t in terms], ["term"]).withColumn(
+        "bucket", retrieval._term_bucket_col()
+    )
+    got = {r["term"]: r["bucket"] for r in df.collect()}
+    for t in terms:
+        assert got[t] == retrieval.term_bucket(t)

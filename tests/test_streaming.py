@@ -463,3 +463,52 @@ def test_extended_vector_multi_batch_state_carry(spark, tmp_path):
             assert r[c] == pytest.approx(w[c], rel=1e-12), (r["event_id"], c)
     # sanity: the distinct column actually varies (not degenerate)
     assert len({r["unique_k_1h"] for r in multi}) > 1
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same events arrive again in a
+    LATER micro-batch (maxFilesPerTrigger=1 forces the boundary) and must
+    not be re-emitted — one row per event_id, first-seen wins."""
+    import pandas as pd
+
+    log_dir = str(tmp_path / "dup_log")
+    os.makedirs(log_dir)
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [10, 10, 11],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:01:00",
+                 "2026-01-01 00:02:00"]
+            ).astype("datetime64[us]"),  # Spark reads micros, not nanos
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    for i, chunk in enumerate([base, base]):  # identical payload twice
+        chunk.to_parquet(f"{log_dir}/part{i}.parquet", index=False)
+        os.utime(f"{log_dir}/part{i}.parquet", (1e9 + i, 1e9 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.schema(deduped.schema).parquet(out_dir).collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
