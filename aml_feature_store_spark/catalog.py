@@ -163,6 +163,7 @@ ORDER = [
     "multimodal_frame_sample",
     "streaming_tumbling_rollup",
     "unique_users_approx_by_type",
+    "quantiles_approx_by_event_type",
 ]
 
 

@@ -179,6 +179,29 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quantiles_approx_by_event_type", oracle=None)
+def quantiles_approx_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `quantiles_by_event_type`: percentile_approx
+    (Greenwald-Khanna sketch, accuracy 10000 → max rank error 1e-4) —
+    mergeable partial sketches, no global sort, bounded memory per
+    partition. Rows-only (sketch output is implementation-defined);
+    tests/test_stats.py pins each approx quantile within the declared
+    rank-error bound of the exact answer (A22 scale path)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 6
+        ).alias("p50_approx"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 6
+        ).alias("p95_approx"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.99), F.lit(10000)), 6
+        ).alias("p99_approx"),
+    )
+
+
 @register(
     "mktsegment_acctbal_summary",
     oracle="""

@@ -117,3 +117,31 @@ def test_population_zscore(spark):
     assert out[2]["amount_zscore"] == pytest.approx(0.0, abs=1e-6)
     assert out[3]["amount_percentile"] == pytest.approx(1.0)
     assert out[1]["amount_percentile"] == pytest.approx(0.0)
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """percentile_approx(accuracy=10000) vs exact percentile: each approx
+    value must sit between the exact values at q +- (rank error + one
+    sample rank, since the sketch emits actual samples)."""
+    from pyspark.sql import functions as F
+
+    from aml_feature_store_spark.sources import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.01", "events")
+    # GK rank error (1e-4) + one-rank discretization: percentile_approx
+    # returns an actual sample, exact percentile interpolates between two
+    n_min = min(
+        r["n"] for r in df.groupBy("event_type").count().withColumnRenamed(
+            "count", "n").collect()
+    )
+    eps = 1e-4 + 2.0 / n_min
+    checks = []
+    for q in (0.5, 0.95, 0.99):
+        checks += [
+            F.percentile("value", F.lit(max(q - eps, 0.0))).alias(f"lo{q}"),
+            F.percentile("value", F.lit(min(q + eps, 1.0))).alias(f"hi{q}"),
+            F.percentile_approx("value", F.lit(q), F.lit(10000)).alias(f"ap{q}"),
+        ]
+    for r in df.groupBy("event_type").agg(*checks).collect():
+        for q in (0.5, 0.95, 0.99):
+            assert r[f"lo{q}"] <= r[f"ap{q}"] <= r[f"hi{q}"], (r["event_type"], q)
