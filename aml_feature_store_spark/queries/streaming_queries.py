@@ -232,3 +232,74 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.schema(deduped.schema).parquet(dst)
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, epoch_ms(p.ts) AS purchase_ts_ms,
+       epoch_ms(c.ts) AS click_ts_ms, c.value AS click_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+"""
+
+
+@register("streaming_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (T-family + J2's streaming
+    cousin): purchases matched to the same user's clicks in the preceding
+    10 minutes, both sides watermarked, state bounded by the join range.
+    INNER stream-stream join emission over a bounded availableNow replay
+    is deterministic (watermarks gate state EVICTION, not inner-match
+    emission), so the result is oracle-checked against the batch range
+    join — the attribution topology (click -> purchase) every event
+    pipeline runs, with per-side state instead of a full shuffle
+    materialization."""
+    src = isolate_events_files(sf_dir)
+    purchases = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.unix_millis("p_ts").alias("purchase_ts_ms"),
+        F.unix_millis("c_ts").alias("click_ts_ms"),
+        "click_value",
+    )
+    dst = _run_tmpdir("out_ij_")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", _run_tmpdir("ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(joined.schema).parquet(dst)
