@@ -165,6 +165,7 @@ ORDER = [
     "unique_users_approx_by_type",
     "quantiles_approx_by_event_type",
     "streaming_interval_join",
+    "embedding_pca_component",
 ]
 
 

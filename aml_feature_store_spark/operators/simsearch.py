@@ -756,3 +756,112 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration — X3-family corpus analytics (dominant variance
+    direction for whitening / drift monitoring / 1-D compression).
+
+    The covariance matrix is never materialized: each round applies
+    C·z = Σ_v (x_v − μ)((x_v − μ)·z) / N as two aggregations over the
+    exploded (id, dim, centered-value) table — a dim-keyed broadcast
+    join + id-keyed aggregation for the scores s_v, then an id-keyed
+    join + dim-keyed aggregation for the update. At 100 TB the exploded
+    table is the big operand and everything joins it on its own keys;
+    the z and s frames are d- and N-row side tables (s rides a shuffle
+    join at real N). Determinism mirrors the PageRank/k-means pattern:
+    μ rounds to 9 dp, each normalized iterate to 12 dp, the output
+    loadings to 9 dp — the DuckDB oracle unrolls the same rounds as
+    CTEs and matches bit-exactly (sign and all, since both engines run
+    the identical deterministic recurrence from the uniform start).
+    """
+    e = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
+    ).select(id_col, "dim", F.col("val").cast("double").alias("val"))
+    mu = e.groupBy("dim").agg(F.round(F.avg("val"), 9).alias("mu"))
+    centered = (
+        e.join(F.broadcast(mu), "dim")
+        .select(id_col, "dim", (F.col("val") - F.col("mu")).alias("vc"))
+        .localCheckpoint(eager=True)
+    )
+    n = centered.select(id_col).distinct().count()
+    d = centered.select("dim").distinct().count()
+    z = (
+        centered.select("dim")
+        .distinct()
+        .withColumn("z", F.lit(round(1.0 / d**0.5, 12)))
+    )
+    for it in range(n_iters):
+        s = (
+            centered.join(F.broadcast(z), "dim")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("vc") * F.col("z")).alias("s"))
+        )
+        zraw = (
+            centered.join(s, id_col)
+            .groupBy("dim")
+            .agg(
+                F.round(F.sum(F.col("vc") * F.col("s")) / F.lit(float(n)), 12)
+                .alias("zraw")
+            )
+        )
+        norm = zraw.agg(
+            F.sqrt(F.sum(F.col("zraw") * F.col("zraw"))).alias("nrm")
+        )
+        z = zraw.crossJoin(F.broadcast(norm)).select(
+            "dim", F.round(F.col("zraw") / F.col("nrm"), 12).alias("z")
+        )
+        if (it + 1) % 2 == 0 or it == n_iters - 1:
+            z = z.localCheckpoint(eager=True)
+    return z.select(
+        "dim", (F.round(F.col("z"), 9) + F.lit(0.0)).alias("loading")
+    )
+
+
+def pca_top_component_sql(
+    n_iters: int = 8, table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled power-iteration CTE oracle for :func:`pca_top_component`
+    (DuckDB generate_subscripts is 1-based; shifted to match posexplode)."""
+    head = f"""
+WITH e AS (
+  SELECT {id_col},
+         generate_subscripts({vec_col}, 1) - 1 AS dim,
+         CAST(unnest({vec_col}) AS DOUBLE) AS val
+  FROM {table}
+),
+mu AS MATERIALIZED (SELECT dim, round(avg(val), 9) AS mu FROM e GROUP BY dim),
+centered AS MATERIALIZED (
+  SELECT e.{id_col}, e.dim, e.val - m.mu AS vc FROM e JOIN mu m USING (dim)
+),
+nn AS (SELECT CAST(COUNT(DISTINCT {id_col}) AS DOUBLE) AS n FROM centered),
+dd AS (SELECT CAST(COUNT(DISTINCT dim) AS DOUBLE) AS d FROM centered),
+z0 AS MATERIALIZED (SELECT DISTINCT dim, round(1.0 / sqrt((SELECT d FROM dd)), 12) AS z
+       FROM centered)"""
+    cte = ""
+    for i in range(1, n_iters + 1):
+        cte += f""",
+s{i} AS MATERIALIZED (
+  SELECT c.{id_col}, SUM(c.vc * z.z) AS s
+  FROM centered c JOIN z{i - 1} z USING (dim) GROUP BY c.{id_col}
+),
+zr{i} AS MATERIALIZED (
+  SELECT c.dim, round(SUM(c.vc * s.s) / (SELECT n FROM nn), 12) AS zraw
+  FROM centered c JOIN s{i} s USING ({id_col}) GROUP BY c.dim
+),
+nrm{i} AS MATERIALIZED (SELECT sqrt(SUM(zraw * zraw)) AS nrm FROM zr{i}),
+z{i} AS MATERIALIZED (SELECT dim, round(zraw / (SELECT nrm FROM nrm{i}), 12) AS z FROM zr{i})"""
+    return (
+        head
+        + cte
+        + f"""
+SELECT dim, round(z, 9) + 0.0 AS loading FROM z{n_iters}
+"""
+    )

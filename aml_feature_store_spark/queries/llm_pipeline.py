@@ -562,3 +562,13 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _run_tmpdir("text_index_")
     retrieval.build_text_index(docs, path)
     return retrieval.index_bm25(spark, path, BM25_TERMS)
+
+
+@register("embedding_pca_component", oracle=simsearch.pca_top_component_sql())
+def embedding_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration (X3 corpus analytics) — covariance never
+    materialized, two aggregations per round over the exploded table,
+    deterministic 8-round recurrence with per-round resync rounding;
+    oracle is the same recurrence unrolled as DuckDB CTEs, bit-exact."""
+    return simsearch.pca_top_component(load_table(spark, sf_dir, "embeddings"))

@@ -880,3 +880,22 @@ def test_term_bucket_portable_hash(spark):
     got = {r["term"]: r["bucket"] for r in df.collect()}
     for t in terms:
         assert got[t] == retrieval.term_bucket(t)
+
+
+def test_pca_top_component_finds_dominant_direction(spark):
+    """Vectors = t * e0 + small noise on e1: the top component must align
+    with dim 0 (|loading_0| ~ 1) and be unit-norm."""
+    import math
+
+    from aml_feature_store_spark.operators import simsearch
+
+    rows = []
+    for i in range(40):
+        t = (i - 20) / 4.0
+        noise = 0.01 * ((i * 7) % 5 - 2)
+        rows.append((i, [float(t), float(noise), 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["dim"]: r["loading"] for r in simsearch.pca_top_component(emb).collect()}
+    assert abs(abs(out[0]) - 1.0) < 1e-3
+    assert abs(out[2]) < 1e-6 and abs(out[3]) < 1e-6
+    assert abs(math.sqrt(sum(v * v for v in out.values())) - 1.0) < 1e-6
