@@ -164,6 +164,7 @@ ORDER = [
     "streaming_tumbling_rollup",
     "unique_users_approx_by_type",
     "quantiles_approx_by_event_type",
+    "streaming_dedup_events",
     "streaming_interval_join",
     "embedding_pca_component",
 ]
