@@ -159,6 +159,7 @@ ORDER = [
     "multimodal_resize_features",
     "bm25_index_topk",
     "multimodal_jpeg_features",
+    "multimodal_video_features",
     "audio_spectral_features",
     "multimodal_frame_sample",
     "streaming_tumbling_rollup",

@@ -647,6 +647,79 @@ def sample_frames(
     )
 
 
+def synthesize_mjpeg_payloads(
+    docs: DataFrame, n_frames: int = 8, w: int = 16, h: int = 16
+) -> DataFrame:
+    """Deterministic MJPEG-style 'video' per document: a length-prefixed
+    frame sequence whose frames are REAL baseline JPEGs (each frame's
+    pixels derive from the doc text and the frame index, so motion is
+    visible across frames)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                src = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
+                frames = []
+                for k in range(n_frames):
+                    px = (
+                        np.resize(src, h * w * 3).reshape(h, w, 3).astype(np.int32)
+                        + 7 * k
+                    ) % 256
+                    frames.append(encode_jpeg(px.astype(np.uint8), quality=92))
+                payloads.append(pack_frame_sequence(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+VIDEO_SCHEMA = (
+    "doc_id long, frame_idx int, format string, width int, height int, "
+    "channels int, mean_val double, std_val double, n_bytes long"
+)
+
+
+def video_features(
+    df: DataFrame, every_k: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """The real video-pipeline access pattern over an MJPEG-style frame
+    sequence: SEEK past unsampled frames via the length prefixes (zero
+    decode work on dropped frames), then decode ONLY the sampled frames
+    with the native JPEG codec — per sampled frame: dimensions, channels,
+    pixel mean/std. The expensive step runs on 1/every_k of the payload
+    bytes by construction; undecodable frames yield NULL-feature rows."""
+    sampled = sample_frames(df, every_k=every_k, payload_col=payload_col)
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, idx, raw in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                b = bytes(raw) if raw is not None else b""
+                got = _decode_any(b)
+                if got is None:
+                    rows.append((doc_id, idx, None, None, None, None, None,
+                                 None, len(b)))
+                else:
+                    fmt, w, h, nch, _rate, _ns, mean, std = got
+                    rows.append((doc_id, idx, fmt, w, h, nch, mean, std,
+                                 len(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "format", "width", "height",
+                         "channels", "mean_val", "std_val", "n_bytes"],
+                dtype=object,
+            )
+
+    return sampled.mapInPandas(_batch, schema=VIDEO_SCHEMA)
+
+
 # --- GIF (LZW) ---------------------------------------------------------------
 
 _GIF_SIGS = (b"GIF87a", b"GIF89a")

@@ -572,3 +572,17 @@ def embedding_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 8-round recurrence with per-round resync rounding;
     oracle is the same recurrence unrolled as DuckDB CTEs, bit-exact."""
     return simsearch.pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("multimodal_video_features", oracle=None)
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-style video pipeline (X5): per doc, an 8-frame sequence of
+    REAL baseline JPEGs; the sampler SEEKS past unsampled frames via the
+    container's length prefixes (zero decode on dropped frames), then
+    only every 4th frame is decoded with the native JPEG codec — the
+    sample-then-decode pattern of a real video curation pass. Rows-only;
+    frame content and sampling are pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.video_features(
+        multimodal.synthesize_mjpeg_payloads(docs), every_k=4
+    )

@@ -246,3 +246,28 @@ def test_decode_never_raises_on_mutations():
         blob = b"\xff\xd8" + bytes(rng.integers(0, 256, 300).astype(np.uint8))
         out = jpeg.decode_jpeg(blob)
         assert out is None or out.dtype == np.uint8
+
+
+def test_video_pipeline_samples_then_decodes(spark):
+    """8 MJPEG frames, stride 4 -> frames 0 and 4 decoded per doc; the
+    +7k pixel shift makes later frames measurably brighter (mod wrap
+    aside), and every decoded frame reports jpeg 16x16x3."""
+    from aml_feature_store_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "video test alpha"), (2, "video test beta")], ["doc_id", "text"]
+    )
+    rows = multimodal.video_features(
+        multimodal.synthesize_mjpeg_payloads(docs), every_k=4
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id in (1, 2):
+        frames = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == [0, 4]
+        for f in frames:
+            assert f["format"] == "jpeg"
+            assert (f["width"], f["height"], f["channels"]) == (16, 16, 3)
+        # frames differ: the +7k shift moved the mean
+        assert frames[0]["mean_val"] != frames[1]["mean_val"]
