@@ -168,6 +168,8 @@ ORDER = [
     "streaming_dedup_events",
     "streaming_interval_join",
     "embedding_pca_component",
+    "embedding_pca_scores",
+    "robust_zscore_outliers",
 ]
 
 

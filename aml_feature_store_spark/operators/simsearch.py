@@ -865,3 +865,70 @@ z{i} AS MATERIALIZED (SELECT dim, round(zraw / (SELECT nrm FROM nrm{i}), 12) AS 
 SELECT dim, round(z, 9) + 0.0 AS loading FROM z{n_iters}
 """
     )
+
+
+def pca_scores(
+    emb: DataFrame,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector projection onto the top principal component (the 1-D
+    compression code) plus reconstruction error ‖x−μ‖² − score² — the
+    variance NOT captured, a standard embedding-anomaly signal. Reuses
+    the :func:`pca_top_component` recurrence; one extra dim-keyed
+    broadcast join + id-keyed aggregation over the centered table."""
+    e = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
+    ).select(id_col, "dim", F.col("val").cast("double").alias("val"))
+    mu = e.groupBy("dim").agg(F.round(F.avg("val"), 9).alias("mu"))
+    centered = e.join(F.broadcast(mu), "dim").select(
+        id_col, "dim", (F.col("val") - F.col("mu")).alias("vc")
+    )
+    comp = pca_top_component(emb, n_iters, id_col, vec_col).select(
+        "dim", F.col("loading").alias("z")
+    )
+    return (
+        centered.join(F.broadcast(comp), "dim")
+        .groupBy(id_col)
+        .agg(
+            (F.round(F.sum(F.col("vc") * F.col("z")), 6) + F.lit(0.0)).alias(
+                "score"
+            ),
+            F.round(F.sum(F.col("vc") * F.col("vc")), 6).alias("_ss"),
+        )
+        .select(
+            id_col,
+            "score",
+            (
+                F.round(F.col("_ss") - F.col("score") * F.col("score"), 6)
+                + F.lit(0.0)
+            ).alias("recon_err"),
+        )
+    )
+
+
+def pca_scores_sql(
+    n_iters: int = 8, table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for :func:`pca_scores`: the component CTE chain plus the
+    projection joins, same rounding points."""
+    comp = pca_top_component_sql(n_iters, table, id_col, vec_col)
+    # reuse the chain up to the final SELECT, then project
+    body = comp.rsplit("SELECT dim,", 1)[0]
+    return (
+        body
+        + f""",
+comp AS MATERIALIZED (SELECT dim, round(z, 9) + 0.0 AS z FROM z{n_iters}),
+proj AS (
+  SELECT c.{id_col},
+         round(SUM(c.vc * k.z), 6) + 0.0 AS score,
+         round(SUM(c.vc * c.vc), 6) AS ss
+  FROM centered c JOIN comp k USING (dim) GROUP BY c.{id_col}
+)
+SELECT {id_col}, score,
+       round(ss - score * score, 6) + 0.0 AS recon_err
+FROM proj
+"""
+    )

@@ -586,3 +586,12 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_features(
         multimodal.synthesize_mjpeg_payloads(docs), every_k=4
     )
+
+
+@register("embedding_pca_scores", oracle=simsearch.pca_scores_sql())
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector 1-D PCA compression code + reconstruction error (the
+    variance the top component misses — an embedding anomaly signal,
+    X3). Same deterministic recurrence as embedding_pca_component plus
+    one projection pass; oracle-exact."""
+    return simsearch.pca_scores(load_table(spark, sf_dir, "embeddings"))

@@ -85,3 +85,68 @@ def daily_counts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "robust_zscore_outliers",
+    oracle="""
+WITH med AS (
+  SELECT user_id, round(quantile_cont(value, 0.5), 9) AS med
+  FROM events GROUP BY user_id
+), dev AS (
+  SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (user_id)
+), mad AS (
+  SELECT user_id, round(quantile_cont(adev, 0.5), 9) AS mad
+  FROM dev GROUP BY user_id
+)
+SELECT d.user_id, COUNT(*) AS n,
+       round(any_value(d.med), 6) + 0.0 AS median_value,
+       round(any_value(m.mad), 6) + 0.0 AS mad_value,
+       CAST(COALESCE(SUM(CASE WHEN m.mad > 0
+                 AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id
+""",
+)
+def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier stats: median, MAD, and the count of
+    events beyond the modified z-score |0.6745·(x−med)/MAD| > 3.5
+    (Iglewicz-Hoban) — the outlier rule that, unlike mean/std z-scores,
+    doesn't let the outliers inflate their own threshold (A13/A15
+    robustness twin). Two user-keyed exact-percentile aggregations +
+    one join back; exact oracle."""
+    df = load_table(spark, sf_dir, "events")
+    med = df.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 9).alias("med")
+    )
+    dev = df.join(med, "user_id").select(
+        "user_id", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 9).alias("mad")
+    )
+    flagged = dev.join(mad, "user_id")
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.first("med"), 6) + F.lit(0.0)).alias("median_value"),
+        (F.round(F.first("mad"), 6) + F.lit(0.0)).alias("mad_value"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (
+                        F.abs(
+                            F.lit(0.6745)
+                            * (F.col("value") - F.col("med"))
+                            / F.col("mad")
+                        )
+                        > 3.5
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_outliers"),
+    )

@@ -145,3 +145,33 @@ def test_approx_quantiles_within_rank_error(spark):
     for r in df.groupBy("event_type").agg(*checks).collect():
         for q in (0.5, 0.95, 0.99):
             assert r[f"lo{q}"] <= r[f"ap{q}"] <= r[f"hi{q}"], (r["event_type"], q)
+
+
+def test_robust_zscore_flags_only_the_outlier(spark):
+    """9 values near 10 plus one at 1000: MAD stays tiny, so exactly one
+    event crosses |0.6745*(x-med)/MAD| > 3.5; the mean/std z-score would
+    have been dragged by the outlier itself."""
+    from aml_feature_store_spark.queries.stat_features import (
+        robust_zscore_outliers,
+    )
+
+    rows = [(1, float(v)) for v in [9, 9.5, 10, 10.2, 10.4, 9.8, 10.1, 9.9, 10.3]]
+    rows.append((1, 1000.0))
+    df = spark.createDataFrame(rows, ["user_id", "value"])
+
+    import aml_feature_store_spark.sources as src
+
+    orig = src.load_table
+    try:
+        src.load_table = lambda *a, **k: df
+        import aml_feature_store_spark.queries.stat_features as sf
+
+        sf_orig = sf.load_table
+        sf.load_table = lambda *a, **k: df
+        out = robust_zscore_outliers(spark, "unused").collect()[0]
+        sf.load_table = sf_orig
+    finally:
+        src.load_table = orig
+    assert out["n"] == 10
+    assert out["n_outliers"] == 1
+    assert abs(out["median_value"] - 10.05) < 1e-6
