@@ -1,0 +1,96 @@
+"""Global physical-plan audit: explain EVERY registered batch query and
+flag 100 TB scale antipatterns, whole-catalog — the sweep version of the
+per-query pins in tests/test_plans.py.
+
+Antipatterns flagged:
+- CartesianProduct / BroadcastNestedLoopJoin (all-pairs blowup)
+- Window with an empty partition spec (single-partition sort of the world)
+- BatchEvalPython / row-at-a-time PythonUDF on a relational path
+  (ArrowEvalPython / mapInPandas / applyInPandas* are the sanctioned
+  vectorized forms and are NOT flagged)
+
+Streaming-sink queries execute on .explain (they run a bounded stream to
+build their result), so anything registered with a streaming marker in
+its docstring is explained post-materialization — the audit sees the
+read-back plan plus the declared design.
+
+Usage: python tools/plan_audit.py [sf_dir] [-v]
+Exit 1 if any query trips a flag that is not an explicit, documented
+exception below.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Documented exceptions: query -> (pattern, why it is acceptable)
+ALLOWED: dict[str, list[tuple[str, str]]] = {}
+
+FLAGS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+)
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    verbose = "-v" in sys.argv
+
+    from aml_feature_store_spark.catalog import queries
+    from aml_feature_store_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    bad: dict[str, list[str]] = {}
+    n = 0
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = _plan(df)
+        except Exception as e:  # noqa: BLE001 - audit must visit everything
+            bad.setdefault(name, []).append(f"explain failed: {e}")
+            continue
+        n += 1
+        hits = []
+        for flag in FLAGS:
+            if flag in plan:
+                hits.append(flag)
+        # single-partition WindowExec: formatted plans show the partition
+        # spec in the Window node arguments; empty partitionBy renders as
+        # "Window [..., windowspecdefinition(<order> ASC NULLS FIRST, ..."
+        for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: \[(.*)", plan):
+            args = m.group(1)
+            if "windowspecdefinition(" in args:
+                inner = args.split("windowspecdefinition(", 1)[1]
+                first_arg = inner.split(",", 1)[0].strip()
+                if " ASC" in first_arg or " DESC" in first_arg:
+                    hits.append("single-partition Window")
+        allowed = {p for p, _ in ALLOWED.get(name, [])}
+        real = [h for h in hits if h not in allowed]
+        if real:
+            bad[name] = real
+        if verbose:
+            print(f"{'FLAG' if real else 'ok  '}  {name}: {real or ''}")
+    print(f"\naudited {n} query plans")
+    if bad:
+        for name, hits in bad.items():
+            print(f"FLAGGED {name}: {hits}")
+        return 1
+    print("no scale antipatterns in any registered query plan")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
