@@ -160,6 +160,9 @@ def render_markdown(artifact_path: str) -> str:
     if "scale_hot" in data:
         hdr += " 1M events / 150 users (s) |"
         sep += "---|"
+    if "scale100" in data:
+        hdr += " 10M events (s) |"
+        sep += "---|"
     lines = [
         f"<!-- generated by `python bench.py --markdown {os.path.basename(artifact_path)}` "
         "— do not hand-edit -->",
@@ -169,12 +172,15 @@ def render_markdown(artifact_path: str) -> str:
     ]
     scale_q = data.get("scale", {}).get("queries", {})
     hot_q = data.get("scale_hot", {}).get("queries", {})
+    s100_q = data.get("scale100", {}).get("queries", {})
     for name, sec in data["queries"].items():
         row = f"| {name} | {sec} |"
         if "scale" in data:
             row += f" {scale_q.get(name, '—')} |"
         if "scale_hot" in data:
             row += f" {hot_q.get(name, '—')} |"
+        if "scale100" in data:
+            row += f" {s100_q.get(name, '—')} |"
         lines.append(row)
     # scale-only queries (LLM anchors) that have no sf-dir headline row
     for name, sec in scale_q.items():
@@ -183,12 +189,16 @@ def render_markdown(artifact_path: str) -> str:
         row = f"| {name} (scale-only) | — | {sec} |"
         if "scale_hot" in data:
             row += f" {hot_q.get(name, '—')} |"
+        if "scale100" in data:
+            row += f" {s100_q.get(name, '—')} |"
         lines.append(row)
     total = f"| **total** | **{data['value']}** |"
     if "scale" in data:
         total += f" **{data['scale']['value']}** |"
     if "scale_hot" in data:
         total += f" **{data['scale_hot']['value']}** |"
+    if "scale100" in data:
+        total += f" **{data['scale100']['value']}** |"
     lines.append(total)
     return "\n".join(lines)
 
@@ -327,6 +337,41 @@ def main() -> None:
             "queries": hot_timings,
             "samples": hot_samples,
             "loadavg": {"before": hot_load, "after": _loadavg()},
+        }
+
+    # 100x anchor: 10M events (100x sf0.1) — the direct measurement of
+    # "would this survive a 100x scale-up" for the events-based core.
+    # tools/gen_scale.py 10000000 .scale/sf10 --no-llm writes it; heavy,
+    # so it only runs when the dir exists AND the budget allows (the
+    # driver's default 1200 s budget normally skips it; additionally the
+    # section requires the explicit SPARK_GRAFT_SCALE100=1 opt-in so a
+    # driver run can never be surprised into a 100x measurement)
+    s100_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE100_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf10"),
+    )
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE100") == "1"
+        and os.path.exists(os.path.join(s100_dir, "events.parquet"))
+        and time.perf_counter() - t_start < budget_s
+    ):
+        _warm_section(qs, spark, s100_dir)
+        s100_load = _loadavg()
+        s100_timings: dict[str, float] = {}
+        s100_samples: dict[str, list[float]] = {}
+        for name in SCALE_HEADLINE:
+            s100_timings[name], s100_samples[name] = _time_query(
+                qs, name, spark, s100_dir, max(scale_repeats - 1, 1)
+            )
+        out["scale100"] = {
+            "n_events": 10_000_000,
+            "repeats": max(scale_repeats - 1, 1),
+            "value": round(
+                sum(v for v in s100_timings.values() if v is not None), 3
+            ),
+            "queries": s100_timings,
+            "samples": s100_samples,
+            "loadavg": {"before": s100_load, "after": _loadavg()},
         }
 
     print(json.dumps(out))
