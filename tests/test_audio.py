@@ -109,3 +109,28 @@ def test_spark_null_row_on_garbage(spark):
     rows = {r["doc_id"]: r for r in audio.spectral_features(df).collect()}
     assert rows[1]["rms"] is None and rows[1]["sample_rate"] is None
     assert rows[2]["dominant_freq_hz"] == 500.0
+
+
+def test_wav_parse_property_random_pcm():
+    """Random 8/16-bit PCM, 1-3 channels: encode->parse must reproduce
+    the sample stream exactly (16-bit) and the header fields always."""
+    rng = np.random.default_rng(23)
+    for trial in range(10):
+        nch = int(rng.integers(1, 4))
+        n = int(rng.integers(1, 500)) * nch
+        rate = int(rng.choice([8000, 16000, 44100]))
+        x = rng.integers(-32768, 32767, n).astype("<i2")
+        rate2, nch2, parsed, bits = _parse_wav(audio.encode_wav(x, rate, nch=nch))
+        assert (rate2, nch2, bits) == (rate, nch, 16)
+        assert np.array_equal(parsed.astype("<i2"), x)
+
+
+def test_analyze_handles_odd_lengths_and_extremes():
+    for n in (1, 2, 3, 7):
+        feat = audio._analyze(audio.encode_wav(np.ones(n, dtype="<i2"), 8000))
+        assert feat is not None and feat[1] == n
+    # full-scale square wave: rms ~ 1.0
+    sq = np.tile(np.array([32767, -32768], dtype="<i2"), 1000)
+    feat = audio._analyze(audio.encode_wav(sq, 8000))
+    assert abs(feat[3] - 1.0) < 1e-3
+    assert abs(feat[5] - 4000.0) < 4.1  # +-1/-1 alternation = Nyquist

@@ -271,3 +271,55 @@ def test_video_pipeline_samples_then_decodes(spark):
             assert (f["width"], f["height"], f["channels"]) == (16, 16, 3)
         # frames differ: the +7k shift moved the mean
         assert frames[0]["mean_val"] != frames[1]["mean_val"]
+
+
+def test_huffman_tables_are_prefix_free():
+    """Canonical codes from every Annex-K table must be prefix-free —
+    a violated prefix property would make some decode ambiguous."""
+    from aml_feature_store_spark.operators.jpeg import (
+        AC_CHROM_BITS,
+        AC_CHROM_VALS,
+        DC_CHROM_BITS,
+        DC_CHROM_VALS,
+    )
+
+    for bits, vals in (
+        (DC_LUM_BITS, DC_LUM_VALS),
+        (AC_LUM_BITS, AC_LUM_VALS),
+        (DC_CHROM_BITS, DC_CHROM_VALS),
+        (AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        codes = [
+            format(code, f"0{length}b")
+            for code, length in canonical_codes(bits, vals).values()
+        ]
+        assert len(set(codes)) == len(codes)
+        for a in codes:
+            for b in codes:
+                if a is not b:
+                    assert not b.startswith(a) or a == b
+
+
+def test_roundtrip_property_random_images():
+    """Hypothesis-style sweep without Spark: random dims/content/quality
+    round-trip within a quality-dependent error envelope."""
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        h = int(rng.integers(1, 25))
+        w = int(rng.integers(1, 25))
+        gray = bool(rng.integers(0, 2))
+        quality = int(rng.choice([70, 85, 95]))
+        shape = (h, w) if gray else (h, w, 3)
+        if rng.integers(0, 2):
+            px = rng.integers(0, 256, shape).astype(np.uint8)  # noise
+            bound = 160  # worst-case high-frequency content, low quality
+        else:
+            base = rng.integers(0, 200)
+            px = (np.zeros(shape) + base + rng.integers(0, 40)).astype(np.uint8)
+            bound = 8  # near-constant blocks survive any quality
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=quality))
+        assert out is not None, (h, w, gray, quality)
+        assert out.shape[:2] == (h, w)
+        err = np.abs(out[..., 0 if gray else slice(None)].astype(int)
+                     - px.astype(int))
+        assert err.max() <= bound, (h, w, gray, quality, err.max())
