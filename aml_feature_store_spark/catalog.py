@@ -170,6 +170,7 @@ ORDER = [
     "embedding_pca_component",
     "embedding_pca_scores",
     "robust_zscore_outliers",
+    "revenue_cube_by_type_dow",
 ]
 
 

@@ -220,3 +220,44 @@ def mktsegment_acctbal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_acctbal"),
         F.min("c_acctbal").alias("min_acctbal"),
     )
+
+
+@register(
+    "revenue_cube_by_type_dow",
+    oracle="""
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(isodow(ts) - 1, -1) AS weekday,
+       GROUPING(event_type, isodow(ts) - 1) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, isodow(ts) - 1)
+""",
+)
+def revenue_cube_by_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (event_type, weekday) with grouping ids — all four
+    aggregation granularities (detail, per-type, per-weekday, grand
+    total) in ONE pass: Spark's Expand operator fans each row into its
+    grouping sets before a single hash aggregation, so the cube costs
+    one shuffle, not four scans (A21/A25 family; the dashboard rollups
+    of dashboard/app.py:340-420 generalized). NULL group keys are
+    coalesced to sentinels on both engines so the compare is total."""
+    df = load_table(spark, sf_dir, "events")
+    wd = F.weekday("ts").cast("long")
+    return (
+        df.cube(F.col("event_type"), wd.alias("weekday"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("weekday", F.lit(-1)).alias("weekday"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )
