@@ -171,6 +171,8 @@ ORDER = [
     "embedding_pca_scores",
     "robust_zscore_outliers",
     "revenue_cube_by_type_dow",
+    "psi_drift_value",
+    "chi2_drift_event_type",
 ]
 
 

@@ -300,3 +300,210 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
   CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
 FROM c
 """
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    period_col: str,
+    ref_val: str,
+    cur_val: str,
+) -> DataFrame:
+    """Population Stability Index between the reference and current
+    period of a numeric column — the industry-standard drift score the
+    reference's KS check (feedback_system.py:204-229) is usually paired
+    with. Bins = deciles of the REFERENCE distribution (9 edges → 10
+    bins), PSI = Σ (p−q)·ln(p/q) with 1e-6 flooring so empty bins stay
+    finite; >0.2 is the conventional "significant shift" flag.
+
+    Scale shape: one exact-percentile aggregation over the reference
+    rows produces a 9-element broadcast array; binning is a pure column
+    expression over one scan; the contingency reduce is 20 rows. No
+    window, no join against the event stream.
+    """
+    deciles = [i / 10.0 for i in range(1, 10)]
+    ref = df.filter(F.col(period_col) == ref_val)
+    edges = ref.agg(
+        F.transform(
+            F.percentile(value_col, F.lit(deciles)),
+            lambda e: F.round(e, 9),
+        ).alias("edges")
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        period_col,
+        F.expr(f"size(filter(edges, e -> e <= {value_col}))").alias("bin"),
+    )
+    counts = binned.groupBy(period_col, "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = (
+        df.sparkSession.range(10)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    pivoted = (
+        spine.join(
+            counts.filter(F.col(period_col) == ref_val).select(
+                "bin", F.col("c").alias("c_ref")
+            ),
+            "bin",
+            "left",
+        )
+        .join(
+            counts.filter(F.col(period_col) == cur_val).select(
+                "bin", F.col("c").alias("c_cur")
+            ),
+            "bin",
+            "left",
+        )
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    tot = pivoted.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    contrib = pivoted.crossJoin(F.broadcast(tot)).select(
+        "n_ref",
+        "n_cur",
+        F.round(
+            (
+                F.greatest(F.col("c_ref") / F.col("n_ref"), F.lit(1e-6))
+                - F.greatest(F.col("c_cur") / F.col("n_cur"), F.lit(1e-6))
+            )
+            * F.log(
+                F.greatest(F.col("c_ref") / F.col("n_ref"), F.lit(1e-6))
+                / F.greatest(F.col("c_cur") / F.col("n_cur"), F.lit(1e-6))
+            ),
+            9,
+        ).alias("term"),
+    )
+    return contrib.groupBy("n_ref", "n_cur").agg(
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("psi")
+    ).select(
+        "psi", (F.col("psi") > 0.2).alias("significant_shift"), "n_ref", "n_cur"
+    )
+
+
+def psi_sql(
+    table_expr: str, value_col: str, period_col: str, ref_lit: str,
+    cur_lit: str,
+) -> str:
+    """DuckDB oracle for :func:`psi` (same edges, flooring, rounding)."""
+    return f"""
+WITH src AS MATERIALIZED (SELECT * FROM {table_expr}),
+edges AS (
+  SELECT list_transform(
+           quantile_cont({value_col}, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           e -> round(e, 9)) AS edges
+  FROM src WHERE {period_col} = {ref_lit}
+),
+binned AS (
+  SELECT {period_col} AS period,
+         len(list_filter((SELECT edges FROM edges), e -> e <= {value_col}))
+           AS bin
+  FROM src
+),
+counts AS (
+  SELECT period, bin, COUNT(*) AS c FROM binned GROUP BY period, bin
+),
+pivoted AS (
+  SELECT s.bin,
+         coalesce(r.c, 0) AS c_ref,
+         coalesce(k.c, 0) AS c_cur
+  FROM (SELECT unnest(range(10)) AS bin) s
+  LEFT JOIN (SELECT bin, c FROM counts WHERE period = {ref_lit}) r USING (bin)
+  LEFT JOIN (SELECT bin, c FROM counts WHERE period = {cur_lit}) k USING (bin)
+),
+tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM pivoted),
+contrib AS (
+  SELECT t.n_ref, t.n_cur,
+         round((greatest(p.c_ref / t.n_ref, 1e-6)
+                - greatest(p.c_cur / t.n_cur, 1e-6))
+               * ln(greatest(p.c_ref / t.n_ref, 1e-6)
+                    / greatest(p.c_cur / t.n_cur, 1e-6)), 9) AS term
+  FROM pivoted p CROSS JOIN tot t
+)
+SELECT round(SUM(term), 6) + 0.0 AS psi,
+       round(SUM(term), 6) + 0.0 > 0.2 AS significant_shift,
+       CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+       CAST(any_value(n_cur) AS BIGINT) AS n_cur
+FROM contrib GROUP BY n_ref, n_cur
+"""
+
+
+def chi2_categorical(
+    df: DataFrame,
+    cat_col: str,
+    period_col: str,
+    ref_val: str,
+    cur_val: str,
+) -> DataFrame:
+    """Two-sample chi-square statistic over a categorical column's
+    contingency table (ref vs cur period) — the categorical counterpart
+    of PSI/KS for drift on labels/types. χ² = Σ (O−E)²/E with
+    E = row_total·col_total/N; dof = (k−1)·(2−1). One groupBy over one
+    scan plus 2k-row reduces."""
+    counts = (
+        df.filter(F.col(period_col).isin([ref_val, cur_val]))
+        .groupBy(cat_col, period_col)
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    cat_tot = counts.groupBy(cat_col).agg(F.sum("o").alias("cat_tot"))
+    per_tot = counts.groupBy(period_col).agg(F.sum("o").alias("per_tot"))
+    grand = counts.agg(F.sum("o").cast("double").alias("n"))
+    cells = (
+        counts.join(cat_tot, cat_col)
+        .join(F.broadcast(per_tot), period_col)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            cat_col,
+            F.round(
+                F.pow(
+                    F.col("o")
+                    - F.col("cat_tot") * F.col("per_tot") / F.col("n"),
+                    F.lit(2.0),
+                )
+                / (F.col("cat_tot") * F.col("per_tot") / F.col("n")),
+                9,
+            ).alias("term"),
+            "n",
+        )
+    )
+    k = cells.select(cat_col).distinct().count()
+    return cells.groupBy("n").agg(
+        (F.round(F.sum("term"), 6) + F.lit(0.0)).alias("chi2"),
+        F.lit(k - 1).cast("long").alias("dof"),
+    ).select("chi2", "dof", F.col("n").cast("long").alias("n_events"))
+
+
+def chi2_categorical_sql(
+    table_expr: str, cat_col: str, period_col: str, ref_lit: str, cur_lit: str
+) -> str:
+    """DuckDB oracle for :func:`chi2_categorical`."""
+    return f"""
+WITH src AS (SELECT * FROM {table_expr}
+             WHERE {period_col} IN ({ref_lit}, {cur_lit})),
+counts AS (
+  SELECT {cat_col} AS cat, {period_col} AS period, COUNT(*) AS o
+  FROM src GROUP BY 1, 2
+),
+cat_tot AS (SELECT cat, SUM(o) AS cat_tot FROM counts GROUP BY cat),
+per_tot AS (SELECT period, SUM(o) AS per_tot FROM counts GROUP BY period),
+grand AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM counts),
+cells AS (
+  SELECT c.cat,
+         round(pow(c.o - ct.cat_tot * pt.per_tot / g.n, 2.0)
+               / (ct.cat_tot * pt.per_tot / g.n), 9) AS term,
+         g.n
+  FROM counts c
+  JOIN cat_tot ct USING (cat)
+  JOIN per_tot pt USING (period)
+  CROSS JOIN grand g
+)
+SELECT round(SUM(term), 6) + 0.0 AS chi2,
+       CAST((SELECT COUNT(DISTINCT cat) FROM cells) - 1 AS BIGINT) AS dof,
+       CAST(any_value(n) AS BIGINT) AS n_events
+FROM cells GROUP BY n
+"""

@@ -452,3 +452,45 @@ def pandas_udf_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "night_txn_ratio_24h",
         ).alias("model_score"),
     )
+
+
+@register(
+    "psi_drift_value",
+    oracle=drift.psi_sql(
+        f"(SELECT value, {_PERIOD} AS period FROM events)",
+        "value",
+        "period",
+        "'ref'",
+        "'cur'",
+    ),
+)
+def psi_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the amount distribution, days 1-15
+    vs 16-31 — the binned-decile drift score paired with the KS check
+    (D7; reference feedback_system.py:204-229 has only KS — PSI is the
+    standard production companion). Reference-decile broadcast edges,
+    one scan, no window."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "period", F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur")
+    )
+    return drift.psi(ev, "value", "period", "ref", "cur")
+
+
+@register(
+    "chi2_drift_event_type",
+    oracle=drift.chi2_categorical_sql(
+        f"(SELECT event_type, {_PERIOD} AS period FROM events)",
+        "event_type",
+        "period",
+        "'ref'",
+        "'cur'",
+    ),
+)
+def chi2_drift_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square drift over the event-type distribution
+    (categorical counterpart of PSI/KS, D7): contingency-table χ² with
+    expected counts from the margins; one groupBy over one scan."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "period", F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur")
+    )
+    return drift.chi2_categorical(ev, "event_type", "period", "ref", "cur")

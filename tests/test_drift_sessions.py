@@ -130,3 +130,41 @@ def test_dbscan_cluster_stats_known_geometry(spark):
     r = dbscan_cluster_stats(df, eps=0.5, min_samples=4).collect()[0]
     assert (r["n_points"], r["n_clusters"]) == (11, 2)
     assert r["outlier_ratio"] == pytest.approx(1 / 11, abs=1e-12)
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark):
+    from aml_feature_store_spark.operators.drift import psi
+
+    same = spark.createDataFrame(
+        [(float(v % 100), p) for v in range(400) for p in ("ref", "cur")],
+        ["value", "period"],
+    )
+    r = psi(same, "value", "period", "ref", "cur").collect()[0]
+    assert abs(r["psi"]) < 1e-9 and not r["significant_shift"]
+
+    shifted = spark.createDataFrame(
+        [(float(v % 100), "ref") for v in range(400)]
+        + [(float(v % 100) + 80.0, "cur") for v in range(400)],
+        ["value", "period"],
+    )
+    r = psi(shifted, "value", "period", "ref", "cur").collect()[0]
+    assert r["psi"] > 0.2 and r["significant_shift"]
+
+
+def test_chi2_zero_for_identical_counts(spark):
+    from aml_feature_store_spark.operators.drift import chi2_categorical
+
+    rows = [(t, p) for t in ("a", "b", "c") for p in ("ref", "cur")
+            for _ in range(50)]
+    df = spark.createDataFrame(rows, ["cat", "period"])
+    r = chi2_categorical(df, "cat", "period", "ref", "cur").collect()[0]
+    assert abs(r["chi2"]) < 1e-9
+    assert r["dof"] == 2 and r["n_events"] == 300
+
+    skew = spark.createDataFrame(
+        [("a", "ref")] * 90 + [("b", "ref")] * 10
+        + [("a", "cur")] * 10 + [("b", "cur")] * 90,
+        ["cat", "period"],
+    )
+    r = chi2_categorical(skew, "cat", "period", "ref", "cur").collect()[0]
+    assert r["chi2"] > 100  # extreme flip on n=200: chi2 = 128
