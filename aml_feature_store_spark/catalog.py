@@ -173,6 +173,7 @@ ORDER = [
     "revenue_cube_by_type_dow",
     "psi_drift_value",
     "chi2_drift_event_type",
+    "model_calibration_bins",
 ]
 
 

@@ -494,3 +494,49 @@ def chi2_drift_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "period", F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur")
     )
     return drift.chi2_categorical(ev, "event_type", "period", "ref", "cur")
+
+
+@register(
+    "model_calibration_bins",
+    oracle=f"""
+WITH scored AS ({_SCORED_SQL.strip()}),
+binned AS (
+  SELECT least(CAST(floor(risk_score * 10) AS INT), 9) AS score_bin,
+         risk_score,
+         CASE WHEN {_LABEL} THEN 1 ELSE 0 END AS y
+  FROM scored
+)
+SELECT score_bin, COUNT(*) AS n,
+       round(round(SUM(risk_score), 6) / COUNT(*), 6) + 0.0 AS mean_score,
+       round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) + 0.0 AS frac_positive
+FROM binned GROUP BY score_bin
+""",
+)
+def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-curve bins for the risk model: decile score buckets →
+    (mean predicted score, observed positive rate) — the calibration
+    check that belongs next to AUC/confusion in the feedback loop (D7;
+    reference feedback_system.py stores accuracy only). A well-calibrated
+    model has mean_score ≈ frac_positive per bin. One groupBy over the
+    scored frame."""
+    scored = _scored(spark, sf_dir)
+    binned = scored.select(
+        F.least(F.floor(F.col("risk_score") * 10).cast("int"), F.lit(9)).alias(
+            "score_bin"
+        ),
+        "risk_score",
+        F.col("label").cast("int").alias("y"),
+    )
+    return binned.groupBy("score_bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.round(
+                F.round(F.sum("risk_score"), 6) / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_score"),
+        (
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("frac_positive"),
+    )
