@@ -333,33 +333,24 @@ def psi(
         period_col,
         F.expr(f"size(filter(edges, e -> e <= {value_col}))").alias("bin"),
     )
-    counts = binned.groupBy(period_col, "bin").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE conditional aggregation pivots both periods — filtered
+    # self-joins would recompute the scan per branch (plan-audit finding)
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col(period_col) == ref_val, 1).otherwise(0)).alias(
+            "c_ref"
+        ),
+        F.sum(F.when(F.col(period_col) == cur_val, 1).otherwise(0)).alias(
+            "c_cur"
+        ),
     )
     spine = (
         df.sparkSession.range(10)
         .select(F.col("id").cast("int").alias("bin"))
     )
-    pivoted = (
-        spine.join(
-            counts.filter(F.col(period_col) == ref_val).select(
-                "bin", F.col("c").alias("c_ref")
-            ),
-            "bin",
-            "left",
-        )
-        .join(
-            counts.filter(F.col(period_col) == cur_val).select(
-                "bin", F.col("c").alias("c_cur")
-            ),
-            "bin",
-            "left",
-        )
-        .select(
-            "bin",
-            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
-            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
-        )
+    pivoted = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
     )
     tot = pivoted.agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")

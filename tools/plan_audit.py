@@ -4,9 +4,11 @@ per-query pins in tests/test_plans.py.
 
 Antipatterns flagged:
 - CartesianProduct (all-pairs blowup)
-- BroadcastNestedLoopJoin with a JOIN CONDITION — the planner fell back
-  to nested-loop evaluation for a real join predicate.
-  Condition-less BNLJ (Cross or Inner) is NOT flagged: every crossJoin in this
+- BroadcastNestedLoopJoin with a RELATING join condition (a comparison
+  between expressions) — the planner fell back to nested-loop
+  evaluation for a real join predicate. Condition-less BNLJ and BNLJ
+  carrying only a pushed single-relation filter (isnotnull) are NOT
+  flagged: every crossJoin in this
   codebase broadcasts a deliberately small side (1-row scalar aggregates,
   query sets, centroid tables — the families where smallness is
   load-bearing carry their own plan pins in tests/test_plans.py).
@@ -93,10 +95,14 @@ def main() -> int:
                 hits.append(flag)
         for jt, cond in BNLJ_BLOCK.findall(plan):
             # condition-less BNLJ (Cross or Inner) = a deliberate
-            # broadcast crossJoin; only a real predicate means the
-            # planner fell back to nested-loop for an actual join
-            if cond.strip() != "None":
-                hits.append(f"BNLJ fallback ({jt}, cond={cond.strip()[:40]})")
+            # broadcast crossJoin; a single-relation predicate pushed
+            # into the join (e.g. isnotnull(...)) is filter pushdown,
+            # not a join predicate. Only a RELATING predicate (any
+            # comparison between expressions) means the planner fell
+            # back to nested-loop for an actual join.
+            c = cond.strip()
+            if c != "None" and re.search(r"[=<>]", c):
+                hits.append(f"BNLJ fallback ({jt}, cond={c[:40]})")
         # single-partition WindowExec: formatted plans show the partition
         # spec in the Window node arguments; empty partitionBy renders as
         # "Window [..., windowspecdefinition(<order> ASC NULLS FIRST, ..."
