@@ -101,7 +101,11 @@ def main() -> int:
             # comparison between expressions) means the planner fell
             # back to nested-loop for an actual join.
             c = cond.strip()
-            if c != "None" and re.search(r"[=<>]", c):
+            if (
+                c != "None"
+                and not c.startswith("isnotnull(")
+                and re.search(r"[=<>]", c)
+            ):
                 hits.append(f"BNLJ fallback ({jt}, cond={c[:40]})")
         # single-partition WindowExec: formatted plans show the partition
         # spec in the Window node arguments; empty partitionBy renders as
