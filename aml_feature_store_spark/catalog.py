@@ -174,6 +174,7 @@ ORDER = [
     "psi_drift_value",
     "chi2_drift_event_type",
     "model_calibration_bins",
+    "shipping_priority_q3",
 ]
 
 
