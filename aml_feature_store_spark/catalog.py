@@ -175,6 +175,7 @@ ORDER = [
     "chi2_drift_event_type",
     "model_calibration_bins",
     "shipping_priority_q3",
+    "streaming_dim_enrich",
 ]
 
 

@@ -303,3 +303,50 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.schema(joined.schema).parquet(dst)
+
+
+_DIM_ENRICH_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("streaming_dim_enrich", oracle=_DIM_ENRICH_ORACLE)
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (T-family + J1's streaming
+    form): the event stream joins the STATIC customer dimension —
+    broadcast per micro-batch, no stream-side state — then aggregates
+    per market segment in complete mode. Over a bounded replay the
+    result is exactly the batch join+groupBy, so it is oracle-checked;
+    this is the enrich-then-aggregate topology every streaming pipeline
+    runs against its dimension tables."""
+    from ..sources import load_table
+
+    src = isolate_events_files(sf_dir)
+    events = stream_events(spark, src)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    name = f"dimenr_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _run_tmpdir("ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
