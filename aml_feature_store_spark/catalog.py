@@ -176,6 +176,7 @@ ORDER = [
     "model_calibration_bins",
     "shipping_priority_q3",
     "streaming_dim_enrich",
+    "promo_revenue_q14",
 ]
 
 

@@ -319,3 +319,56 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "promo_revenue_q14",
+    oracle="""
+SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+       round(100.0 * round(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(25,4)) ELSE CAST(0 AS DECIMAL(25,4))
+               END) AS DOUBLE), 4)
+             / round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,4))) AS DOUBLE), 4), 6) + 0.0
+         AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY date_trunc('month', l.l_shipdate)
+""",
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship month, the share of
+    revenue from PROMO parts — conditional decimal-exact sums over a
+    fact ⨝ broadcast-dimension join. The part table is the classic
+    broadcast side; the ratio divides two decimal sums rounded to 4 dp
+    so both engines divide bit-identical operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (
+        joined.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(25,4)")
+                    )
+                ).cast("double"),
+                4,
+            ).alias("_promo"),
+            F.round(F.sum(rev).cast("double"), 4).alias("_total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "ship_month",
+            (
+                F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6)
+                + F.lit(0.0)
+            ).alias("promo_revenue_pct"),
+            "n_items",
+        )
+    )
