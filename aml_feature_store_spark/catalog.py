@@ -177,6 +177,7 @@ ORDER = [
     "shipping_priority_q3",
     "streaming_dim_enrich",
     "promo_revenue_q14",
+    "funnel_conversion",
 ]
 
 

@@ -202,3 +202,74 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_p.k").alias("prop_k"),
         (F.col("_p.k") % 10).alias("prop_k_bucket"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view,
+       c.t_click, p.t_purchase,
+       c.t_click IS NOT NULL AS reached_click,
+       p.t_purchase IS NOT NULL AS converted
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user — first view, first click AFTER that
+    view, first purchase AFTER that click (strict event-time ordering,
+    not mere co-occurrence). Three user-keyed conditional-min
+    aggregations chained by joins on the same key, so at scale every
+    stage reuses one hash partitioning; no window over the raw stream.
+    The stage-k filter needs stage-(k-1)'s timestamp, which is exactly
+    the dependency a single groupBy cannot express."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ms") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ms") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )

@@ -117,3 +117,36 @@ def test_shapley_efficiency_axiom(spark):
         assert abs(row["phi_sum"] + row["base"] - margins[uid]) < 1e-5
     # base_value identical across entities (population property)
     assert phi["base_value"].nunique() == 1
+
+
+def test_funnel_requires_strict_ordering(spark):
+    """A purchase BEFORE the first qualifying click must not convert;
+    a full v->c->p chain must."""
+    import aml_feature_store_spark.queries.behavioral as bh
+
+    rows = [
+        # user 1: view(10) -> click(20) -> purchase(30): converts
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase(5) precedes view(10)->click(20): no conversion
+        (2, "purchase", 5), (2, "view", 10), (2, "click", 20),
+        # user 3: click(5) precedes view(10): never reaches click stage
+        (3, "click", 5), (3, "view", 10),
+    ]
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (u, t, dt.datetime(2026, 1, 1, 0, 0, s))
+            for u, t, s in rows
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    orig = bh.load_table
+    try:
+        bh.load_table = lambda *a, **k: df
+        out = {r["user_id"]: r for r in bh.funnel_conversion(spark, "x").collect()}
+    finally:
+        bh.load_table = orig
+    assert out[1]["converted"] and out[1]["reached_click"]
+    assert out[2]["reached_click"] and not out[2]["converted"]
+    assert not out[3]["reached_click"] and not out[3]["converted"]
