@@ -178,6 +178,7 @@ ORDER = [
     "streaming_dim_enrich",
     "promo_revenue_q14",
     "funnel_conversion",
+    "cohort_retention_weekly",
 ]
 
 

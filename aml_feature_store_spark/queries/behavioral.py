@@ -273,3 +273,76 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("converted"),
         )
     )
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         epoch_ms(date_trunc('week', MIN(ts))) AS cohort_week_ms
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week_ms,
+         CAST((epoch_ms(date_trunc('week', e.ts)) - f.cohort_week_ms)
+              // 604800000 AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_week_ms, COUNT(*) AS cohort_size
+  FROM firsts GROUP BY cohort_week_ms
+)
+SELECT a.cohort_week_ms, a.week_offset,
+       COUNT(*) AS n_active,
+       round(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) + 0.0
+         AS retention
+FROM active a JOIN sizes s ON a.cohort_week_ms = s.cohort_week_ms
+GROUP BY a.cohort_week_ms, a.week_offset, s.cohort_size
+""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    retention = share of the cohort active k weeks later — the standard
+    product-analytics rollup. Two user-keyed aggregations + one distinct
+    on (user, cohort, offset); cohort sizes ride a broadcast join (#cohort
+    rows is tiny by construction at any scale)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.date_trunc("week", "ts")).alias("week_ms")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("week_ms").alias("cohort_week_ms")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week_ms",
+            (
+                (F.col("week_ms") - F.col("cohort_week_ms"))
+                / F.lit(604800000)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week_ms").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week_ms", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week_ms")
+        .select(
+            "cohort_week_ms",
+            "week_offset",
+            "n_active",
+            (
+                F.round(
+                    F.col("n_active").cast("double") / F.col("cohort_size"), 6
+                )
+                + F.lit(0.0)
+            ).alias("retention"),
+        )
+    )
