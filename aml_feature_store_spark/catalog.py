@@ -179,6 +179,7 @@ ORDER = [
     "promo_revenue_q14",
     "funnel_conversion",
     "cohort_retention_weekly",
+    "rfm_segments",
 ]
 
 

@@ -346,3 +346,82 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+_RFM_EDGES = "[0.2, 0.4, 0.6, 0.8]"
+
+
+@register(
+    "rfm_segments",
+    oracle=f"""
+WITH rfm AS (
+  SELECT user_id,
+         MAX(epoch_ms(ts)) AS recency_ms,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id
+),
+edges AS (
+  SELECT list_transform(quantile_cont(recency_ms, {_RFM_EDGES}),
+                        e -> round(e, 9)) AS r_edges,
+         list_transform(quantile_cont(CAST(frequency AS DOUBLE), {_RFM_EDGES}),
+                        e -> round(e, 9)) AS f_edges,
+         list_transform(quantile_cont(monetary, {_RFM_EDGES}),
+                        e -> round(e, 9)) AS m_edges
+  FROM rfm
+)
+SELECT user_id, recency_ms, frequency, monetary,
+       1 + len(list_filter(e.r_edges, x -> x < recency_ms)) AS r_score,
+       1 + len(list_filter(e.f_edges, x -> x < CAST(frequency AS DOUBLE)))
+         AS f_score,
+       1 + len(list_filter(e.m_edges, x -> x < monetary)) AS m_score
+FROM rfm CROSS JOIN edges e
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary quintile
+    scores 1-5. Scores come from exact-percentile BREAKPOINTS broadcast
+    as three 4-element arrays and assigned by comparison — not ntile
+    over a global window (which would single-partition-sort the world;
+    the house rule test_plans.py bans that shape). Strict `<` on
+    9-dp-rounded edges keeps the two engines' bucket assignment
+    bit-identical even for users sitting exactly on a breakpoint."""
+    ev = load_table(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.max(F.unix_millis("ts")).alias("recency_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias(
+            "monetary"
+        ),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    edges = rfm.agg(
+        F.transform(
+            F.percentile(F.col("recency_ms").cast("double"), F.lit(qs)),
+            lambda e: F.round(e, 9),
+        ).alias("r_edges"),
+        F.transform(
+            F.percentile(F.col("frequency").cast("double"), F.lit(qs)),
+            lambda e: F.round(e, 9),
+        ).alias("f_edges"),
+        F.transform(
+            F.percentile("monetary", F.lit(qs)), lambda e: F.round(e, 9)
+        ).alias("m_edges"),
+    )
+    return rfm.crossJoin(F.broadcast(edges)).select(
+        "user_id",
+        "recency_ms",
+        "frequency",
+        "monetary",
+        (
+            F.lit(1)
+            + F.expr("size(filter(r_edges, x -> x < recency_ms))")
+        ).cast("long").alias("r_score"),
+        (
+            F.lit(1)
+            + F.expr("size(filter(f_edges, x -> x < cast(frequency as double)))")
+        ).cast("long").alias("f_score"),
+        (
+            F.lit(1) + F.expr("size(filter(m_edges, x -> x < monetary))")
+        ).cast("long").alias("m_score"),
+    )
