@@ -180,6 +180,8 @@ ORDER = [
     "funnel_conversion",
     "cohort_retention_weekly",
     "rfm_segments",
+    "event_type_transitions",
+    "basket_lift_pairs",
 ]
 
 

@@ -425,3 +425,138 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) + F.expr("size(filter(m_edges, x -> x < monetary))")
         ).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+tot AS (SELECT cur, SUM(n) AS n_cur FROM pairs GROUP BY cur)
+SELECT p.cur, p.nxt, p.n,
+       round(CAST(p.n AS DOUBLE) / t.n_cur, 6) + 0.0 AS p_transition
+FROM pairs p JOIN tot t ON p.cur = t.cur
+""",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    sequence: P(next=j | current=i) with (ts, event_id) total ordering —
+    the sequence-statistics feature the reference's LSTM slot consumes
+    (and a classic behavioral fingerprint). One user-partitioned lag
+    pass + a k²-row reduce; no global window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), F.col("event_id")
+    )
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        (
+            F.round(F.col("n").cast("double") / F.col("n_cur"), 6) + F.lit(0.0)
+        ).alias("p_transition"),
+    )
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+  FROM events
+),
+baskets AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM items),
+item_supp AS (
+  SELECT item, COUNT(*) AS n_item FROM items GROUP BY item
+),
+pair_supp AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       round(CAST(p.n_pair AS DOUBLE) * bk.n_baskets
+             / (ia.n_item * ib.n_item), 6) + 0.0 AS lift
+FROM pair_supp p
+JOIN item_supp ia ON ia.item = p.item_a
+JOIN item_supp ib ON ib.item = p.item_b
+CROSS JOIN baskets bk
+WHERE p.n_pair >= 5
+""",
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: item pairs (prop_k) co-occurring in the
+    same user-day basket, with lift = P(a,b)/(P(a)·P(b)) and a min-support
+    floor. The self-join runs on the DISTINCT (user, day, item) relation
+    keyed by basket — candidate pairs are bounded by per-basket item
+    counts (squared within the basket, never across baskets), the
+    classic a-priori support shape; item supports and the basket count
+    ride broadcasts."""
+    from ..schemas import EVENT_PROPS
+
+    ev = load_table(spark, sf_dir, "events")
+    items = (
+        ev.withColumn("item", F.from_json("props", EVENT_PROPS)["k"].cast("long"))
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "item",
+        )
+        .distinct()
+    )
+    baskets = items.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("user_id", "day", F.col("item").alias("item_a"))
+    b = items.select("user_id", "day", F.col("item").alias("item_b"))
+    pair_supp = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    return (
+        pair_supp.join(
+            F.broadcast(item_supp.withColumnRenamed("item", "item_a")
+                        .withColumnRenamed("n_item", "n_a")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_supp.withColumnRenamed("item", "item_b")
+                        .withColumnRenamed("n_item", "n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            (
+                F.round(
+                    F.col("n_pair").cast("double")
+                    * F.col("n_baskets")
+                    / (F.col("n_a") * F.col("n_b")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
