@@ -182,6 +182,7 @@ ORDER = [
     "rfm_segments",
     "event_type_transitions",
     "basket_lift_pairs",
+    "hits_bipartite",
 ]
 
 

@@ -463,3 +463,65 @@ def pagerank(
     return ranks.select(
         "node", (F.round(F.col("rank"), 9) + F.lit(0.0)).alias("pagerank")
     )
+
+
+def hits(
+    edges: DataFrame, n_iters: int = 8, checkpoint_every: int = 2
+) -> DataFrame:
+    """HITS hubs-and-authorities by fixed-round mutual recursion over a
+    DIRECTED edge list: a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each
+    L2-normalized per round (Kleinberg 1999). On the user→merchant
+    bipartite graph, hub scores rank users by how broadly they touch
+    high-traffic merchants, authority scores rank merchants — the
+    complementary eigenvector pair to PageRank's single stationary
+    vector.
+
+    Same determinism/scale recipe as :func:`pagerank`: per-round 12-dp
+    resync rounding against an unrolled-CTE oracle, src/dst-keyed joins
+    and aggregations only, `localCheckpoint` lineage cuts every
+    `checkpoint_every` rounds. Output: one row per node with its role
+    ('hub' for sources, 'authority' for destinations) and 9-dp score.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    hubs = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "h", F.lit(1.0)
+    ).localCheckpoint(eager=True)
+    for it in range(n_iters):
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_norm = a_raw.agg(
+            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("nrm")
+        )
+        auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("a_raw") / F.col("nrm"), 12).alias("a"),
+        )
+        h_raw = (
+            edges.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_norm = h_raw.agg(
+            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("nrm")
+        )
+        hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
+            F.col("src").alias("node"),
+            F.round(F.col("h_raw") / F.col("nrm"), 12).alias("h"),
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iters - 1:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    return hubs.select(
+        "node",
+        F.lit("hub").alias("role"),
+        (F.round(F.col("h"), 9) + F.lit(0.0)).alias("score"),
+    ).union(
+        auths.select(
+            "node",
+            F.lit("authority").alias("role"),
+            (F.round(F.col("a"), 9) + F.lit(0.0)).alias("score"),
+        )
+    )

@@ -243,3 +243,71 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank(edges, n_iters=8, damping=0.85)
+
+
+def _hits_sql(n_iters: int = 8) -> str:
+    """Unrolled HITS oracle: directed user→prop_k edges, per-round L2
+    normalization + 12-dp resync, same CTE pattern as the PageRank and
+    PCA oracles (MATERIALIZED — DuckDB inlines plain CTEs exponentially)."""
+    head = r"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT
+         'u:' || CAST(user_id AS VARCHAR) AS src,
+         'm:' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                      AS VARCHAR) AS dst
+  FROM events
+  WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+),
+h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS h FROM edges)"""
+    cte = ""
+    for i in range(1, n_iters + 1):
+        cte += f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst, SUM(h.h) AS a_raw
+  FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+),
+an{i} AS MATERIALIZED (SELECT sqrt(SUM(a_raw * a_raw)) AS nrm FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT dst AS node, round(a_raw / (SELECT nrm FROM an{i}), 12) AS a
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src, SUM(a.a) AS h_raw
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+),
+hn{i} AS MATERIALIZED (SELECT sqrt(SUM(h_raw * h_raw)) AS nrm FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT src AS node, round(h_raw / (SELECT nrm FROM hn{i}), 12) AS h
+  FROM hr{i}
+)"""
+    return (
+        head
+        + cte
+        + f"""
+SELECT node, 'hub' AS role, round(h, 9) + 0.0 AS score FROM h{n_iters}
+UNION ALL
+SELECT node, 'authority' AS role, round(a, 9) + 0.0 AS score FROM a{n_iters}
+"""
+    )
+
+
+@register("hits_bipartite", oracle=_hits_sql())
+def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED user→prop_k graph — the
+    complementary eigenvector pair to pagerank_bipartite (A28 family):
+    users ranked as hubs, merchants as authorities, 8 mutually recursive
+    L2-normalized rounds, unrolled-CTE oracle, bit-exact."""
+    from ..operators.graph import hits
+    from ..schemas import EVENT_PROPS
+
+    df = load_table(spark, sf_dir, "events")
+    edges = (
+        df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
+        .filter(F.col("prop_k").isNotNull())
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("m:"), F.col("prop_k")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, n_iters=8)

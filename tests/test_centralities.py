@@ -150,3 +150,24 @@ def test_pagerank_ring_is_uniform(spark):
     )
     ranks = [r["pagerank"] for r in pagerank(edges, n_iters=8).collect()]
     assert ranks == [0.25] * 4
+
+
+def test_hits_star_concentrates_authority(spark):
+    """Directed star u1..u3 -> m plus a side edge u1 -> m2: the shared
+    sink m must take (almost) all authority; u1 (touching both sinks)
+    must out-hub the single-edge users. Scores are L2-normalized."""
+    import math
+
+    from aml_feature_store_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("u1", "m"), ("u2", "m"), ("u3", "m"), ("u1", "m2")],
+        ["src", "dst"],
+    )
+    rows = hits(edges, n_iters=30).collect()
+    hubs = {r["node"]: r["score"] for r in rows if r["role"] == "hub"}
+    auths = {r["node"]: r["score"] for r in rows if r["role"] == "authority"}
+    assert auths["m"] > 0.9 and auths["m"] > auths["m2"]
+    assert hubs["u1"] > hubs["u2"] == hubs["u3"]
+    assert math.isclose(sum(v * v for v in hubs.values()), 1.0, abs_tol=1e-6)
+    assert math.isclose(sum(v * v for v in auths.values()), 1.0, abs_tol=1e-6)
