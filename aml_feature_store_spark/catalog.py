@@ -183,6 +183,7 @@ ORDER = [
     "event_type_transitions",
     "basket_lift_pairs",
     "hits_bipartite",
+    "cusum_changepoint",
 ]
 
 

@@ -81,7 +81,14 @@ def global_cumsum(
         return out.drop("_b")
     totals.sort(key=lambda r: r["_b"])
     grand = {c: sum(r[c] or 0 for r in totals) for c in sum_cols}
-    offsets, running = [], dict.fromkeys(sum_cols, 0)
+    # per-column offset dtype must be CONSISTENT across rows: a fractional
+    # sum column starts its running offset at 0.0, not int 0, or
+    # createDataFrame sees LongType row 0 / DoubleType row 1 and fails
+    is_frac = {
+        c: any(isinstance(r[c], float) for r in totals) for c in sum_cols
+    }
+    offsets = []
+    running = {c: (0.0 if is_frac[c] else 0) for c in sum_cols}
     for r in totals:
         offsets.append((r["_b"], *[running[c] for c in sum_cols]))
         for c in sum_cols:

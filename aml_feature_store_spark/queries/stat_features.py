@@ -150,3 +150,79 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("n_outliers"),
     )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+         round(round(CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE), 6)
+               / COUNT(*), 6) AS day_mean
+  FROM events GROUP BY 1
+),
+grand AS (
+  SELECT round(round(SUM(day_mean), 6) / COUNT(*), 6) AS gmean FROM daily
+),
+dev AS (
+  SELECT d.day_ms, round(d.day_mean - g.gmean, 6) AS dev
+  FROM daily d CROSS JOIN grand g
+),
+cus AS (
+  SELECT day_ms,
+         round(SUM(dev) OVER (ORDER BY day_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+  FROM dev
+)
+SELECT day_ms AS change_day_ms,
+       abs(cusum) + 0.0 AS max_abs_cusum,
+       (SELECT COUNT(*) FROM cus) AS n_days
+FROM cus
+ORDER BY abs(cusum) DESC, day_ms
+LIMIT 1
+""",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization over the daily mean amount: the
+    day where the cumulative deviation from the grand mean peaks is the
+    most likely level-shift point (Page 1954) — PSI/KS say WHETHER the
+    distribution moved, this says WHEN. The running sum uses the
+    range-partitioned two-pass prefix scan (`operators/prefix.py`), so
+    even a years-long daily series never hits a single-partition window;
+    the final argmax is a TakeOrderedAndProject."""
+    from ..operators.prefix import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms")
+    ).agg(
+        F.round(
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,2)")).cast("double"), 6
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("day_mean")
+    )
+    grand = daily.agg(
+        F.round(
+            F.round(F.sum("day_mean"), 6) / F.count(F.lit(1)), 6
+        ).alias("gmean")
+    )
+    dev = daily.crossJoin(F.broadcast(grand)).select(
+        "day_ms", F.round(F.col("day_mean") - F.col("gmean"), 6).alias("dev")
+    )
+    cus = global_cumsum(dev, "day_ms", ["dev"]).select(
+        "day_ms", F.round(F.col("cum_dev"), 6).alias("cusum")
+    )
+    n_days = cus.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        cus.crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("day_ms").alias("change_day_ms"),
+            (F.abs(F.col("cusum")) + F.lit(0.0)).alias("max_abs_cusum"),
+            "n_days",
+        )
+        .orderBy(F.col("max_abs_cusum").desc(), F.col("change_day_ms"))
+        .limit(1)
+    )
