@@ -482,6 +482,8 @@ def hits(
     `checkpoint_every` rounds. Output: one row per node with its role
     ('hub' for sources, 'authority' for destinations) and 9-dp score.
     """
+    if n_iters < 1:
+        raise ValueError("hits() needs at least one iteration")
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     hubs = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "h", F.lit(1.0)
