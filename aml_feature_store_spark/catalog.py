@@ -184,6 +184,7 @@ ORDER = [
     "basket_lift_pairs",
     "hits_bipartite",
     "cusum_changepoint",
+    "viewers_never_purchased",
 ]
 
 

@@ -560,3 +560,49 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "viewers_never_purchased",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+win AS (
+  SELECT e.* FROM events e, mx WHERE e.ts > mx.mx - INTERVAL 3 DAY
+)
+SELECT v.user_id,
+       COUNT(*) AS n_views,
+       MAX(epoch_ms(v.ts)) AS last_view_ms
+FROM win v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM win p
+    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+  )
+GROUP BY v.user_id
+""",
+)
+def viewers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent never-converted audience: users who VIEWED in the last 3
+    days of data but did not PURCHASE in that window — the retargeting
+    segment every event pipeline extracts. The window anchor is a
+    broadcast max-ts scalar; the exclusion is a LEFT ANTI join
+    (Catalyst's native NOT EXISTS — the probe side streams, the
+    purchaser key set builds once, nothing materialized per non-match),
+    then one user-keyed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    win = ev.crossJoin(F.broadcast(mx)).filter(
+        F.col("ts") > F.col("mx") - F.expr("INTERVAL 3 DAYS")
+    )
+    purchasers = win.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    return (
+        win.filter(F.col("event_type") == "view")
+        .join(purchasers, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.max(F.unix_millis("ts")).alias("last_view_ms"),
+        )
+    )
