@@ -52,6 +52,12 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
         "BNLJ fallback (Inner",
         "recall metric reuses the brute-force baseline above",
     )],
+    "viewers_never_purchased": [(
+        "BNLJ fallback (Cross",
+        "recency predicate pushed into the crossJoin against the 1-row "
+        "broadcast max-ts scalar — filter pushdown on a scalar side, "
+        "not a relation-to-relation nested loop",
+    )],
 }
 
 FLAGS = (
