@@ -54,3 +54,24 @@ def test_empty_input_returns_empty_with_schema(spark, sample):
     assert got.count() == 0
     for c in ("cum_ca", "cum_cb", "tot_ca", "tot_cb"):
         assert c in got.columns
+
+
+def test_global_cumsum_fractional_column_offsets(spark):
+    """Regression (r5): a DOUBLE sum column used to break createDataFrame
+    inside global_cumsum — bucket offsets started at Python int 0, later
+    rows were floats, and schema inference refused to merge Long/Double.
+    Fractional columns must cumsum exactly across bucket boundaries."""
+    from aml_feature_store_spark.operators.prefix import global_cumsum
+
+    rows = [(i, 0.5 * (i % 7) - 1.5) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = (
+        global_cumsum(df, "k", ["v"], buckets=8)
+        .orderBy("k")
+        .collect()
+    )
+    running = 0.0
+    for r in out:
+        running += 0.5 * (r["k"] % 7) - 1.5
+        assert abs(r["cum_v"] - running) < 1e-9, r["k"]
+    assert abs(out[-1]["tot_v"] - running) < 1e-9
