@@ -185,6 +185,7 @@ ORDER = [
     "hits_bipartite",
     "cusum_changepoint",
     "viewers_never_purchased",
+    "data_quality_profile",
 ]
 
 

@@ -235,3 +235,46 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg_sum_count(
         load_table(spark, sf_dir, "events"), "user_id", "value", n_salts=16
     )
+
+
+@register(
+    "data_quality_profile",
+    oracle="""
+SELECT 'event_id' AS col, COUNT(*) - COUNT(event_id) AS null_count,
+       COUNT(DISTINCT event_id) AS distinct_count FROM events
+UNION ALL
+SELECT 'ts', COUNT(*) - COUNT(ts), COUNT(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id)
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*) - COUNT(event_type),
+       COUNT(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', COUNT(*) - COUNT(value), COUNT(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', COUNT(*) - COUNT(props), COUNT(DISTINCT props) FROM events
+""",
+)
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality profile of the event log: per column,
+    null count and exact distinct cardinality — the validation gate a
+    training pipeline runs before anything downstream trusts the data.
+    One pass per column pair here for oracle exactness; the 100 TB form
+    swaps COUNT(DISTINCT) for approx_count_distinct (declared sketch)
+    and keeps the same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    total = F.count(F.lit(1))
+    parts = [
+        ev.agg(
+            F.lit(c).alias("col"),
+            (total - F.count(F.col(c))).alias("null_count"),
+            F.countDistinct(F.col(c)).alias("distinct_count"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.union(pdf)
+    return out
