@@ -29,164 +29,111 @@ class RegisteredQuery:
 
 QUERIES: dict[str, RegisteredQuery] = {}
 
-# Explicit presentation order. The driver correctness gate checks the FIRST
-# 50 registered queries only, so the engine-core families (trailing windows,
-# streaming per-event, windowed stats, per-user stats, serving, drift, graph,
-# LLM pipeline) are listed first; trivial coverage queries and rows-only
-# (oracle-less) queries come last. Names not listed keep insertion order
-# after the listed ones.
-ORDER = [
-    # --- r5 rotation (VERDICT r4 #1): every oracle-bearing query that has
-    # never had a 2026 driver row sits in the 50-slot window — the 23
-    # rows rotated in from past caps plus the queries NEW in r5
-    # (repetition_stats, stratified_sample, sequence_lag_features,
-    # dbscan_outliers_sliced, landmark_closeness, span_dup_coverage);
-    # multi-round-green r4 rows rotated out below ---
-    "dedup_components_lsh",
-    "session_window_rollup",
-    "ann_ivf_index_topk",
-    "dow_entropy_per_user",
-    "graph_edge_list",
-    "trailing_1h_features",
-    "daily_counts_per_user",
-    "unique_counts_windows",
-    "derived_time_flags",
-    "running_totals_per_user",
-    "props_json_extract",
-    "multimodal_binary_stats",
-    "pricing_summary",
-    "regional_revenue",
-    "top_orders_per_customer",
-    "time_bucket_rollup",
-    "quantiles_by_event_type",
-    "mktsegment_acctbal_summary",
-    "salted_user_totals",
-    "revenue_rollup_region_nation",
-    "top_events_global",
-    "event_type_pivot",
-    "timestamp_functions",
-    # --- keepers: r4-green rows staying in the window because they cover
-    # code paths touched this round (per-event state rewrite, prefix sums,
-    # windowed-stats kernel) or are the flagship / family representatives
-    "trailing_multiwindow_features",
-    "trailing_sums_cumsum_strategy",
-    "pagerank_bipartite",
-    "streaming_per_event_features",
-    "bm25_rank",
-    "tfidf_top_terms",
-    "streaming_per_event_extended",
-    "windowed_gini_24h",
-    "windowed_hhi_24h",
-    "benchmark_decontamination",
-    "pit_join_purchases_24h",
-    "repetition_stats",
-    "risk_scores",
-    "behavioral_feature_vector",
-    "stratified_sample",
-    "interarrival_stats_per_user",
-    "unigram_logprob_quality",
-    "conditional_window_counts",
-    "user_sessions",
-    "ks_drift_value",
-    "domain_mixture_weights",
-    "sequence_lag_features",
-    "curate_training_docs",
-    "dedup_minhash_lsh",
-    "dbscan_outliers_sliced",
-    "landmark_closeness",
-    "span_dup_coverage",
-    # --- driver cap boundary (50) is here; below are rotated-out rows,
-    # every one driver-green in CORRECTNESS_r04 (and most in r1/r2 too),
-    # then rows-only queries ---
-    # --- rotated out in r5 session 2: all six hold green 2026 driver rows
-    # (CORRECTNESS_r04) — swapped for the six queries NEW this session so
-    # the driver certifies them too ---
-    "merchant_trailing_features",
-    "streaming_graph_edges",
-    "streaming_tumbling_complete",
-    "windowed_entropy_24h",
-    "population_zscore_per_user",
-    "model_auc",
-    "user_clustering_coeff",
-    "risk_shapley",
-    "online_feature_view",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "embedding_near_dup_pairs",
-    "batch_score_requests",
-    "risk_explanations",
-    "gini_per_user",
-    "hhi_per_user",
-    "hour_entropy_per_user",
-    "amount_trend_per_user",
-    "moments_per_user",
-    "model_eval_metrics",
-    "retrain_decision",
-    "pandas_udf_model_scores",
-    "feature_target_correlation",
-    "user_graph_degrees",
-    "merchant_graph_features",
-    "user_shared_k_pairs",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "knn_cosine_bruteforce",
-    "ann_ivf_multiprobe",
-    "ann_recall_at_k",
-    "ann_ivf_topk_refined",
-    "ann_recall_refined",
-    "text_stats",
-    "language_id",
-    "doc_fingerprints",
-    # rows-only (no oracle) — a driver slot spent here yields no hash signal
-    "dbscan_outlier_features",
-    "model_training_summary",
-    "gbt_training_summary",
-    "gbt_feature_contributions",
-    "gbt_shap_values",
-    "gbt_lime_weights",
-    "gbt_nl_explanations",
-    "mlp_training_summary",
-    "automl_tuning_summary",
-    "sequence_mlp_summary",
-    "stacking_ensemble_scores",
-    "voting_ensemble_scores",
-    "pca_anomaly_scores",
-    "graph_global_centralities",
-    "seeded_sample",
-    "multimodal_image_features",
-    "multimodal_decode_features",
-    "multimodal_png_features",
-    "multimodal_resize_features",
-    "bm25_index_topk",
-    "multimodal_jpeg_features",
-    "multimodal_video_features",
-    "audio_spectral_features",
-    "multimodal_frame_sample",
-    "streaming_tumbling_rollup",
-    "unique_users_approx_by_type",
-    "quantiles_approx_by_event_type",
-    "streaming_dedup_events",
-    "streaming_interval_join",
-    "embedding_pca_component",
-    "embedding_pca_scores",
-    "robust_zscore_outliers",
-    "revenue_cube_by_type_dow",
-    "psi_drift_value",
-    "chi2_drift_event_type",
-    "model_calibration_bins",
-    "shipping_priority_q3",
-    "streaming_dim_enrich",
-    "promo_revenue_q14",
-    "funnel_conversion",
-    "cohort_retention_weekly",
-    "rfm_segments",
-    "event_type_transitions",
-    "basket_lift_pairs",
-    "hits_bipartite",
-    "cusum_changepoint",
-    "viewers_never_purchased",
-    "data_quality_profile",
-]
+# Latest round in which the DRIVER recorded a green hash-exact row for each
+# query (from CORRECTNESS_r{N}.json). Regenerate with
+# ``python tools/update_certified.py`` after each round — do not hand-edit.
+# Queries absent here have never been driver-certified (or were invalidated
+# after a material implementation change) and sort FIRST in the derived
+# presentation order, so the driver's 50-slot gate always certifies the
+# least-certified surface. Rows-only (oracle=None) queries sort last: a
+# driver slot spent there yields no hash signal.
+CERTIFIED: dict[str, int] = {
+    # r4-certified (stalest — refill the window after never-certified rows)
+    "amount_trend_per_user": 4,
+    "ann_ivf_multiprobe": 4,
+    "ann_ivf_topk": 4,
+    "ann_ivf_topk_refined": 4,
+    "ann_recall_at_k": 4,
+    "ann_recall_refined": 4,
+    "batch_score_requests": 4,
+    "dedup_exact": 4,
+    "dedup_ngram_jaccard": 4,
+    "dedup_simhash": 4,
+    "doc_fingerprints": 4,
+    "embedding_near_dup_pairs": 4,
+    "feature_target_correlation": 4,
+    "gini_per_user": 4,
+    "hhi_per_user": 4,
+    "hour_entropy_per_user": 4,
+    "knn_cosine_bruteforce": 4,
+    "language_id": 4,
+    "merchant_graph_features": 4,
+    "merchant_trailing_features": 4,
+    "model_auc": 4,
+    "model_eval_metrics": 4,
+    "moments_per_user": 4,
+    "online_feature_view": 4,
+    "pandas_udf_model_scores": 4,
+    "population_zscore_per_user": 4,
+    "retrain_decision": 4,
+    "risk_explanations": 4,
+    "risk_shapley": 4,
+    "streaming_graph_edges": 4,
+    "streaming_tumbling_complete": 4,
+    "text_stats": 4,
+    "user_clustering_coeff": 4,
+    "user_graph_degrees": 4,
+    "user_shared_k_pairs": 4,
+    "windowed_entropy_24h": 4,
+    # r5-certified
+    "ann_ivf_index_topk": 5,
+    "behavioral_feature_vector": 5,
+    "benchmark_decontamination": 5,
+    "bm25_rank": 5,
+    "conditional_window_counts": 5,
+    "curate_training_docs": 5,
+    "daily_counts_per_user": 5,
+    "dbscan_outliers_sliced": 5,
+    "dedup_components_lsh": 5,
+    "dedup_minhash_lsh": 5,
+    "derived_time_flags": 5,
+    "domain_mixture_weights": 5,
+    "dow_entropy_per_user": 5,
+    "event_type_pivot": 5,
+    "graph_edge_list": 5,
+    "interarrival_stats_per_user": 5,
+    "ks_drift_value": 5,
+    "landmark_closeness": 5,
+    "mktsegment_acctbal_summary": 5,
+    "multimodal_binary_stats": 5,
+    # pagerank_bipartite: r5 row INVALIDATED r6 — per-edge contribution
+    # lattice fix (ADVICE r5) changed both engines' arithmetic.
+    "pit_join_purchases_24h": 5,
+    "pricing_summary": 5,
+    "props_json_extract": 5,
+    "quantiles_by_event_type": 5,
+    "regional_revenue": 5,
+    "repetition_stats": 5,
+    "revenue_rollup_region_nation": 5,
+    "risk_scores": 5,
+    "running_totals_per_user": 5,
+    "salted_user_totals": 5,
+    "sequence_lag_features": 5,
+    "session_window_rollup": 5,
+    "span_dup_coverage": 5,
+    "stratified_sample": 5,
+    # streaming_per_event_extended: r5 row INVALIDATED r6 — distinct-marker
+    # path rewritten to incremental prev-occurrence state (VERDICT r5 #2).
+    "streaming_per_event_features": 5,
+    "tfidf_top_terms": 5,
+    "time_bucket_rollup": 5,
+    "timestamp_functions": 5,
+    "top_events_global": 5,
+    "top_orders_per_customer": 5,
+    "trailing_1h_features": 5,
+    "trailing_multiwindow_features": 5,
+    "trailing_sums_cumsum_strategy": 5,
+    "unigram_logprob_quality": 5,
+    "unique_counts_windows": 5,
+    "user_sessions": 5,
+    "windowed_gini_24h": 5,
+    "windowed_hhi_24h": 5,
+}
+
+# The driver's correctness gate checks the first DRIVER_CAP registered
+# queries; `_ordered()` sorts so that cap always lands on the queries most
+# in need of certification.
+DRIVER_CAP = 50
 
 
 def register(name: str, oracle: str | None = None):
@@ -198,12 +145,26 @@ def register(name: str, oracle: str | None = None):
 
 
 def _ordered() -> list[RegisteredQuery]:
+    """Presentation order, DERIVED (r6, replacing the hand-kept ORDER list):
+
+    1. oracle-bearing queries never driver-certified (or invalidated after a
+       material implementation change) — registration order;
+    2. oracle-bearing certified queries, stalest ``CERTIFIED`` round first —
+       the driver's 50-slot window refills with whatever needs re-proving;
+    3. rows-only (oracle=None) queries last: a slot there gives no hash.
+    """
     _ensure_loaded()
-    rank = {name: i for i, name in enumerate(ORDER)}
-    return sorted(
-        QUERIES.values(),
-        key=lambda q: (rank.get(q.name, len(ORDER)), list(QUERIES).index(q.name)),
-    )
+    reg_pos = {name: i for i, name in enumerate(QUERIES)}
+
+    def key(q: RegisteredQuery):
+        if q.oracle is None:
+            return (2, 0, reg_pos[q.name])
+        rnd = CERTIFIED.get(q.name)
+        if rnd is None:
+            return (0, 0, reg_pos[q.name])
+        return (1, rnd, reg_pos[q.name])
+
+    return sorted(QUERIES.values(), key=key)
 
 
 def queries() -> dict[str, QueryFn]:
