@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register
 from ..sources.tables import isolate_events_files, stream_events
+from ..streaming import bounded_shuffle_partitions
 from ..streaming.per_event import _run_tmpdir, run_bounded
 from ..streaming.sliding import tumbling_rollup
 
@@ -65,15 +66,16 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of collecting the emission into the driver (complete-mode twins
     # must keep the memory sink - file sinks are append-only)
     dst = _run_tmpdir("out_roll_")
-    q = (
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", dst)
-        .option("checkpointLocation", _run_tmpdir("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_shuffle_partitions(spark, src):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", _run_tmpdir("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # schema-pinned read: an empty emission (watermark never advanced)
     # must return an empty frame, not an inference error
     return spark.read.schema(out.schema).parquet(dst)
@@ -105,15 +107,16 @@ def streaming_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, src)
     out = tumbling_rollup(events, length="10 minutes")
     name = f"rollc_q_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _run_tmpdir("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_shuffle_partitions(spark, src):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _run_tmpdir("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -222,15 +225,16 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dst = _run_tmpdir("out_dedup_")
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", dst)
-        .option("checkpointLocation", _run_tmpdir("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_shuffle_partitions(spark, src):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", _run_tmpdir("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(deduped.schema).parquet(dst)
 
 
@@ -293,15 +297,19 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_value",
     )
     dst = _run_tmpdir("out_ij_")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", dst)
-        .option("checkpointLocation", _run_tmpdir("ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a stream-stream join keeps TWO state stores per shuffle partition;
+    # size partitions to the bounded input (VERDICT r5 #4: 100k rows paid
+    # 2 x 32 stores and 10 s wall at sf0.1)
+    with bounded_shuffle_partitions(spark, src):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", _run_tmpdir("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(joined.schema).parquet(dst)
 
 

@@ -512,3 +512,36 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.schema(deduped.schema).parquet(out_dir).collect()
     assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+
+def test_prev_occurrence_hash_path_equals_lexsort_path():
+    """The adaptive `_prev_occurrence` (r6) must give identical chains on
+    its hash-grouped path (state >> batch, the steady-state asymptotic
+    fix) and its lexsort path (batch-dominated replay), including ties
+    (equal composite, same category → buffer order defines the chain)."""
+    import numpy as np
+
+    from aml_feature_store_spark.streaming.per_event import (
+        _TS_SPAN,
+        _prev_occurrence,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tidx = np.sort(rng.integers(0, 40, n))
+    off = rng.integers(0, 10_000, n)  # small range → plenty of ties
+    comp = np.sort(tidx * _TS_SPAN + off)
+    cat = rng.integers(-1, 8, n)
+    # nb = n forces the lexsort path; nb tiny forces the hash path
+    via_sort = _prev_occurrence(comp, cat, nb=n)
+    via_hash = _prev_occurrence(comp, cat, nb=1)
+    assert np.array_equal(via_sort, via_hash)
+    # spot-check the contract itself on a brute-force oracle
+    for i in rng.integers(0, n, 50):
+        prev = [
+            j
+            for j in range(i)
+            if cat[j] == cat[i] and tidx[j] == tidx[i]
+        ]
+        expect = prev[-1] if prev else -1
+        assert via_sort[i] == expect, (i, via_sort[i], expect)
