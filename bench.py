@@ -118,34 +118,120 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
-    """Time one query min-of-N after ONE untimed per-query warm run. Each
-    query's first execution pays its own plan JIT / shuffle-file / worker
-    code-path cost (measured: the first sample of nearly every scale-anchor
-    query ran 1.5-3.5x its steady state even after a section warm-up), so
-    the warm run is excluded from the samples but recorded as "warm" in the
-    artifact — nothing is hidden, and the samples measure steady state.
-    A failing query must not abort the whole bench (r3 postmortem: one ANSI
-    divide-by-zero zeroed the round's entire artifact) — it records an
-    "err" sample and a null timing instead."""
-    samples: list = []
-    t0 = time.perf_counter()
-    try:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception as exc:
-        samples.append(f"err: {type(exc).__name__}: {exc}"[:300])
-        return None, samples
-    warm = round(time.perf_counter() - t0, 3)
-    for _ in range(repeats):
-        t0 = time.perf_counter()
+_HZ = os.sysconf("SC_CLK_TCK")
+
+# Discard a timed sample when processes OUTSIDE this bench's process tree
+# averaged more than this many busy cores during it (shared box; r4/r5
+# verdicts traced the >2x sample spread to recorded external load).
+# 8 of 32 cores = 25% external occupancy.
+EXT_DISCARD_CORES = float(os.environ.get("BENCH_EXT_DISCARD_CORES", "8"))
+
+
+def _total_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _tree_cpu_jiffies() -> int:
+    """CPU jiffies consumed by this process and every live descendant
+    (the Spark JVM and its Python workers are children of this driver)."""
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
         try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # keep timing the rest of the suite
-            samples.append(f"err: {type(exc).__name__}: {exc}"[:300])
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        procs[int(pid)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+    mine = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return sum(procs[p][1] for p in mine if p in procs)
+
+
+def _external_cores(t_wall: float, busy0: int, tree0: int) -> float:
+    """Average busy cores used by OTHER processes during a wall interval."""
+    ext = (_total_busy_jiffies() - busy0) - (_tree_cpu_jiffies() - tree0)
+    return max(0.0, ext / _HZ / max(t_wall, 1e-6))
+
+
+def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
+    """Time one query min-of-N after TWO untimed per-query warm runs.
+
+    Two warms (r5 verdict #3): the first execution pays plan compilation /
+    shuffle files / Python-worker code paths, and measurement showed one
+    warm still left 1.5-3.5x first-timed-sample inflation — the second
+    warm absorbs the residual JIT. Both warm times are recorded; nothing
+    is hidden.
+
+    Discard rule (documented, mechanical): each timed sample also measures
+    the CPU spent by processes OUTSIDE this bench's process tree
+    (/proc/stat total minus our own tree — the 1-min loadavg cannot
+    separate our load from external). A sample whose external occupancy
+    exceeds EXT_DISCARD_CORES average busy cores is recorded under
+    "discarded" with its external reading and excluded from the min and
+    the spread; up to 3 replacement samples are taken. If the kept
+    samples still spread beyond 2x, up to 3 more are taken — the final
+    kept list and its max/min ratio are in the artifact either way.
+
+    A failing query must not abort the whole bench (r3 postmortem: one
+    ANSI divide-by-zero zeroed the round's entire artifact) — it records
+    an "err" sample and a null timing instead."""
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    warms: list = []
+    for _ in range(2):
+        try:
+            warms.append(run())
+        except Exception as exc:
+            warms.append(f"err: {type(exc).__name__}: {exc}"[:300])
+            return None, {"warm": warms, "timed": []}
+
+    kept: list[float] = []
+    ext_seen: list[float] = []
+    discarded: list[dict] = []
+    err = None
+    budget = repeats + 6  # replacements for discards + spread retries
+    attempts = 0
+    while attempts < budget:
+        attempts += 1
+        busy0, tree0 = _total_busy_jiffies(), _tree_cpu_jiffies()
+        try:
+            t = run()
+        except Exception as exc:
+            err = f"err: {type(exc).__name__}: {exc}"[:300]
             break
-        samples.append(round(time.perf_counter() - t0, 3))
-    ok = [s for s in samples if isinstance(s, float)]
-    return (min(ok) if ok else None), {"warm": warm, "timed": samples}
+        ext = round(_external_cores(t, busy0, tree0), 2)
+        if ext > EXT_DISCARD_CORES and len(discarded) < 3:
+            discarded.append({"t": t, "ext_cores": ext})
+            continue
+        kept.append(t)
+        ext_seen.append(ext)
+        if len(kept) >= repeats and (max(kept) / min(kept)) <= 2.0:
+            break
+        if len(kept) >= repeats + 3:
+            break  # spread persists; report it honestly
+
+    out = {"warm": warms, "timed": kept, "ext_cores": ext_seen}
+    if discarded:
+        out["discarded"] = discarded
+    if err:
+        out["timed"] = kept + [err]
+    if kept:
+        out["spread"] = round(max(kept) / min(kept), 2)
+    return (min(kept) if kept else None), out
 
 
 def render_markdown(artifact_path: str) -> str:
@@ -236,9 +322,9 @@ def main() -> None:
         timings[name], samples[name] = _time_query(qs, name, spark, sf_dir, repeats)
 
     errors = {
-        n: (s["timed"] if isinstance(s, dict) else s)[-1]
+        n: (s["timed"] or s["warm"])[-1]
         for n, s in samples.items()
-        if timings[n] is None and (s["timed"] if isinstance(s, dict) else s)
+        if timings[n] is None and (s["timed"] or s["warm"])
     }
     out = {
         "metric": "headline-query wall time, noop sink, min of repeats",
@@ -250,10 +336,13 @@ def main() -> None:
         "samples": samples,
         "loadavg": {"before": load_before, "after": _loadavg()},
         "variance_note": (
-            "min-of-N steady-state samples per query after one untimed "
-            "per-query warm run (recorded as 'warm'); 1/5/15-min load "
-            "averages retained — this is a shared box and external load "
-            "stretches CPU-heavy kernels"
+            "min-of-N steady-state samples per query after TWO untimed "
+            "per-query warm runs (both recorded); each timed sample also "
+            "records the average busy cores used by processes outside "
+            f"this bench's process tree — samples above {EXT_DISCARD_CORES} "
+            "external cores are discarded (recorded under 'discarded') "
+            "and replaced; per-query max/min spread of kept samples is "
+            "in 'spread'"
         ),
     }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
