@@ -179,27 +179,61 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quantiles_approx_by_event_type", oracle=None)
+_Q_APPROX_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound,
+       TRUE AS p99_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@register("quantiles_approx_by_event_type", oracle=_Q_APPROX_ORACLE)
 def quantiles_approx_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of `quantiles_by_event_type`: percentile_approx
-    (Greenwald-Khanna sketch, accuracy 10000 → max rank error 1e-4) —
+    (Greenwald-Khanna sketch, accuracy 10000 → max rank error ε=1e-4) —
     mergeable partial sketches, no global sort, bounded memory per
-    partition. Rows-only (sketch output is implementation-defined);
-    tests/test_stats.py pins each approx quantile within the declared
-    rank-error bound of the exact answer (A22 scale path)."""
+    partition.
+
+    Oracle-checked via the rank-error contract (r6, VERDICT r5 #7): the
+    raw sketch output is implementation-defined, so the registered output
+    is the VALIDATION of each approx quantile against exact value ranks —
+    per event type, #{value ≤ approx} must reach floor((q−ε)·n) and
+    #{value < approx} must not exceed ceil((q+ε)·n). The oracle asserts
+    those booleans are all TRUE; any sketch/plumbing regression flips a
+    boolean and fails the hash. tests/test_stats.py keeps the numeric
+    rank-error pin (A22 scale path)."""
     df = load_table(spark, sf_dir, "events")
-    return df.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 6
-        ).alias("p50_approx"),
-        F.round(
-            F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 6
-        ).alias("p95_approx"),
-        F.round(
-            F.percentile_approx("value", F.lit(0.99), F.lit(10000)), 6
-        ).alias("p99_approx"),
+    approx = df.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_p50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("_p95"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("_p99"),
     )
+    eps = 1e-4
+    joined = df.join(F.broadcast(approx), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            f
+            for q, tag in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+            for f in (
+                F.sum((F.col("value") <= F.col(f"_{tag}")).cast("long")).alias(
+                    f"_le_{tag}"
+                ),
+                F.sum((F.col("value") < F.col(f"_{tag}")).cast("long")).alias(
+                    f"_lt_{tag}"
+                ),
+            )
+        ],
+    )
+    checks = [
+        (
+            (F.col(f"_le_{tag}") >= F.floor(F.lit(q - eps) * F.col("n")))
+            & (F.col(f"_lt_{tag}") <= F.ceil(F.lit(q + eps) * F.col("n")))
+        ).alias(f"{tag}_within_bound")
+        for q, tag in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+    ]
+    return agg.select("event_type", "n", *checks)
 
 
 @register(

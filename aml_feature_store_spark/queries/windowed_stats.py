@@ -381,16 +381,37 @@ def streaming_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("unique_users_approx_by_type", oracle=None)
+_HLL_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       TRUE AS approx_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@register("unique_users_approx_by_type", oracle=_HLL_ORACLE)
 def unique_users_approx_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type (A6 scale variant,
-    2% relative error declared). Rows-only: sketch estimates are
-    engine-specific; the exact twin is oracle-checked elsewhere. The HLL
+    2% relative standard deviation declared). Oracle-checked via the
+    error contract (r6): the sketch estimate itself is engine-specific,
+    so the registered output VALIDATES it against the exact distinct
+    count — |approx − exact| ≤ 5·rsd·exact (5 standard deviations; the
+    sketch is a deterministic hash of the data, so the boolean is a
+    stable relational function of the input). The oracle asserts TRUE
+    per type; a broken sketch or mis-wired column flips it. The HLL
     merge is commutative, so results are stable across partitionings."""
     df = load_table(spark, sf_dir, "events")
-    return df.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_unique_users"),
+    agg = df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        F.count_distinct("user_id").alias("_exact"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    bound = F.lit(5 * 0.02) * F.col("_exact")
+    return agg.select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("_approx") - F.col("_exact")) <= bound).alias(
+            "approx_within_bound"
+        ),
     )
 
 
