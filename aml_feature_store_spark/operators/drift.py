@@ -436,10 +436,23 @@ def chi2_categorical(
     of PSI/KS for drift on labels/types. χ² = Σ (O−E)²/E with
     E = row_total·col_total/N; dof = (k−1)·(2−1). One groupBy over one
     scan plus 2k-row reduces."""
-    counts = (
+    observed = (
         df.filter(F.col(period_col).isin([ref_val, cur_val]))
         .groupBy(cat_col, period_col)
         .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # full cat x period spine (r6, ADVICE r5): a category present in only
+    # one period still contributes (0-E)^2/E = E for its empty cell —
+    # omitting those cells understates chi2 exactly in the strongest-drift
+    # case (a category appearing or vanishing). Periods <= 2 rows,
+    # categories are the small drift dimension -> broadcast cross.
+    spine = (
+        observed.select(cat_col)
+        .distinct()
+        .crossJoin(F.broadcast(observed.select(period_col).distinct()))
+    )
+    counts = spine.join(observed, [cat_col, period_col], "left").fillna(
+        0, subset=["o"]
     )
     cat_tot = counts.groupBy(cat_col).agg(F.sum("o").alias("cat_tot"))
     per_tot = counts.groupBy(period_col).agg(F.sum("o").alias("per_tot"))
@@ -476,9 +489,16 @@ def chi2_categorical_sql(
     return f"""
 WITH src AS (SELECT * FROM {table_expr}
              WHERE {period_col} IN ({ref_lit}, {cur_lit})),
-counts AS (
+observed AS (
   SELECT {cat_col} AS cat, {period_col} AS period, COUNT(*) AS o
   FROM src GROUP BY 1, 2
+),
+counts AS (  -- full cat x period spine: empty cells contribute (0-E)^2/E
+  SELECT s.cat, s.period, COALESCE(ob.o, 0) AS o
+  FROM (SELECT cat, period
+        FROM (SELECT DISTINCT cat FROM observed)
+        CROSS JOIN (SELECT DISTINCT period FROM observed)) s
+  LEFT JOIN observed ob USING (cat, period)
 ),
 cat_tot AS (SELECT cat, SUM(o) AS cat_tot FROM counts GROUP BY cat),
 per_tot AS (SELECT period, SUM(o) AS per_tot FROM counts GROUP BY period),

@@ -439,11 +439,27 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iters):
+        # per-edge contributions are 12-dp rounded and summed in DECIMAL
+        # (r6, ADVICE r5): a 12-dp double below magnitude ~2e3 converts to
+        # DECIMAL(38,15) exactly in both engines, and decimal summation is
+        # integer-exact — so the aggregate cannot depend on Spark's
+        # partition order or differ from the oracle's summation order.
+        # (Residual cross-engine risk is per-ADDEND round() boundary
+        # interpretation at ~1e-16 of a lattice step — orders of magnitude
+        # rarer than the summation-order noise this removes.)
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+            .agg(
+                F.sum(
+                    F.round(F.col("rank") / F.col("outdeg"), 12).cast(
+                        "decimal(38,15)"
+                    )
+                )
+                .cast("double")
+                .alias("c")
+            )
         )
         ranks = (
             nodes.join(
@@ -488,30 +504,53 @@ def hits(
     hubs = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "h", F.lit(1.0)
     ).localCheckpoint(eager=True)
+    # Exact-summation recipe (r6, ADVICE r5): scores are 12-dp doubles in
+    # [0, 1], which convert to DECIMAL(19,12) exactly in both engines, so
+    # the per-node sums and the L2 norm's sum of squares are integer-exact
+    # — no partition-order or engine-order dependence. The square is taken
+    # at DECIMAL(18,12) x (18,12) -> (37,24), inside both engines' exact
+    # 38-digit range for raw scores below ~1e6 (i.e. max in-degree 1e6;
+    # beyond that, widen or accept documented statistical resync).
     for it in range(n_iters):
         a_raw = (
             edges.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum("h").alias("a_raw"))
+            .agg(
+                F.sum(F.col("h").cast("decimal(19,12)"))
+                .cast("decimal(18,12)")
+                .alias("a_raw")
+            )
         )
         a_norm = a_raw.agg(
-            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("nrm")
+            F.sqrt(
+                F.sum(F.col("a_raw") * F.col("a_raw")).cast("double")
+            ).alias("nrm")
         )
         auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
             F.col("dst").alias("node"),
-            F.round(F.col("a_raw") / F.col("nrm"), 12).alias("a"),
+            F.round(F.col("a_raw").cast("double") / F.col("nrm"), 12).alias(
+                "a"
+            ),
         )
         h_raw = (
             edges.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
-            .agg(F.sum("a").alias("h_raw"))
+            .agg(
+                F.sum(F.col("a").cast("decimal(19,12)"))
+                .cast("decimal(18,12)")
+                .alias("h_raw")
+            )
         )
         h_norm = h_raw.agg(
-            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("nrm")
+            F.sqrt(
+                F.sum(F.col("h_raw") * F.col("h_raw")).cast("double")
+            ).alias("nrm")
         )
         hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
             F.col("src").alias("node"),
-            F.round(F.col("h_raw") / F.col("nrm"), 12).alias("h"),
+            F.round(F.col("h_raw").cast("double") / F.col("nrm"), 12).alias(
+                "h"
+            ),
         )
         if (it + 1) % checkpoint_every == 0 or it == n_iters - 1:
             hubs = hubs.localCheckpoint(eager=True)

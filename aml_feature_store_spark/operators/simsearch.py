@@ -784,7 +784,19 @@ def pca_top_component(
     e = emb.select(
         F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
     ).select(id_col, "dim", F.col("val").cast("double").alias("val"))
-    mu = e.groupBy("dim").agg(F.round(F.avg("val"), 9).alias("mu"))
+    # exact-summation mean (r6, ADVICE r5): 9-dp-rounded addends convert
+    # to DECIMAL(38,12) exactly (magnitude << 2e3), decimal sums are
+    # integer-exact, so the mean cannot depend on either engine's
+    # summation order before the 9-dp resync rounding.
+    mu = e.groupBy("dim").agg(
+        F.round(
+            F.sum(F.round(F.col("val"), 9).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mu")
+    )
     centered = (
         e.join(F.broadcast(mu), "dim")
         .select(id_col, "dim", (F.col("val") - F.col("mu")).alias("vc"))
@@ -798,21 +810,44 @@ def pca_top_component(
         .withColumn("z", F.lit(round(1.0 / d**0.5, 12)))
     )
     for it in range(n_iters):
+        # every aggregation sums 12-dp-rounded addends in DECIMAL — the
+        # iteration's arithmetic is independent of partition/engine
+        # summation order (same recipe as pagerank/hits, ADVICE r5)
         s = (
             centered.join(F.broadcast(z), "dim")
             .groupBy(id_col)
-            .agg(F.sum(F.col("vc") * F.col("z")).alias("s"))
+            .agg(
+                F.sum(
+                    F.round(F.col("vc") * F.col("z"), 12).cast(
+                        "decimal(38,15)"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
         )
         zraw = (
             centered.join(s, id_col)
             .groupBy("dim")
             .agg(
-                F.round(F.sum(F.col("vc") * F.col("s")) / F.lit(float(n)), 12)
-                .alias("zraw")
+                F.round(
+                    F.sum(
+                        F.round(F.col("vc") * F.col("s"), 12).cast(
+                            "decimal(38,15)"
+                        )
+                    ).cast("double")
+                    / F.lit(float(n)),
+                    12,
+                ).alias("zraw")
             )
         )
         norm = zraw.agg(
-            F.sqrt(F.sum(F.col("zraw") * F.col("zraw"))).alias("nrm")
+            F.sqrt(
+                F.sum(
+                    F.col("zraw").cast("decimal(18,12)")
+                    * F.col("zraw").cast("decimal(18,12)")
+                ).cast("double")
+            ).alias("nrm")
         )
         z = zraw.crossJoin(F.broadcast(norm)).select(
             "dim", F.round(F.col("zraw") / F.col("nrm"), 12).alias("z")
@@ -837,7 +872,12 @@ WITH e AS (
          CAST(unnest({vec_col}) AS DOUBLE) AS val
   FROM {table}
 ),
-mu AS MATERIALIZED (SELECT dim, round(avg(val), 9) AS mu FROM e GROUP BY dim),
+mu AS MATERIALIZED (
+  SELECT dim,
+         round(CAST(SUM(CAST(round(val, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 9) AS mu
+  FROM e GROUP BY dim
+),
 centered AS MATERIALIZED (
   SELECT e.{id_col}, e.dim, e.val - m.mu AS vc FROM e JOIN mu m USING (dim)
 ),
@@ -849,14 +889,22 @@ z0 AS MATERIALIZED (SELECT DISTINCT dim, round(1.0 / sqrt((SELECT d FROM dd)), 1
     for i in range(1, n_iters + 1):
         cte += f""",
 s{i} AS MATERIALIZED (
-  SELECT c.{id_col}, SUM(c.vc * z.z) AS s
+  SELECT c.{id_col},
+         CAST(SUM(CAST(round(c.vc * z.z, 12) AS DECIMAL(38,15))) AS DOUBLE)
+           AS s
   FROM centered c JOIN z{i - 1} z USING (dim) GROUP BY c.{id_col}
 ),
 zr{i} AS MATERIALIZED (
-  SELECT c.dim, round(SUM(c.vc * s.s) / (SELECT n FROM nn), 12) AS zraw
+  SELECT c.dim,
+         round(CAST(SUM(CAST(round(c.vc * s.s, 12) AS DECIMAL(38,15)))
+                    AS DOUBLE) / (SELECT n FROM nn), 12) AS zraw
   FROM centered c JOIN s{i} s USING ({id_col}) GROUP BY c.dim
 ),
-nrm{i} AS MATERIALIZED (SELECT sqrt(SUM(zraw * zraw)) AS nrm FROM zr{i}),
+nrm{i} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(CAST(zraw AS DECIMAL(18,12))
+                       * CAST(zraw AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+  FROM zr{i}
+),
 z{i} AS MATERIALIZED (SELECT dim, round(zraw / (SELECT nrm FROM nrm{i}), 12) AS z FROM zr{i})"""
     return (
         head
@@ -881,7 +929,19 @@ def pca_scores(
     e = emb.select(
         F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
     ).select(id_col, "dim", F.col("val").cast("double").alias("val"))
-    mu = e.groupBy("dim").agg(F.round(F.avg("val"), 9).alias("mu"))
+    # exact-summation mean (r6, ADVICE r5): 9-dp-rounded addends convert
+    # to DECIMAL(38,12) exactly (magnitude << 2e3), decimal sums are
+    # integer-exact, so the mean cannot depend on either engine's
+    # summation order before the 9-dp resync rounding.
+    mu = e.groupBy("dim").agg(
+        F.round(
+            F.sum(F.round(F.col("val"), 9).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mu")
+    )
     centered = e.join(F.broadcast(mu), "dim").select(
         id_col, "dim", (F.col("val") - F.col("mu")).alias("vc")
     )
@@ -892,10 +952,25 @@ def pca_scores(
         centered.join(F.broadcast(comp), "dim")
         .groupBy(id_col)
         .agg(
-            (F.round(F.sum(F.col("vc") * F.col("z")), 6) + F.lit(0.0)).alias(
-                "score"
-            ),
-            F.round(F.sum(F.col("vc") * F.col("vc")), 6).alias("_ss"),
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col("vc") * F.col("z"), 12).cast(
+                            "decimal(38,15)"
+                        )
+                    ).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+            F.round(
+                F.sum(
+                    F.round(F.col("vc") * F.col("vc"), 12).cast(
+                        "decimal(38,15)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("_ss"),
         )
         .select(
             id_col,
@@ -923,8 +998,10 @@ def pca_scores_sql(
 comp AS MATERIALIZED (SELECT dim, round(z, 9) + 0.0 AS z FROM z{n_iters}),
 proj AS (
   SELECT c.{id_col},
-         round(SUM(c.vc * k.z), 6) + 0.0 AS score,
-         round(SUM(c.vc * c.vc), 6) AS ss
+         round(CAST(SUM(CAST(round(c.vc * k.z, 12) AS DECIMAL(38,15)))
+                    AS DOUBLE), 6) + 0.0 AS score,
+         round(CAST(SUM(CAST(round(c.vc * c.vc, 12) AS DECIMAL(38,15)))
+                    AS DOUBLE), 6) AS ss
   FROM centered c JOIN comp k USING (dim) GROUP BY c.{id_col}
 )
 SELECT {id_col}, score,

@@ -479,6 +479,7 @@ WITH items AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
   FROM events
+  WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
 ),
 baskets AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM items),
 item_supp AS (
@@ -513,6 +514,9 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     items = (
         ev.withColumn("item", F.from_json("props", EVENT_PROPS)["k"].cast("long"))
+        # events without an item key are not basket members (mirrors the
+        # oracle's empty-match guard — ADVICE r5)
+        .filter(F.col("item").isNotNull())
         .select(
             "user_id",
             F.date_trunc("day", "ts").cast("date").alias("day"),

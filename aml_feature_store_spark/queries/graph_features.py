@@ -202,7 +202,9 @@ r{i} AS (
          round((1.0 - {damping!r}) / (SELECT n FROM nn)
                + {damping!r} * coalesce(s.c, 0.0), 12) AS rank
   FROM outdeg o LEFT JOIN (
-    SELECT e.dst AS node, SUM(r.rank / od.outdeg) AS c
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(round(r.rank / od.outdeg, 12) AS DECIMAL(38,15)))
+                AS DOUBLE) AS c
     FROM edges e
     JOIN r{i - 1} r ON e.src = r.node
     JOIN outdeg od ON od.node = e.src
@@ -263,21 +265,29 @@ h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS h FROM edges)"""
     for i in range(1, n_iters + 1):
         cte += f""",
 ar{i} AS MATERIALIZED (
-  SELECT e.dst, SUM(h.h) AS a_raw
+  SELECT e.dst,
+         CAST(SUM(CAST(h.h AS DECIMAL(19,12))) AS DECIMAL(18,12)) AS a_raw
   FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
 ),
-an{i} AS MATERIALIZED (SELECT sqrt(SUM(a_raw * a_raw)) AS nrm FROM ar{i}),
+an{i} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(a_raw * a_raw) AS DOUBLE)) AS nrm FROM ar{i}
+),
 a{i} AS MATERIALIZED (
-  SELECT dst AS node, round(a_raw / (SELECT nrm FROM an{i}), 12) AS a
+  SELECT dst AS node,
+         round(CAST(a_raw AS DOUBLE) / (SELECT nrm FROM an{i}), 12) AS a
   FROM ar{i}
 ),
 hr{i} AS MATERIALIZED (
-  SELECT e.src, SUM(a.a) AS h_raw
+  SELECT e.src,
+         CAST(SUM(CAST(a.a AS DECIMAL(19,12))) AS DECIMAL(18,12)) AS h_raw
   FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
 ),
-hn{i} AS MATERIALIZED (SELECT sqrt(SUM(h_raw * h_raw)) AS nrm FROM hr{i}),
+hn{i} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(h_raw * h_raw) AS DOUBLE)) AS nrm FROM hr{i}
+),
 h{i} AS MATERIALIZED (
-  SELECT src AS node, round(h_raw / (SELECT nrm FROM hn{i}), 12) AS h
+  SELECT src AS node,
+         round(CAST(h_raw AS DOUBLE) / (SELECT nrm FROM hn{i}), 12) AS h
   FROM hr{i}
 )"""
     return (

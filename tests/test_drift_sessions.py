@@ -168,3 +168,35 @@ def test_chi2_zero_for_identical_counts(spark):
     )
     r = chi2_categorical(skew, "cat", "period", "ref", "cur").collect()[0]
     assert r["chi2"] > 100  # extreme flip on n=200: chi2 = 128
+
+
+def test_chi2_counts_vanished_category_cells(spark):
+    """ADVICE r5 (medium): a category present in only ONE period must
+    contribute its empty cell's (0-E)^2/E = E — the strongest-drift
+    shape. Pinned against the textbook statistic AND the DuckDB oracle
+    (both engines build the full cat x period spine)."""
+    import duckdb
+
+    from aml_feature_store_spark.operators.drift import (
+        chi2_categorical,
+        chi2_categorical_sql,
+    )
+
+    # 'gone' occurs 40x in ref, never in cur
+    rows = (
+        [("a", "ref")] * 60 + [("gone", "ref")] * 40 + [("a", "cur")] * 100
+    )
+    df = spark.createDataFrame(rows, ["cat", "period"])
+    r = chi2_categorical(df, "cat", "period", "ref", "cur").collect()[0]
+    # textbook: O = [[60,100],[40,0]], row tots 160/40, col tots 100/100
+    # E = [[80,80],[20,20]]; chi2 = 400/80 + 400/80 + 400/20 + 400/20 = 50
+    assert abs(r["chi2"] - 50.0) < 1e-6, r["chi2"]
+    assert r["dof"] == 1 and r["n_events"] == 200
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"('{c}', '{p}')" for c, p in rows)
+                + ") AS v(cat, period)")
+    sql = chi2_categorical_sql("t", "cat", "period", "'ref'", "'cur'")
+    oracle = con.execute(sql).fetchone()
+    assert abs(oracle[0] - 50.0) < 1e-6 and oracle[1] == 1 and oracle[2] == 200
