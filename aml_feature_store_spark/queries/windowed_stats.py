@@ -182,6 +182,38 @@ SELECT event_id, user_id, n AS txn_count_24h,
 FROM agg
 """,
 )
+def chunked_context(
+    sel: DataFrame, window_ms: int, chunk_ms: int
+) -> DataFrame:
+    """Explode per-event rows into (user, time-chunk) kernel groups with a
+    one-window carry-in: every row lands in its own chunk, and rows within
+    one window of a chunk boundary are duplicated into the NEXT chunk as
+    frame context (``_ctx`` = 1 — they populate frames, emit nothing).
+
+    This is the hot-key bound for the per-frame rank kernels: the largest
+    kernel group holds at most one user's events from chunk+carry-in
+    (8 days at the 24h/7d defaults), NEVER the user's whole history —
+    tests/test_skew.py pins that bound on an adversarially skewed log."""
+    chunk = F.floor(F.col("_ms") / chunk_ms)
+    dup = F.when(
+        F.col("_ms") % chunk_ms >= chunk_ms - window_ms,
+        F.array(
+            F.struct(chunk.alias("c"), F.lit(0).alias("x")),
+            F.struct((chunk + 1).alias("c"), F.lit(1).alias("x")),
+        ),
+    ).otherwise(F.array(F.struct(chunk.alias("c"), F.lit(0).alias("x"))))
+    return sel.select(
+        "event_id", "user_id", "_ms", "value", F.explode(dup).alias("_d")
+    ).select(
+        "event_id",
+        "user_id",
+        "_ms",
+        "value",
+        F.col("_d.c").alias("_chunk"),
+        F.col("_d.x").alias("_ctx"),
+    )
+
+
 def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini of amounts within each event's trailing 24h window — the
     notebook's per-window concentration feature (nb:cell6 l.68-73).
@@ -214,26 +246,7 @@ def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = ev.select(
         "event_id", "user_id", F.unix_millis(F.col("ts")).alias("_ms"), "value"
     )
-    chunk = F.floor(F.col("_ms") / chunk_ms)
-    # own-chunk row always; a context copy into the NEXT chunk when the
-    # event lies within one window of the chunk boundary
-    dup = F.when(
-        F.col("_ms") % chunk_ms >= chunk_ms - window_ms,
-        F.array(
-            F.struct(chunk.alias("c"), F.lit(0).alias("x")),
-            F.struct((chunk + 1).alias("c"), F.lit(1).alias("x")),
-        ),
-    ).otherwise(F.array(F.struct(chunk.alias("c"), F.lit(0).alias("x"))))
-    exploded = sel.select(
-        "event_id", "user_id", "_ms", "value", F.explode(dup).alias("_d")
-    ).select(
-        "event_id",
-        "user_id",
-        "_ms",
-        "value",
-        F.col("_d.c").alias("_chunk"),
-        F.col("_d.x").alias("_ctx"),
-    )
+    exploded = chunked_context(sel, window_ms, chunk_ms)
     n_part = spark.sparkContext.defaultParallelism
 
     def _run(batches):

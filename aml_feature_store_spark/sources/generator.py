@@ -91,7 +91,7 @@ def write_event_log(df: DataFrame, path: str, ts_col: str = "event_timestamp") -
 def generate_documents(
     spark: SparkSession,
     n: int = 50_000,
-    vocab_size: int = 40,
+    vocab_size: int | None = None,
     n_sources: int = 20,
     near_dup_every: int = 10,
     seed: int = 42,
@@ -103,14 +103,33 @@ def generate_documents(
     SimHash and connected-components queries see the same planted
     duplicate structure at 10x that the shipped dirs have, and candidate
     growth stays measurable. Pure column expressions, deterministic per
-    (seed, n)."""
+    (seed, n).
+
+    ``vocab_size`` defaults to max(40, n // 1250): real corpora grow
+    vocabulary with size, and a FIXED vocabulary makes random-pair
+    Jaccard a constant — LSH candidates then grow quadratically with n
+    by chance collisions alone (measured at 500k docs on the old fixed
+    40-word vocab: 4.2M candidates for 50k true pairs). Scaling the
+    vocabulary keeps random-pair similarity below the LSH band floor, so
+    candidate growth measures the PLANTED duplicates, which is the thing
+    the anchor exists to measure. n <= 50k keeps the historic 40-word
+    vocabulary bit-for-bit."""
+    if vocab_size is None:
+        vocab_size = max(40, n // 1250)
     vocab = [
         "batch", "part", "spark", "line", "column", "order", "small", "sort",
         "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
         "query", "big", "key", "window", "row", "table", "stream", "merge",
         "data", "join", "shard", "plan", "stage", "task", "node", "disk",
         "cache", "spill", "skew", "probe", "build", "range", "frame", "state",
-    ][:vocab_size]
+    ]
+    if vocab_size <= len(vocab):
+        vocab = vocab[:vocab_size]
+    else:  # extend deterministically: numbered variants of the base words
+        vocab = vocab + [
+            f"{vocab[i % len(vocab)]}{i // len(vocab)}"
+            for i in range(vocab_size - len(vocab))
+        ]
     varr = F.array(*[F.lit(w) for w in vocab])
     df = spark.range(n)
     # near-dup pairs share a base id -> identical word stream
@@ -188,6 +207,7 @@ def generate_events(
     n_days: int = 30,
     seed: int = 42,
     start: str = "2024-01-01 00:00:00",
+    hot_frac: float = 0.0,
 ) -> DataFrame:
     """Driver-testdata-shaped events at an arbitrary scale (for scaling
     benchmarks beyond the shipped sf dirs): same schema and the same
@@ -209,7 +229,9 @@ def generate_events(
     return df.select(
         F.col("id").alias("event_id"),
         (F.unix_micros(ts) * 1000).alias("ts"),
-        (u(2) * n_users).cast("long").alias("user_id"),
+        F.when(u(6) < hot_frac, F.lit(0))
+        .otherwise((u(2) * n_users).cast("long"))
+        .alias("user_id"),
         types.getItem((u(3) * 5).cast("int")).alias("event_type"),
         F.round(F.greatest(F.exp(F.randn(seed + 4) * 1.5 + 3.0), F.lit(0.01)), 2)
         .alias("value"),

@@ -92,6 +92,21 @@ LLM_SCALE_HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_components_lsh",
     "ann_ivf_index_topk",
+    "bm25_index_topk",
+]
+
+# per-frame rank kernels + the stateful bucket kernel against the
+# adversarial hot-key log (user 0 owns 25% of 1M events —
+# tools/gen_scale.py 1000000 .scale/skew --skew): pins the week-chunk
+# carry-in and per-bucket vectorization bounds under worst-case skew
+SKEW_HEADLINE = [
+    "windowed_gini_24h",
+    "windowed_hhi_24h",
+    "trailing_multiwindow_features",
+    "trailing_sums_cumsum_strategy",
+    "streaming_per_event_features",
+    "streaming_per_event_extended",
+    "user_sessions",
 ]
 
 
@@ -428,6 +443,37 @@ def main() -> None:
             "loadavg": {"before": hot_load, "after": _loadavg()},
         }
 
+    # adversarial-skew anchor: 1M events, one user owning 25% — stresses
+    # the (user, week-chunk) carry-in of the rank kernels and the hot
+    # bucket of the stateful per-event processor (VERDICT r5 #6)
+    skew_dir = os.environ.get(
+        "SPARK_GRAFT_SKEW_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "skew"),
+    )
+    if (
+        os.path.exists(os.path.join(skew_dir, "events.parquet"))
+        and time.perf_counter() - t_start < budget_s
+    ):
+        _warm_section(qs, spark, skew_dir)
+        skew_load = _loadavg()
+        skew_timings: dict[str, float] = {}
+        skew_samples: dict[str, list[float]] = {}
+        for name in SKEW_HEADLINE:
+            skew_timings[name], skew_samples[name] = _time_query(
+                qs, name, spark, skew_dir, scale_repeats
+            )
+        out["scale_skew"] = {
+            "n_events": 1_000_000,
+            "hot_user_frac": 0.25,
+            "repeats": scale_repeats,
+            "value": round(
+                sum(v for v in skew_timings.values() if v is not None), 3
+            ),
+            "queries": skew_timings,
+            "samples": skew_samples,
+            "loadavg": {"before": skew_load, "after": _loadavg()},
+        }
+
     # 100x anchor: 10M events (100x sf0.1) — the direct measurement of
     # "would this survive a 100x scale-up" for the events-based core.
     # tools/gen_scale.py 10000000 .scale/sf10 --no-llm writes it; heavy,
@@ -448,12 +494,24 @@ def main() -> None:
         s100_load = _loadavg()
         s100_timings: dict[str, float] = {}
         s100_samples: dict[str, list[float]] = {}
-        for name in SCALE_HEADLINE:
+        names_100 = list(SCALE_HEADLINE)
+        s100_llm_rows: dict[str, int] = {}
+        has_llm_100 = os.path.exists(os.path.join(s100_dir, "documents.parquet"))
+        if has_llm_100:  # 100x LLM anchors (VERDICT r5 #5)
+            names_100 += LLM_SCALE_HEADLINE
+        for name in names_100:
             s100_timings[name], s100_samples[name] = _time_query(
                 qs, name, spark, s100_dir, max(scale_repeats - 1, 1)
             )
+        if has_llm_100:
+            for name in LLM_SCALE_HEADLINE:
+                try:  # candidate/pair growth evidence at 100x
+                    s100_llm_rows[name] = qs[name](spark, s100_dir).count()
+                except Exception:
+                    s100_llm_rows[name] = -1
         out["scale100"] = {
             "n_events": 10_000_000,
+            "llm_rows": s100_llm_rows,
             "repeats": max(scale_repeats - 1, 1),
             "value": round(
                 sum(v for v in s100_timings.values() if v is not None), 3

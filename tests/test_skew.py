@@ -23,3 +23,41 @@ def test_salted_equals_direct(spark):
         assert s["n_rows"] == d["n_rows"]
         assert s["min_value"] == d["min_value"]
         assert s["max_value"] == d["max_value"]
+
+
+def test_chunked_context_bounds_hot_key_tasks(spark):
+    """VERDICT r5 #6: the per-frame rank kernels must not hand any single
+    task a hot user's whole history. `chunked_context` groups by
+    (user, 7-day chunk) with a one-window carry-in, so the largest kernel
+    group on an adversarially skewed log (one user owning 25% of all
+    events over 30 days) is bounded by ~one week of that user's events —
+    never the full 25%."""
+    from pyspark.sql import functions as F
+
+    from aml_feature_store_spark.queries.windowed_stats import chunked_context
+    from aml_feature_store_spark.sources.generator import generate_events
+
+    ev = generate_events(spark, n=100_000, n_users=100, hot_frac=0.25)
+    sel = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") / 1_000_000).cast("long").alias("_ms"),
+        "value",
+    )
+    window_ms = 86_400_000
+    exploded = chunked_context(sel, window_ms, 7 * window_ms)
+    sizes = exploded.groupBy("user_id", "_chunk").count()
+    hot_total = sel.filter(F.col("user_id") == 0).count()
+    assert hot_total > 20_000  # the skew actually planted
+    max_group = sizes.agg(F.max("count")).collect()[0][0]
+    hot_max = (
+        sizes.filter(F.col("user_id") == 0).agg(F.max("count")).collect()[0][0]
+    )
+    # 30 days ≈ 4.3 chunks; largest chunk ≈ 7/30 of the hot user's rows
+    # plus ≤ window/chunk carry-in. Bound with slack: one third of total.
+    assert hot_max <= hot_total / 3, (hot_max, hot_total)
+    assert max_group <= hot_total / 3, (max_group, hot_total)
+    # carry-in overhead stays ≤ window/chunk + slack
+    n_rows = sel.count()
+    n_exploded = exploded.count()
+    assert n_exploded <= n_rows * (1 + 1 / 7 + 0.02), (n_rows, n_exploded)

@@ -1,6 +1,15 @@
 """Generate scaled-up tables for scaling benchmarks.
 
 Usage: python tools/gen_scale.py [n_events] [out_dir] [--llm] [--hot]
+       [--llm-only]
+
+--skew makes user 0 own 25% of all events (the adversarial hot-key
+anchor bench.py reads from .scale/skew).
+
+--llm-only writes just the documents/embeddings tables sized from
+n_events (for adding LLM anchors to a dir whose events already exist,
+e.g. the 100x dir: `python tools/gen_scale.py 10000000 .scale/sf10
+--llm-only` writes 500k docs / 200k embeddings).
 
 --hot pins n_users=150 (the hot-key anchor bench.py reads from
 .scale/hot: ~220-row 24h frames instead of ~2-row).
@@ -41,13 +50,17 @@ def main() -> None:
     )
 
     spark = get_spark("gen-scale")
-    n_users = 150 if "--hot" in flags else max(150, n * 15 // 1000)
-    df = generate_events(spark, n=n, n_users=n_users)
     os.makedirs(out, exist_ok=True)
-    df.coalesce(8).write.mode("overwrite").parquet(
-        os.path.join(out, "events.parquet")
-    )
-    print(f"wrote {n} events to {out}/events.parquet")
+    if "--llm-only" in flags:
+        llm = True
+    else:
+        n_users = 150 if "--hot" in flags else max(150, n * 15 // 1000)
+        hot_frac = 0.25 if "--skew" in flags else 0.0
+        df = generate_events(spark, n=n, n_users=n_users, hot_frac=hot_frac)
+        df.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet")
+        )
+        print(f"wrote {n} events to {out}/events.parquet")
     if llm:
         n_docs = max(500, n // 20)
         n_vecs = max(500, n // 50)
