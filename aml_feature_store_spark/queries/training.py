@@ -155,6 +155,23 @@ def gbt_nl_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("contribution")).desc(), F.col("feature")
         )
     )
+    # the reference's factor-specific recommendation tail
+    # (shap_explainer.py:422-431): keyed on the TOP risk-RAISING factor —
+    # 'unique_*' -> verify the diversity is legitimate, 'velocity' ->
+    # verify the rate is justified, 'night' -> investigate night activity
+    top_pos = F.first(
+        F.when(F.col("contribution") > 0, F.col("feature")), ignorenulls=True
+    ).over(
+        Window.partitionBy("user_id")
+        .orderBy(F.col("contribution").desc(), F.col("feature"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    factor_rec = (
+        F.when(top_pos.contains("unique"), "verify_entity_diversity")
+        .when(top_pos.contains("velocity"), "verify_velocity_justified")
+        .when(top_pos.contains("night"), "investigate_night_activity")
+        .otherwise(F.lit(None).cast("string"))
+    )
     direction = F.when(F.col("contribution") >= 0, "raises").otherwise("lowers")
     strength = F.when(
         F.abs(F.col("contribution")) > 0.1, "strongly"
@@ -187,6 +204,7 @@ def gbt_nl_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("risk_probability") > 0.3, "approve_routine_monitoring")
             .otherwise("approve")
             .alias("recommendation"),
+            factor_rec.alias("factor_recommendation"),
         )
     )
 

@@ -157,31 +157,6 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
     )
 
 
-@register(
-    "windowed_gini_24h",
-    oracle="""
-WITH pairs AS (
-  SELECT e1.event_id, e1.user_id, e2.value AS v2, e2.event_id AS eid2
-  FROM events e1 JOIN events e2
-    ON e1.user_id = e2.user_id
-   AND epoch_ms(e2.ts) BETWEEN epoch_ms(e1.ts) - 86400000 AND epoch_ms(e1.ts)
-), ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY v2, eid2) AS rn
-  FROM pairs
-), agg AS (
-  SELECT event_id, user_id, COUNT(*) AS n,
-         SUM(CAST(v2 AS DECIMAL(25,2))) AS s,
-         SUM(rn * CAST(v2 AS DECIMAL(25,2))) AS s1
-  FROM ranked GROUP BY event_id, user_id
-)
-SELECT event_id, user_id, n AS txn_count_24h,
-  CASE WHEN CAST(s AS DOUBLE) != 0.0 THEN
-    (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
-      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
-  ELSE 0.0 END AS gini_amount_24h
-FROM agg
-""",
-)
 def chunked_context(
     sel: DataFrame, window_ms: int, chunk_ms: int
 ) -> DataFrame:
@@ -214,6 +189,32 @@ def chunked_context(
     )
 
 
+
+@register(
+    "windowed_gini_24h",
+    oracle="""
+WITH pairs AS (
+  SELECT e1.event_id, e1.user_id, e2.value AS v2, e2.event_id AS eid2
+  FROM events e1 JOIN events e2
+    ON e1.user_id = e2.user_id
+   AND epoch_ms(e2.ts) BETWEEN epoch_ms(e1.ts) - 86400000 AND epoch_ms(e1.ts)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY v2, eid2) AS rn
+  FROM pairs
+), agg AS (
+  SELECT event_id, user_id, COUNT(*) AS n,
+         SUM(CAST(v2 AS DECIMAL(25,2))) AS s,
+         SUM(rn * CAST(v2 AS DECIMAL(25,2))) AS s1
+  FROM ranked GROUP BY event_id, user_id
+)
+SELECT event_id, user_id, n AS txn_count_24h,
+  CASE WHEN CAST(s AS DOUBLE) != 0.0 THEN
+    (2.0 * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+  ELSE 0.0 END AS gini_amount_24h
+FROM agg
+""",
+)
 def windowed_gini_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini of amounts within each event's trailing 24h window — the
     notebook's per-window concentration feature (nb:cell6 l.68-73).

@@ -343,6 +343,31 @@ def test_gbt_nl_explanations_structure(spark):
             strength = "strongly" if abs(r["contribution"]) > 0.1 else "moderately"
             assert strength in r["explanation"]
             assert not (math.isnan(p) or p < 0 or p > 1)
+        # factor-specific recommendation (reference shap_explainer.py:
+        # 422-431): keyed on the top risk-RAISING feature, constant per
+        # user, drawn from the reference's ladder (or null when no
+        # feature raises risk / the top raiser has no mapped advice)
+        recs = {r["factor_recommendation"] for r in rs}
+        assert len(recs) == 1, recs
+        rec = recs.pop()
+        assert rec in {
+            None,
+            "verify_entity_diversity",
+            "verify_velocity_justified",
+            "investigate_night_activity",
+        }
+        # a user whose emitted rows are ALL risk-lowering can still have a
+        # (non-emitted) top raiser, so None is only provably wrong when an
+        # emitted positive feature carries a mapped name
+        if rec is None:
+            for r in rs:
+                if r["contribution"] > 0:
+                    assert not any(
+                        k in r["feature"]
+                        for k in ("unique", "velocity", "night")
+                    ) or any(
+                        o["contribution"] > r["contribution"] for o in rs
+                    ), (uid, r["feature"])
 
 
 def test_mlp_recovers_separable_model(spark):
