@@ -698,3 +698,130 @@ SELECT reason IN ('performance_drift', 'low_accuracy', 'scheduled_retraining')
        feedback_accuracy, days_since_training
 FROM verdict
 """
+
+
+def asha_tuning_summary(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    n_configs: int = 6,
+    eta: int = 3,
+    min_iter: int = 4,
+    n_rungs: int = 3,
+    seed: int = 7,
+    estimator: str = "gbt",
+) -> DataFrame:
+    """AutoML beyond grid search — successive halving over a seeded
+    random space (the honest distributed analog of the reference's
+    Optuna trials, models/advanced_models.py:309-362; algorithm:
+    Jamieson & Talwalkar's successive halving, the core of ASHA).
+
+    ``n_configs`` configurations are sampled from a seeded PCG64 stream
+    (maxDepth, stepSize, subsamplingRate, minInstancesPerNode for GBT;
+    regParam, elasticNetParam for the "logreg" estimator, whose budget
+    is L-BFGS iterations — one optimizer run per fit, so the ladder
+    itself dominates cost, not per-tree job scheduling). Rung 0
+    trains every config with ``min_iter`` budget units; each next
+    rung keeps the top 1/eta by held-out AUC with an eta× budget. The
+    budget therefore concentrates on survivors — total boosting work is
+    O(n_configs·min_iter·n_rungs) instead of the grid's O(n·max_budget).
+
+    Hold-out split is a deterministic hash (pmod(xxhash64(id), 5) == 0
+    → validation), so rows land in the same split on any cluster size.
+    Promotion ties break on (−auc, config_id) with AUC rounded to 8 dp —
+    the ladder is reproducible. Each fit is an MLlib distributed job;
+    nothing trains in-driver. One row per (rung, config) evaluation.
+
+    Rows-only surface (GBT split selection is engine-specific); ladder
+    structure, budget growth, promotion ordering, and determinism are
+    pytest-pinned (test_automl.py)."""
+    import numpy as np
+    from pyspark.ml.classification import GBTClassifier, LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    configs = [
+        {
+            "config_id": i,
+            "max_depth": int(rng.integers(2, 7)),
+            "step_size": round(float(rng.uniform(0.05, 0.3)), 4),
+            "subsample": round(float(rng.uniform(0.6, 1.0)), 4),
+            "min_instances": int(rng.integers(1, 9)),
+        }
+        for i in range(n_configs)
+    ]
+
+    def fit(cfg: dict, budget: int, train):
+        if estimator == "logreg":
+            # map the sampled space onto the regularization knobs: the
+            # 0.05-0.3 step_size slot becomes regParam, subsample-1 the
+            # elastic-net mix — same seeded stream, same ladder.
+            return LogisticRegression(
+                maxIter=budget,
+                regParam=cfg["step_size"] / 10.0,
+                elasticNetParam=round(1.0 - cfg["subsample"], 4),
+            ).fit(train)
+        return GBTClassifier(
+            maxIter=budget,
+            maxDepth=cfg["max_depth"],
+            stepSize=cfg["step_size"],
+            subsamplingRate=cfg["subsample"],
+            minInstancesPerNode=cfg["min_instances"],
+            seed=seed,
+        ).fit(train)
+
+    assembled = VectorAssembler(
+        inputCols=feature_cols, outputCol="features"
+    ).transform(
+        df.withColumn("label", F.col(label_col).cast("double")).na.fill(
+            0, feature_cols
+        )
+    )
+    is_val = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(5)) == 0
+    train = assembled.where(~is_val).persist()
+    val = assembled.where(is_val).persist()
+    evaluator = BinaryClassificationEvaluator(metricName="areaUnderROC")
+
+    rows = []
+    try:
+        alive = configs
+        for rung in range(n_rungs):
+            budget = min_iter * eta**rung
+            scored = []
+            for cfg in alive:
+                model = fit(cfg, budget, train)
+                auc = round(float(evaluator.evaluate(model.transform(val))), 8)
+                scored.append((cfg, auc))
+            scored.sort(key=lambda t: (-t[1], t[0]["config_id"]))
+            n_keep = max(len(scored) // eta, 1)
+            promoted = {c["config_id"] for c, _ in scored[:n_keep]}
+            last_rung = rung == n_rungs - 1
+            for cfg, auc in scored:
+                rows.append(
+                    (
+                        rung,
+                        cfg["config_id"],
+                        budget,
+                        cfg["max_depth"],
+                        cfg["step_size"],
+                        cfg["subsample"],
+                        cfg["min_instances"],
+                        auc,
+                        (not last_rung) and cfg["config_id"] in promoted,
+                    )
+                )
+            alive = [c for c, _ in scored[:n_keep]]
+            if len(alive) == 1 and not last_rung:
+                # finish the survivor at the top budget, then stop
+                continue
+    finally:
+        train.unpersist()
+        val.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows,
+        "rung int, config_id int, budget_iters int, max_depth int, "
+        "step_size double, subsample double, min_instances int, "
+        "val_auc double, promoted boolean",
+    )
