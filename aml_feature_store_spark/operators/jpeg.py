@@ -13,8 +13,12 @@ quality. Decoder: full marker walk (DQT/DHT/SOF0/SOS/DRI), canonical
 Huffman reconstruction from BITS/HUFFVAL, interleaved MCU scan with
 arbitrary 1-2× sampling factors (4:4:4, 4:2:2 and 4:2:0 streams all
 decode), restart-marker DC-predictor resets, dequant → inverse zigzag →
-IDCT → YCbCr→RGB. Progressive/arithmetic/12-bit streams return None
-(honestly gated, same contract as the other decoders).
+IDCT → YCbCr→RGB. Progressive (SOF2) streams decode natively too —
+spectral-selection bands, successive approximation (DC/AC first and
+refinement scans, EOB runs, buffered correction bits, T.81 Annex G) —
+and a progressive encoder with a full SA scan script exists for
+round-trip pinning. Arithmetic/lossless/hierarchical/12-bit streams
+return None (honestly gated, same contract as the other decoders).
 
 Correctness is pinned three ways in tests/test_jpeg.py: (1) the DCT /
 Huffman / bit-stuffing layers round-trip bit-exactly in isolation,
@@ -390,9 +394,10 @@ MAX_PIXELS = 1 << 26  # 64M px decode guard — a corrupted SOF header must
 
 
 def decode_jpeg(b: bytes):
-    """Decode a baseline JPEG; returns an (h, w, ncomp) uint8 array or
-    None if the payload is not baseline sequential Huffman JPEG (or its
-    declared dimensions exceed MAX_PIXELS)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG; returns
+    an (h, w, ncomp) uint8 array or None if the payload is arithmetic/
+    lossless/hierarchical/12-bit (or its declared dimensions exceed
+    MAX_PIXELS)."""
     try:
         return _decode_jpeg_strict(bytes(b))
     except Exception:
@@ -406,6 +411,7 @@ def _decode_jpeg_strict(b: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    store = None  # progressive: per-component zigzag coefficient arrays
     restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -442,7 +448,7 @@ def _decode_jpeg_strict(b: bytes):
                 vals = list(body[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 return None
@@ -450,10 +456,15 @@ def _decode_jpeg_strict(b: bytes):
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": height, "w": width, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+            frame = {
+                "h": height,
+                "w": width,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -461,14 +472,29 @@ def _decode_jpeg_strict(b: bytes):
                 return None
             ns = body[0]
             scan = {}
+            order = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
                 scan[cs] = (tdta >> 4, tdta & 0xF)
-            return _decode_scan(
-                b, pos + 2 + seg_len, frame, scan, qtables, htables,
-                restart_interval,
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    b, pos + 2 + seg_len, frame, scan, qtables, htables,
+                    restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if store is None:
+                store = _prog_alloc(frame)
+                if store is None:
+                    return None
+            pos = _decode_prog_scan(
+                b, pos + 2 + seg_len, frame, store, order, scan,
+                ss, se, ahal >> 4, ahal & 0xF, htables, restart_interval,
             )
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and store is not None:
+        return _prog_reconstruct(frame, store, qtables)
     return None
 
 
@@ -546,3 +572,475 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
     if len(out_planes) == 3:
         return _ycbcr_to_rgb(*out_planes)
     return None
+
+
+# --- progressive (SOF2) decoding -------------------------------------------
+# T.81 Annex G: DC/AC spectral-selection scans with successive
+# approximation. Coefficients accumulate across scans in per-component
+# zigzag-order arrays; dequant + IDCT happen once at EOI.
+
+
+def _prog_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0 or not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_alloc(frame):
+    geo = _prog_geometry(frame)
+    if geo is None:
+        return None
+    hmax, vmax, mcux, mcuy = geo
+    if mcux * mcuy * 64 * hmax * vmax > MAX_PIXELS:
+        return None
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _noninterleaved_blocks(frame, c, hmax, vmax):
+    """Block grid of one component in a non-interleaved scan
+    (T.81 A.1.1: component dims are ceil(w·h_i/hmax) × ceil(h·v_i/vmax),
+    then ceil-divided into 8×8 blocks)."""
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _refine_nonzero(reader, coef, k, p1):
+    """Apply one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3: magnitude grows by p1 only if the bit is 1 and the
+    p1 bit is not already set)."""
+    if reader.take(1) and (int(coef[k]) & p1) == 0:
+        coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _decode_ac_refine(reader, ac_tbl, coef, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block; returns the
+    updated EOB run. Follows T.81 G.1.2.3 exactly: newly-significant
+    coefficients arrive as (run, 1) symbols with a sign bit; every
+    already-nonzero coefficient passed over consumes a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.take(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if reader.take(1) else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(reader, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(reader, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    b, pos, frame, store, order, scan, ss, se, ah, al, htables,
+    restart_interval,
+):
+    """Decode one progressive scan into the coefficient store; returns
+    the stream position where the scan's entropy data ended."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _prog_geometry(frame)
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(b, pos)
+    eobrun = 0
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = {cs: 0 for cs in order}
+        # restart_interval counts MCUs (interleaved) / blocks (single-comp)
+        mcus = []  # each MCU: list of (cs, by, bx)
+        if len(order) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for cs in order:
+                        c = comps[cidx[cs]]
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                mcu.append(
+                                    (cs, my * c["v"] + vy, mx * c["h"] + vx)
+                                )
+                    mcus.append(mcu)
+        else:
+            cs = order[0]
+            c = comps[cidx[cs]]
+            bw, bh = _noninterleaved_blocks(frame, c, hmax, vmax)
+            mcus = [
+                [(cs, by, bx)] for by in range(bh) for bx in range(bw)
+            ]
+        count = 0
+        for mcu in mcus:
+            if restart_interval and count == restart_interval:
+                _prog_restart(reader)
+                preds = {k: 0 for k in preds}
+                count = 0
+            for cs, by, bx in mcu:
+                coef = store[cidx[cs]][by, bx]
+                if ah == 0:
+                    dc_tbl = htables[(0, scan[cs][0])]
+                    s = reader.huff(dc_tbl)
+                    preds[cs] += _extend(reader.take(s), s)
+                    coef[0] = preds[cs] << al
+                else:
+                    coef[0] = int(coef[0]) | (reader.take(1) << al)
+            count += 1
+        return reader.pos
+    # AC scan: always non-interleaved, single component
+    if len(order) != 1:
+        raise ValueError("AC scan must have one component")
+    cs = order[0]
+    c = comps[cidx[cs]]
+    ci = cidx[cs]
+    ac_tbl = htables[(1, scan[cs][1])]
+    bw, bh = _noninterleaved_blocks(frame, c, hmax, vmax)
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count == restart_interval:
+                _prog_restart(reader)
+                eobrun = 0
+                count = 0
+            coef = store[ci][by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.huff(ac_tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.take(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index out of band")
+                        coef[k] = _extend(reader.take(s), s) << al
+                        k += 1
+            else:
+                eobrun = _decode_ac_refine(
+                    reader, ac_tbl, coef, ss, se, al, eobrun
+                )
+            count += 1
+    return reader.pos
+
+
+def _prog_restart(reader):
+    reader.acc = 0
+    reader.nbits = 0
+    while reader.data[reader.pos] != 0xFF or not (
+        0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+    ):
+        reader.pos += 1
+    reader.skip_restart()
+
+
+def _prog_reconstruct(frame, store, qtables):
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks per component) and assemble the image like the
+    baseline tail: upsample subsampled planes, crop, color-convert."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out_planes = []
+    for ci, c in enumerate(comps):
+        q = qtables[c["tq"]].astype(np.float64)  # natural order
+        qzz = q[ZIGZAG]  # zigzag order to match the store
+        by, bx, _ = store[ci].shape
+        deq = store[ci].astype(np.float64) * qzz[None, None, :]
+        nat = np.zeros((by, bx, 64))
+        nat[:, :, ZIGZAG] = deq
+        blocks = nat.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[..., None]
+    if len(out_planes) == 3:
+        return _ycbcr_to_rgb(*out_planes)
+    return None
+
+
+# --- progressive (SOF2) encoder --------------------------------------------
+# Spectral selection + one level of successive approximation, mirroring
+# the decode paths above. Annex-K AC tables lack the EOBn symbols
+# progressive scans need, so AC scans use a flat 8/9-bit canonical table
+# (all 256 symbols, Kraft sum 0.75, the all-ones code unused as T.81
+# requires; a DHT BITS byte caps at 255, hence the two-length split).
+
+AC_FLAT_BITS = [0] * 7 + [128, 128] + [0] * 7
+AC_FLAT_VALS = list(range(256))
+
+
+def _mag_shift(v: int, al: int) -> int:
+    """T.81 G.1.2.2 point transform for AC: magnitude shift toward zero,
+    sign preserved."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _EobState:
+    """EOB-run + buffered-correction-bit bookkeeping shared by the AC
+    scan encoders (the dual of the decoder's eobrun handling)."""
+
+    def __init__(self, writer, ac_codes):
+        self.writer = writer
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_pending(self):
+        for bit in self.pending:
+            self.writer.write(bit, 1)
+        self.pending = []
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[nbits << 4]
+            self.writer.write(code, ln)
+            if nbits:
+                self.writer.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+            self.flush_pending()
+
+    def bump(self):
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+
+def _enc_ac_first_block(zz, ss, se, al, state):
+    vals = [_mag_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        state.bump()
+        return
+    state.flush_eob()
+    w, codes = state.writer, state.ac_codes
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = codes[0xF0]
+            w.write(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = codes[(run << 4) | s]
+        w.write(c, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if nz[-1] < len(vals) - 1:
+        state.bump()
+
+
+def _enc_ac_refine_block(zz, ss, se, al, state):
+    """Dual of _decode_ac_refine (T.81 G.1.2.3): newly-significant
+    coefficients emit (run, 1) + sign; already-significant ones emit a
+    correction bit. The current block's correction bits (``br``) ride
+    immediately behind the next symbol emitted IN this block, while bits
+    from whole blocks absorbed into an EOB run (``state.pending``) ride
+    behind the EOB-run symbol — two separate buffers, exactly the
+    decoder's read order."""
+    vals = [int(zz[k]) for k in range(ss, se + 1)]
+    absv = [_mag_shift(abs(v), al) for v in vals]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i  # index of the last newly-significant coefficient
+    w, codes = state.writer, state.ac_codes
+    run = 0
+    br: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            state.flush_eob()
+            c, ln = codes[0xF0]
+            w.write(c, ln)
+            run -= 16
+            for bit in br:
+                w.write(bit, 1)
+            br = []
+        if a > 1:  # already significant at this level: correction bit
+            br.append(a & 1)
+            continue
+        state.flush_eob()
+        c, ln = codes[(run << 4) | 1]
+        w.write(c, ln)
+        w.write(1 if vals[i] >= 0 else 0, 1)
+        for bit in br:
+            w.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state.pending.extend(br)
+        state.bump()
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 90, al: int = 1) -> bytes:
+    """Progressive (SOF2) JFIF encode of an (h, w[, 3]) uint8 array,
+    4:4:4: one interleaved DC-first scan at successive-approximation
+    level ``al``, per-component AC-first band scans (1-5, 6-63) at
+    ``al``, then DC- and AC-refinement scans down to level 0. Decoding
+    this stream exercises every progressive decode path; pixels must
+    match the baseline encoder's at the same quality (same quantized
+    coefficients — pytest-pinned)."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qy = _quality_scale(QT_LUM, quality)
+    qc = _quality_scale(QT_CHROM, quality)
+    ph, pw = -h % 8, -w % 8
+    if gray:
+        planes = [np.pad(px.astype(np.float64), ((0, ph), (0, pw)), mode="edge")]
+    else:
+        ycc = _rgb_to_ycbcr(px.astype(np.float64))
+        padded = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        planes = [padded[..., i] for i in range(3)]
+    ncomp = len(planes)
+    bh, bw = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    zzs = []
+    for ci in range(ncomp):
+        q = (qy if ci == 0 else qc).reshape(8, 8).astype(np.float64)
+        grid = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _C @ block @ _C.T
+                grid[by, bx] = np.round(coef / q).astype(np.int64).reshape(64)[ZIGZAG]
+        zzs.append(grid)
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    for tq, tbl in [(0, qy)] + ([(1, qc)] if not gray else []):
+        body = bytes([tq]) + bytes(int(tbl[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+    out += _dht_segment(1, 2, AC_FLAT_BITS, AC_FLAT_VALS)
+
+    dc_codes = [
+        canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+        if ci == 0
+        else canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+        for ci in range(ncomp)
+    ]
+    ac_flat = canonical_codes(AC_FLAT_BITS, AC_FLAT_VALS)
+
+    def sos_header(comp_specs, ss, se, ah, al_):
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # scan 1: interleaved DC first at level al
+    out += sos_header(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, al
+    )
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                v = int(zzs[ci][by, bx, 0]) >> al  # DC: arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                c, ln = dc_codes[ci][s]
+                wtr.write(c, ln)
+                if s:
+                    wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.out
+
+    bands = [(1, 5), (6, 63)]
+    # AC first scans at level al, per component
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([(ci + 1, 0, 2)], ss, se, 0, al)
+            wtr = _BitWriter()
+            state = _EobState(wtr, ac_flat)
+            for by in range(bh):
+                for bx in range(bw):
+                    _enc_ac_first_block(zzs[ci][by, bx], ss, se, al, state)
+            state.flush_eob()
+            wtr.flush()
+            out += wtr.out
+    # refinement levels al-1 .. 0
+    for lvl in range(al - 1, -1, -1):
+        out += sos_header(
+            [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, lvl + 1, lvl
+        )
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    wtr.write((int(zzs[ci][by, bx, 0]) >> lvl) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header([(ci + 1, 0, 2)], ss, se, lvl + 1, lvl)
+                wtr = _BitWriter()
+                state = _EobState(wtr, ac_flat)
+                for by in range(bh):
+                    for bx in range(bw):
+                        _enc_ac_refine_block(zzs[ci][by, bx], ss, se, lvl, state)
+                state.flush_eob()
+                wtr.flush()
+                out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -364,8 +364,8 @@ def _decode_jpeg(b: bytes):
 def _decode_any(b: bytes):
     """Dispatch on magic bytes; pure-numpy for uncompressed formats,
     stdlib zlib+numpy for PNG, pure-Python LZW for GIF and pure-Python
-    Huffman+IDCT for baseline JPEG, PIL (if installed) for the remaining
-    compressed formats (WebP / progressive JPEG), else None."""
+    Huffman+IDCT for baseline AND progressive (SOF2) JPEG, PIL (if
+    installed) for the remaining compressed formats (WebP), else None."""
     for dec in (_decode_bmp, _decode_ppm, _decode_wav, _decode_png,
                 _decode_gif, _decode_jpeg):
         try:

@@ -202,8 +202,8 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed back by the pure struct+numpy decoder — dimensions, channels,
     pixel mean/std per doc. Rows-only; exact decode of hand-built
     BMP/PPM/WAV fixtures is pytest-pinned. Compressed PNG, GIF and
-    baseline JPEG decode natively too (stdlib zlib / pure-Python LZW /
-    pure-Python Huffman+IDCT); only WebP and progressive JPEG remain
+    baseline and progressive JPEG decode natively too (stdlib zlib /
+    pure-Python LZW / pure-Python Huffman+IDCT); only WebP remains
     PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.synthesize_bmp_payloads(docs))
@@ -471,9 +471,9 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     then decoded natively — marker walk, canonical Huffman, dequant,
     IDCT, YCbCr→RGB (operators/jpeg.py). Rows-only; the decoder is
     spec-pinned in tests/test_jpeg.py by streams hand-assembled from
-    T.81 (4:4:4, 4:2:0 subsampled, restart markers) so the encoder and
-    decoder cannot share a compensating bug. Only WebP and progressive
-    JPEG remain PIL-gated."""
+    T.81 (4:4:4, 4:2:0 subsampled, restart markers, progressive
+    successive-approximation scans) so the encoder and decoder cannot
+    share a compensating bug. Only WebP remains PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.synthesize_jpeg_payloads(docs))
 

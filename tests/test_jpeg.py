@@ -325,3 +325,195 @@ def test_roundtrip_property_random_images():
         err = np.abs(out[..., 0 if gray else slice(None)].astype(int)
                      - px.astype(int))
         assert err.max() <= bound, (h, w, gray, quality, err.max())
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+
+
+def test_progressive_roundtrip_matches_baseline_exactly():
+    """Progressive encode -> decode must yield the SAME pixels as
+    baseline encode -> decode (identical quantized coefficients; the
+    scan structure is the only difference)."""
+    rng = np.random.default_rng(23)
+    for shape in [(8, 8), (16, 24), (24, 16, 3), (13, 19, 3), (40, 56, 3)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        for quality in (60, 90):
+            for al in (1, 2):
+                base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=quality))
+                prog = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg_progressive(px, quality=quality, al=al)
+                )
+                assert prog is not None, (shape, quality, al)
+                assert np.array_equal(base, prog), (shape, quality, al)
+
+
+def test_progressive_eobrun_spanning_blocks():
+    """Smooth / constant images make entire AC bands zero across many
+    blocks, forcing multi-block EOB runs (and their buffered correction
+    bits) through both encoder and decoder."""
+    grad = np.linspace(40, 200, 64 * 64).reshape(64, 64).astype(np.uint8)
+    flat = np.full((48, 48), 77, np.uint8)
+    for px in (grad, flat):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=85))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(px, quality=85))
+        assert prog is not None and np.array_equal(base, prog)
+
+
+def test_decode_hand_assembled_progressive_sa():
+    """Successive-approximation stream assembled scan by scan IN THE
+    TEST (T.81 Annex G rules applied by hand), so the decoder is pinned
+    independently of encode_jpeg_progressive. One 8x8 grayscale block,
+    unit quant table, target zigzag coefficients
+    zz0=-5, zz1=3, zz4=-2, zz20=1:
+
+      scan 1  DC first  Al=1: value -5>>1 = -3, category 2, bits 00
+      scan 2  AC first 1-63 Al=1: (0,1)+'1' for zz1 (3>>1=1),
+              (2,1)+'0' for zz4 (-2 -> -1), EOB  (zz20 invisible yet)
+      scan 3  DC refine Al=0: one bit, (-5)&1 = 1  (-6|1 = -5)
+      scan 4  AC refine 1-63 Al=0: ZRL (17 pending zero-history zeros)
+              with correction bits [1,0] for zz1/zz4 riding behind it,
+              then (1,1)+sign for newly-significant zz20, then EOB
+    """
+    from aml_feature_store_spark.operators.jpeg import (
+        AC_FLAT_BITS,
+        AC_FLAT_VALS,
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _BitWriter,
+        canonical_codes,
+    )
+
+    dc = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = canonical_codes(AC_FLAT_BITS, AC_FLAT_VALS)
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(b"\xff\xdb", bytes([0]) + bytes([1] * 64))  # unit quant
+    out += seg(b"\xff\xc2", struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(b"\xff\xc4", bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(
+        b"\xff\xc4",
+        bytes([0x12])
+        + bytes(AC_FLAT_BITS)
+        + bytes(AC_FLAT_VALS),
+    )
+
+    def sos(ss, se, ah, al):
+        return seg(b"\xff\xda", bytes([1, 1, 0x02 if ss else 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=1 (diff = -3 -> category 2, bits 00)
+    w = _BitWriter()
+    c, ln = dc[2]
+    w.write(c, ln)
+    w.write(0b00, 2)
+    w.flush()
+    out += sos(0, 0, 0, 1) + bytes(w.out)
+    # scan 2: AC first 1-63, Al=1
+    w = _BitWriter()
+    c, ln = ac[0x01]
+    w.write(c, ln)  # run 0, size 1 -> zz1 = +1
+    w.write(1, 1)
+    c, ln = ac[0x21]
+    w.write(c, ln)  # run 2, size 1 -> zz4 = -1
+    w.write(0, 1)
+    c, ln = ac[0x00]
+    w.write(c, ln)  # EOB
+    w.flush()
+    out += sos(1, 63, 0, 1) + bytes(w.out)
+    # scan 3: DC refine, Ah=1 Al=0 -> bit (-5) & 1 = 1
+    w = _BitWriter()
+    w.write(1, 1)
+    w.flush()
+    out += sos(0, 0, 1, 0) + bytes(w.out)
+    # scan 4: AC refine 1-63, Ah=1 Al=0
+    w = _BitWriter()
+    c, ln = ac[0xF0]
+    w.write(c, ln)  # ZRL: 16 zero-history positions
+    w.write(1, 1)   # correction for zz1 (3 & 1)
+    w.write(0, 1)   # correction for zz4 (2 & 1 = 0)
+    c, ln = ac[0x11]
+    w.write(c, ln)  # run 1, newly-significant
+    w.write(1, 1)   # sign: positive -> zz20 = +1
+    c, ln = ac[0x00]
+    w.write(c, ln)  # EOB for the trailing zeros
+    w.flush()
+    out += sos(1, 63, 1, 0) + bytes(w.out)
+    out += b"\xff\xd9"
+
+    px = jpeg.decode_jpeg(out)
+    assert px is not None and px.shape == (8, 8, 1)
+
+    zz = np.zeros(64, np.int64)
+    zz[0], zz[1], zz[4], zz[20] = -5, 3, -2, 1
+    nat = np.zeros(64)
+    nat[jpeg.ZIGZAG] = zz  # unit quant table: dequant is identity
+    expected = jpeg._C.T @ nat.reshape(8, 8) @ jpeg._C + 128.0
+    expected = np.clip(np.round(expected), 0, 255).astype(np.uint8)
+    assert np.array_equal(px[..., 0], expected)
+
+
+def test_decode_progressive_subsampled_dc_only():
+    """Hand-built 4:2:0 progressive stream: interleaved DC-first scan
+    (4 Y blocks + Cb + Cr in one MCU) at Al=1 plus a DC refinement scan.
+    No AC scans at all - a legal progressive stream; AC stays zero."""
+    from aml_feature_store_spark.operators.jpeg import (
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _BitWriter,
+        canonical_codes,
+    )
+
+    dc = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(b"\xff\xdb", bytes([0]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += seg(b"\xff\xc2", sof)
+    out += seg(b"\xff\xc4", bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    # DC first scan, all three components, Al=1: Y DC=16 -> 8, Cb/Cr 0
+    w = _BitWriter()
+    pred = 0
+    for dcv in (8, 8, 8, 8):  # four Y blocks, shifted DC 8 (diffs 8,0,0,0)
+        diff = dcv - pred
+        pred = dcv
+        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        c, ln = dc[s]
+        w.write(c, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    for _ in (2, 3):  # Cb, Cr: DC diff 0 (per-component predictors)
+        c, ln = dc[0]
+        w.write(c, ln)
+    w.flush()
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01])
+    out += seg(b"\xff\xda", sos) + bytes(w.out)
+    # DC refine scan: one bit per block (16 & 1 = 0 for Y, 0 for Cb/Cr)
+    w = _BitWriter()
+    for _ in range(6):
+        w.write(0, 1)
+    w.flush()
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])
+    out += seg(b"\xff\xda", sos) + bytes(w.out)
+    out += b"\xff\xd9"
+
+    px = jpeg.decode_jpeg(out)
+    assert px is not None and px.shape == (16, 16, 3)
+    # Y DC=16 -> luma 130, neutral chroma -> gray (130, 130, 130)
+    assert np.all(px == 130)
+
+
+def test_progressive_truncated_is_robust():
+    """Truncating a progressive stream mid-scan must never crash - the
+    decode contract returns None (or a valid uint8 array for cuts that
+    land after a complete scan)."""
+    px = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
+    full = jpeg.encode_jpeg_progressive(px, quality=85)
+    for frac in (0.3, 0.5, 0.7, 0.9):
+        out = jpeg.decode_jpeg(full[: int(len(full) * frac)])
+        assert out is None or out.dtype == np.uint8
