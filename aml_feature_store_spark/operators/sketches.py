@@ -1,0 +1,159 @@
+"""One-pass mergeable frequency sketches with exact verification
+(SURVEY §2.4 approximate-aggregate adjacents; companion to the HLL
+distinct-count and GK-quantile surfaces).
+
+Misra-Gries heavy hitters, the classic mergeable summary: each
+partition keeps at most ``k`` counters (decrement-all when full), the
+driver merges the per-partition summaries (merge = add counters, then
+subtract the (k+1)-th largest weight from all and drop non-positive —
+the standard mergeable-summaries result, Agarwal et al., PODS'12).
+The guarantee: every item with true frequency > n/(k+1) survives into
+the candidate set. A second broadcast-semi-join pass computes EXACT
+counts for the ≤k candidates, so the composed operator returns the
+exact top-``top_n`` — same exactness-from-pruning trick as the
+bucketed near-dup join — while the first pass is one scan with O(k)
+memory per partition and the second scans with a broadcast hash filter
+(no shuffle of the raw keys at any point).
+
+At 100 TB this is THE shape for "top URLs / domains / tokens": the
+full groupBy alternative shuffles every distinct key; this shuffles
+nothing and collects 2·k·n_partitions counter rows once.
+
+Reference scope: the reference's pandas value_counts().head(n)
+(feature_engineering/batch_features.py top-categories patterns) is the
+semantic being reproduced; Misra-Gries is the public streaming
+re-expression of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("item", StringType()),
+        StructField("weight", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+)
+
+
+def misra_gries_partition(items, k: int):
+    """Pure-Python MG summary of an iterable of hashables: at most ``k``
+    counters; returns (dict item -> weight, n_seen). Property-tested:
+    weight[i] >= true_count[i] - n/(k+1)."""
+    counters: dict = {}
+    n = 0
+    for it in items:
+        n += 1
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < k:
+            counters[it] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters, n
+
+
+def merge_summaries(summaries: list[tuple[dict, int]], k: int):
+    """Merge MG summaries (Agarwal et al.): sum counters, then keep the
+    k largest after subtracting the (k+1)-th largest weight. The merged
+    summary keeps the same n/(k+1) error bound over the combined
+    stream. Deterministic: ties in the weight order break on the item."""
+    merged: dict = {}
+    n = 0
+    for counters, part_n in summaries:
+        n += part_n
+        for item, w in counters.items():
+            merged[item] = merged.get(item, 0) + w
+    if len(merged) > k:
+        ranked = sorted(merged.items(), key=lambda t: (-t[1], str(t[0])))
+        cut = ranked[k][1]  # (k+1)-th largest weight
+        merged = {
+            item: w - cut for item, w in ranked[:k] if w - cut > 0
+        }
+    return merged, n
+
+
+def heavy_hitters_exact_topk(
+    df: DataFrame,
+    item_col: str,
+    top_n: int = 10,
+    k: int = 64,
+) -> DataFrame:
+    """Exact top-``top_n`` most frequent values of ``item_col`` without
+    shuffling the raw keys: MG candidate pass (mapInPandas, O(k) state
+    per partition, one summary row per counter) → driver merge →
+    broadcast candidate filter → exact counts. ``k`` must be
+    > n/true_freq(top_n-th item) for exactness; with the default 64 the
+    pytest property test pins that every item above n/(k+1) frequency is
+    recovered, and the exactness of the final counts holds regardless
+    (missing a candidate requires its frequency <= n/(k+1))."""
+    items = df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).where(F.col(item_col).isNotNull())
+
+    def mg(iterator):
+        import pandas as pd
+
+        summary: dict = {}
+        n = 0
+        for pdf in iterator:
+            n += len(pdf)
+            # per-Arrow-batch exact counts (vectorized), merged into the
+            # running summary with the Agarwal merge — each batch is a
+            # trivially-exact sub-summary, so the bound still holds
+            vc = pdf["item"].value_counts()
+            summary, _ = merge_summaries(
+                [(summary, 0), (vc.to_dict(), 0)], k
+            )
+        yield pd.DataFrame(
+            {
+                "item": list(summary) or [None],
+                "weight": list(summary.values()) or [0],
+                "n_rows": [n] + [0] * (max(len(summary), 1) - 1),
+            }
+        )
+
+    rows = items.mapInPandas(mg, _SUMMARY_SCHEMA).collect()
+    # counter addition is associative, so the per-partition rows merge
+    # in one shot; the final (k+1)-th-weight cut preserves the bound
+    merged: dict = {}
+    n = 0
+    for r in rows:
+        n += r["n_rows"]
+        if r["item"] is not None:
+            merged[r["item"]] = merged.get(r["item"], 0) + r["weight"]
+    merged, _ = merge_summaries([(merged, 0)], k)
+    candidates = sorted(merged)
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [(c,) for c in candidates], "item string"
+    )
+    exact = (
+        items.join(F.broadcast(cand_df), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+        .limit(top_n)
+    )
+    return exact.select("item", "cnt")
+
+
+def heavy_hitters_sql(item_expr: str, table: str, top_n: int = 10) -> str:
+    """DuckDB mirror: the plain exact top-n (the MG pass only prunes)."""
+    return f"""
+SELECT CAST({item_expr} AS VARCHAR) AS item, COUNT(*) AS cnt
+FROM {table}
+WHERE {item_expr} IS NOT NULL
+GROUP BY 1
+ORDER BY cnt DESC, item
+LIMIT {top_n}
+"""

@@ -278,3 +278,25 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.union(pdf)
     return out
+
+
+@register(
+    "heavy_hitters_topk",
+    oracle=__import__(
+        "aml_feature_store_spark.operators.sketches", fromlist=["x"]
+    ).heavy_hitters_sql("user_id", "events", top_n=15),
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-15 most frequent entities via a one-pass Misra-Gries
+    candidate sketch + broadcast-verified exact counts
+    (operators/sketches.py): the raw keys never shuffle — per-partition
+    O(k) summaries collect once, candidates broadcast back for the exact
+    pass. The reference's value_counts().head(n) semantic
+    (feature_engineering/batch_features.py) at the shape that works on
+    100 TB. Oracle = plain exact top-n (the sketch only prunes; with
+    k=256 > |distinct| the candidate set is provably complete; the
+    adversarial small-k bound is property-tested in test_sketches.py)."""
+    from ..operators.sketches import heavy_hitters_exact_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact_topk(ev, "user_id", top_n=15, k=256)

@@ -1,0 +1,86 @@
+"""Misra-Gries heavy hitters (operators/sketches.py).
+
+Pins: the MG frequency bound (weight >= true - n/(k+1)) on adversarial
+streams, the mergeable-summaries property, recovery of every item above
+the guarantee threshold, and end-to-end exactness of the composed
+top-k against a plain groupBy — including the adversarial layout where
+naive per-partition top-k misses the global heavy hitter.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aml_feature_store_spark.operators import sketches
+
+
+def test_mg_bound_adversarial():
+    # round-robin stream: no item ever keeps a counter for small k,
+    # the classic MG worst case
+    stream = [i % 17 for i in range(17 * 50)] + [99] * 400
+    k = 8
+    counters, n = sketches.misra_gries_partition(stream, k)
+    true = Counter(stream)
+    for item, w in counters.items():
+        assert w <= true[item]
+        assert w >= true[item] - n / (k + 1)
+    # 99 has freq 400 > n/(k+1) = 1250/9 -> must be present
+    assert 99 in counters
+
+
+def test_merge_preserves_bound():
+    rng = np.random.Generator(np.random.PCG64(3))
+    streams = [
+        list(rng.integers(0, 30, 500)) + [777] * 150 for _ in range(4)
+    ]
+    k = 10
+    summaries = [sketches.misra_gries_partition(s, k) for s in streams]
+    merged, n = sketches.merge_summaries(summaries, k)
+    assert len(merged) <= k
+    true = Counter(sum(streams, []))
+    assert n == sum(len(s) for s in streams)
+    for item, w in merged.items():
+        assert w <= true[item]
+        assert w >= true[item] - n / (k + 1)
+    assert 777 in merged  # 600 occurrences > n/(k+1) = 2600/11
+
+
+def test_exact_topk_matches_groupby(spark):
+    rng = np.random.Generator(np.random.PCG64(11))
+    vals = [f"u{int(v):03d}" for v in rng.zipf(1.5, 5000) % 500]
+    df = spark.createDataFrame([(v,) for v in vals], "item string")
+    got = sketches.heavy_hitters_exact_topk(df, "item", top_n=10, k=64).collect()
+    true = Counter(vals).most_common()
+    true.sort(key=lambda t: (-t[1], t[0]))
+    expect = true[:10]
+    assert [(r["item"], r["cnt"]) for r in got] == expect
+
+
+def test_exact_topk_adversarial_partition_layout(spark):
+    """The global heavy hitter is the per-partition minority everywhere:
+    naive top-k-per-partition would drop it; the MG candidate pass must
+    not."""
+    rows = []
+    # 8 'partitions-worth' of data: in each slice, locally-popular items
+    # (distinct per slice) each appear 30x, the GLOBAL hitter only 20x
+    for part in range(8):
+        for local in range(6):
+            rows += [(f"local_{part}_{local}",)] * 30
+        rows += [("global_hitter",)] * 20
+    df = spark.createDataFrame(rows, "item string").repartition(8, "item")
+    got = sketches.heavy_hitters_exact_topk(df, "item", top_n=1, k=64).collect()
+    # global total 160 > any local's 30
+    assert got[0]["item"] == "global_hitter" and got[0]["cnt"] == 160
+
+
+def test_exact_topk_deterministic_ties(spark):
+    rows = [(f"t{i}",) for i in range(20)] * 5  # all counts equal
+    df = spark.createDataFrame(rows, "item string")
+    a = sketches.heavy_hitters_exact_topk(df, "item", top_n=7, k=64).collect()
+    b = sketches.heavy_hitters_exact_topk(df, "item", top_n=7, k=64).collect()
+    assert a == b
+    assert [r["item"] for r in a] == sorted(r["item"] for r in a)
