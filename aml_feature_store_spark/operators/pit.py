@@ -224,18 +224,14 @@ def point_in_time_features_auto(
     """Adaptive as-of join: estimate expected frame density from one cheap
     events-side stats pass and pick the window strategy (sparse frames)
     or the O(rows) reader/probe strategy (dense frames). Bit-identical
-    results either way (property-tested)."""
+    results either way (property-tested). Density is the DENSEST
+    entity's (skew-aware, shared with trailing_features_auto — r6: a
+    mean estimate routes hot keys onto the per-task O(rows × frame)
+    path exactly when it hurts most)."""
+    from .windows import estimate_frame_rows
+
     ts_col = kw.get("event_ts_col", "ts")
-    stats = events.select(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(entity_col).alias("u"),
-        (
-            F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))
-        ).alias("span_ms"),
-    ).first()
-    span = max(int(stats["span_ms"] or 0), 1)
-    per_entity = (stats["n"] or 0) / max(stats["u"], 1)
-    est = per_entity * min(window_s * 1000 / span, 1.0)
+    est = estimate_frame_rows(events, entity_col, ts_col, window_s)
     fn = (
         point_in_time_features
         if est <= frame_rows_threshold

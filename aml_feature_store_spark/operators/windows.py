@@ -526,22 +526,51 @@ def trailing_flag_counts_scalable(
 # ~220-row frames; cold anchor: 2.2 s vs 3.5 s at ~2-row frames)
 AUTO_FRAME_ROWS_THRESHOLD = 32
 
+_FRAME_EST_CACHE: dict[tuple, float] = {}
+
 
 def estimate_frame_rows(df: DataFrame, entity_col: str, ts_col: str, window_s: int) -> float:
-    """One cheap stats pass → expected rows per trailing frame
-    (rows/entity × window/span); the shared density heuristic for every
-    adaptive trailing strategy."""
-    stats = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(entity_col).alias("u"),
-        (F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))).alias(
-            "span_ms"
-        ),
+    """One cheap stats pass → expected rows per trailing frame of the
+    DENSEST entity (per-entity rows × window/per-entity-span, maxed);
+    the shared density heuristic for every adaptive trailing strategy.
+
+    The max — not the mean — is the routing statistic: WindowExec cost
+    is per TASK, and a skewed key (one entity owning 25% of the log)
+    makes its task O(rows × frame) while the mean still looks sparse.
+    The r6 skew anchor caught exactly that: mean density 2.3 rows/frame
+    routed the hot anchor onto WindowExec and one task ran for minutes.
+    Cost: a groupBy(entity) count — one extra small job in the stats
+    pass (at warehouse scale, run it on a sample; the max over a 1%
+    entity sample bounds the hot key with high probability). Memoized
+    per (input files, entity, window) for the session — same contract
+    as the persisted-index cache: the routing statistic of a static
+    input never changes, so repeated queries pay it once."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    cache_key = (files, entity_col, ts_col, window_s) if files else None
+    if cache_key is not None and cache_key in _FRAME_EST_CACHE:
+        return _FRAME_EST_CACHE[cache_key]
+    ms_col = F.unix_millis(F.col(ts_col))
+    per = df.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("c"),
+        (F.max(ms_col) - F.min(ms_col)).alias("espan"),
+    )
+    stats = per.select(
+        F.max(
+            F.col("c")
+            * F.least(
+                F.lit(float(window_s * 1000))
+                / F.greatest(F.col("espan").cast("double"), F.lit(1.0)),
+                F.lit(1.0),
+            )
+        ).alias("hot")
     ).first()
-    if not stats["n"]:
-        return 0.0
-    span = max(int(stats["span_ms"] or 0), 1)
-    return (stats["n"] / max(stats["u"], 1)) * min(window_s * 1000 / span, 1.0)
+    est = float(stats["hot"] or 0.0)
+    if cache_key is not None:
+        _FRAME_EST_CACHE[cache_key] = est
+    return est
 
 
 def trailing_features_auto(

@@ -37,6 +37,86 @@ _GINI_24H_SCHEMA = T.StructType(
     ]
 )
 
+# flat-kernel budget: Σ frame rows a (user, chunk) group may materialize
+# before it switches to the O(n log U) incremental path. 2M int64 flat
+# rows ≈ 50 MB of kernel temporaries — a dense hot key (25% of a 1M log
+# ⇒ ~8 k-row frames × 60 k events/chunk ≈ 5·10⁸ flat rows) would
+# otherwise allocate tens of GB and minutes of sort time per task.
+_GINI_FLAT_MASS_BUDGET = 2_000_000
+
+
+def _gini_group_fenwick(ms, cents, emit, window_ms):
+    """Exact trailing-frame Gini sums for ONE dense (user, chunk) group:
+    two-pointer sliding window + Fenwick tree over compressed cent
+    values maintaining S1 = Σ rank·value incrementally.
+
+    Insert v (after its ties): S1 += (cnt_le(v)+1)·v + sum_gt(v);
+    evict the last tie of v:    S1 −= cnt_le(v)·v + sum_gt(v)
+    (ties share interchangeable consecutive ranks, so Σ rank·v is
+    invariant to which tie moves). O((n+evictions)·log U) total — the
+    frame width cancels out entirely. All arithmetic stays in integer
+    cents, so n/s/s1 — and therefore the final double — are bit-equal
+    to the flat kernel's (pytest-pinned equivalence on random data)."""
+    uniq, idx = np.unique(cents, return_inverse=True)
+    nvals = len(uniq)
+    cnt_tree = [0] * (nvals + 1)
+    sum_tree = [0] * (nvals + 1)
+
+    def update(i, dc, ds):
+        i += 1
+        while i <= nvals:
+            cnt_tree[i] += dc
+            sum_tree[i] += ds
+            i += i & (-i)
+
+    def prefix(i):  # cnt/sum over values <= uniq[i]
+        i += 1
+        c = s = 0
+        while i > 0:
+            c += cnt_tree[i]
+            s += sum_tree[i]
+            i -= i & (-i)
+        return c, s
+
+    n_rows = len(ms)
+    out_n: list[int] = []
+    out_s: list[int] = []
+    out_s1: list[int] = []
+    s1 = scnt = ssum = 0
+    left = right = 0
+    ms_l = [int(x) for x in ms]
+    cents_l = [int(x) for x in cents]
+    idx_l = [int(x) for x in idx]
+    for t in range(n_rows):
+        if not emit[t] and right > t:
+            continue
+        cutoff = ms_l[t] - window_ms
+        while right < n_rows and ms_l[right] <= ms_l[t]:
+            v, vi = cents_l[right], idx_l[right]
+            c_le, s_le = prefix(vi)
+            s1 += (c_le + 1) * v + (ssum - s_le)
+            update(vi, 1, v)
+            scnt += 1
+            ssum += v
+            right += 1
+        while ms_l[left] < cutoff:
+            v, vi = cents_l[left], idx_l[left]
+            c_le, s_le = prefix(vi)
+            s1 -= c_le * v + (ssum - s_le)
+            update(vi, -1, -v)
+            scnt -= 1
+            ssum -= v
+            left += 1
+        if emit[t]:
+            out_n.append(scnt)
+            out_s.append(ssum)
+            out_s1.append(s1)
+    return (
+        np.array(out_n, np.int64),
+        np.array(out_s, np.int64),
+        np.array(out_s1, np.int64),
+    )
+
 
 def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFrame:
     """Vectorized trailing-frame Gini over MANY (user, chunk) groups at once
@@ -109,15 +189,55 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
             hi[k : k + cnt] = b + np.searchsorted(seg, seg[em], "right")
             k += cnt
     lens = (hi - lo).astype(np.int64)  # >= 1 (event is inside its own frame)
+    # dense-group escape (r6, skew anchor): groups whose flat frame mass
+    # would blow the budget run the O(n log U) Fenwick path instead —
+    # same integer sums, bit-identical output, frame width cancels out.
+    g_of_frame = gidx[emit]
+    group_mass = np.bincount(g_of_frame, weights=lens, minlength=n_groups)
+    dense_group = group_mass > _GINI_FLAT_MASS_BUDGET
+    if dense_group.any():
+        n_emit_all = len(lens)
+        out_n_all = np.empty(n_emit_all, np.int64)
+        out_s_all = np.empty(n_emit_all, np.int64)
+        out_s1_all = np.empty(n_emit_all, np.int64)
+        dense_f = dense_group[g_of_frame]
+        bounds = np.flatnonzero(newg)
+        ends_all = np.append(bounds[1:], len(ms))
+        for g in np.flatnonzero(dense_group):
+            b, e = int(bounds[g]), int(ends_all[g])
+            gn, gs, gs1 = _gini_group_fenwick(
+                ms[b:e], cents[b:e], emit[b:e], window_ms
+            )
+            out_n_all[np.flatnonzero(g_of_frame == g)] = gn
+            out_s_all[np.flatnonzero(g_of_frame == g)] = gs
+            out_s1_all[np.flatnonzero(g_of_frame == g)] = gs1
+        if not dense_f.all():
+            sp_n, sp_s, sp_s1 = _gini_flat_sums(
+                cents, lo[~dense_f], hi[~dense_f]
+            )
+            sparse_pos = np.flatnonzero(~dense_f)
+            out_n_all[sparse_pos] = sp_n
+            out_s_all[sparse_pos] = sp_s
+            out_s1_all[sparse_pos] = sp_s1
+        return _gini_finish(eid[emit], uid[emit], out_n_all, out_s_all, out_s1_all)
+    _, s_cents, s1_cents = _gini_flat_sums(cents, lo, hi)
+    return _gini_finish(eid[emit], uid[emit], lens, s_cents, s1_cents)
+
+
+def _gini_flat_sums(cents, lo, hi):
+    """Flat-concatenation frame sums (the vectorized sparse-group path):
+    frame f spans rows lo[f]:hi[f]. Flat arrays are sized Σ frame, so
+    every per-flat-row temporary is 32-bit where the value range allows —
+    fid/offsets/ranks index partition-local rows (< 2^31 by the flat-mass
+    budget) — halving allocation and memory traffic of the kernel's
+    dominant phase."""
+    lens = (hi - lo).astype(np.int64)
     total = int(lens.sum())
+    if not len(lens):
+        empty = np.array([], np.int64)
+        return empty, empty, empty
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    # flat concatenation of every emitted frame: frame f spans rows lo[f]:hi[f].
-    # Flat arrays are sized Σ frame (hot-key partitions reach tens of
-    # millions of rows), so every per-flat-row temporary is 32-bit where
-    # the value range allows — fid/offsets/ranks index partition-local
-    # rows (< 2^31 by partition sizing) — halving allocation and memory
-    # traffic of the kernel's dominant phase.
     fid = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
     offs = np.arange(total, dtype=np.int64) - starts[fid]
     v = cents[offs + lo[fid]]
@@ -125,8 +245,7 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
     # sum(rank*v): tied values have interchangeable consecutive ranks).
     # Pack (frame, value) into ONE int64 key when the value range fits —
     # a single np.sort pass instead of lexsort's two stable argsorts +
-    # gather (the dominant kernel cost at hot-key scale); fall back to
-    # lexsort for negative or huge amounts.
+    # gather; fall back to lexsort for negative or huge amounts.
     vmax = int(v.max()) if total else 0
     vmin = int(v.min()) if total else 0
     bits_v = max(vmax.bit_length(), 1)
@@ -137,11 +256,16 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
     else:
         v_sorted = v[np.lexsort((v, fid))]
     ranks = offs + 1  # 1-based rank inside each frame
-    s_cents = np.add.reduceat(v_sorted, starts) if total else np.array([], np.int64)
-    s1_cents = (
-        np.add.reduceat(ranks * v_sorted, starts) if total else np.array([], np.int64)
-    )
-    n = lens.astype(np.float64)
+    s_cents = np.add.reduceat(v_sorted, starts)
+    s1_cents = np.add.reduceat(ranks * v_sorted, starts)
+    return lens, s_cents, s1_cents
+
+
+def _gini_finish(eid, uid, n_i, s_cents, s1_cents):
+    """Shared finishing expression — BOTH physical paths feed the same
+    integer (n, Σv, Σ rank·v) triple through this exact float tree, so
+    path choice can never change a bit of output."""
+    n = n_i.astype(np.float64)
     s = s_cents / 100.0
     s1 = s1_cents / 100.0
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -149,9 +273,9 @@ def _gini_frames_pdf(pdf: pd.DataFrame, window_ms: int = 86400000) -> pd.DataFra
     g = np.where(s != 0.0, g, 0.0)
     return pd.DataFrame(
         {
-            "event_id": eid[emit],
-            "user_id": uid[emit],
-            "txn_count_24h": lens,
+            "event_id": eid,
+            "user_id": uid,
+            "txn_count_24h": n_i,
             "gini_amount_24h": g,
         }
     )

@@ -333,7 +333,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    skipped: list[str] = []
     for name in names:
+        if time.perf_counter() - t_start > budget_s:
+            skipped.append(name)  # budget guard: never start a query late
+            continue
         timings[name], samples[name] = _time_query(qs, name, spark, sf_dir, repeats)
 
     errors = {
@@ -345,6 +349,7 @@ def main() -> None:
         "metric": "headline-query wall time, noop sink, min of repeats",
         "value": round(sum(v for v in timings.values() if v is not None), 3),
         "errors": errors,
+        "skipped": skipped,
         "unit": "sec",
         "repeats": repeats,
         "queries": timings,
@@ -428,6 +433,9 @@ def main() -> None:
         # box's external load swings hardest here — more samples give
         # min-of-N a better shot at a quiet window (r4 verdict #3)
         for name in SCALE_HEADLINE:
+            if time.perf_counter() - t_start > budget_s:
+                skipped.append("scale_hot:" + name)
+                continue
             hot_timings[name], hot_samples[name] = _time_query(
                 qs, name, spark, hot_dir, scale_repeats + 2
             )
@@ -459,6 +467,9 @@ def main() -> None:
         skew_timings: dict[str, float] = {}
         skew_samples: dict[str, list[float]] = {}
         for name in SKEW_HEADLINE:
+            if time.perf_counter() - t_start > budget_s:
+                skipped.append("scale_skew:" + name)
+                continue
             skew_timings[name], skew_samples[name] = _time_query(
                 qs, name, spark, skew_dir, scale_repeats
             )
@@ -500,6 +511,9 @@ def main() -> None:
         if has_llm_100:  # 100x LLM anchors (VERDICT r5 #5)
             names_100 += LLM_SCALE_HEADLINE
         for name in names_100:
+            if time.perf_counter() - t_start > budget_s * 2:
+                skipped.append("scale100:" + name)  # opt-in run: softer guard
+                continue
             s100_timings[name], s100_samples[name] = _time_query(
                 qs, name, spark, s100_dir, max(scale_repeats - 1, 1)
             )
