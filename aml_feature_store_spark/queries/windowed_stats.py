@@ -38,11 +38,17 @@ _GINI_24H_SCHEMA = T.StructType(
 )
 
 # flat-kernel budget: Σ frame rows a (user, chunk) group may materialize
-# before it switches to the O(n log U) incremental path. 2M int64 flat
-# rows ≈ 50 MB of kernel temporaries — a dense hot key (25% of a 1M log
-# ⇒ ~8 k-row frames × 60 k events/chunk ≈ 5·10⁸ flat rows) would
-# otherwise allocate tens of GB and minutes of sort time per task.
-_GINI_FLAT_MASS_BUDGET = 2_000_000
+# before it switches to the O(n log U) incremental path. A dense hot key
+# (25% of a 1M log ⇒ ~8 k-row frames × 60 k events/chunk ≈ 5·10⁸ flat
+# rows) would otherwise allocate tens of GB and minutes of sort time per
+# task. The budget is deliberately SMALL (200 k rows ≈ 5 MB of
+# temporaries): /proc/stat profiling at the 1M hot anchor showed the
+# flat path's giant short-lived numpy buffers spending 70-85% of CPU in
+# the KERNEL (page-fault + THP-compaction churn across 32 workers, with
+# 4-10× run-to-run variance); the Fenwick path allocates ~nothing, and
+# past a few hundred frame-rows per event its O(n log U) beats the flat
+# path's memory traffic anyway.
+_GINI_FLAT_MASS_BUDGET = 200_000
 
 
 def _gini_group_fenwick(ms, cents, emit, window_ms):
