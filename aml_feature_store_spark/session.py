@@ -31,6 +31,17 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine's standard config."""
+    # glibc malloc tuning for the Python workers (they inherit the JVM's
+    # env, which inherits ours when the gateway spawns it — so set BEFORE
+    # getOrCreate): without this, every >128 KB numpy buffer is a fresh
+    # mmap/munmap, and /proc/stat profiling of the allocation-heavy
+    # kernels showed 70-85% of CPU burned in the kernel on page-fault /
+    # THP-compaction churn with multi-x run-to-run variance. Raising the
+    # thresholds serves big buffers from the reusable heap. Workers may
+    # retain up to ~256 MB each — sized for the local[32]/128 GB test
+    # profile; cluster deployments tune per executor memory.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
