@@ -178,6 +178,24 @@ def _external_cores(t_wall: float, busy0: int, tree0: int) -> float:
     return max(0.0, ext / _HZ / max(t_wall, 1e-6))
 
 
+def _jvm_gc_millis(spark) -> float:
+    """Cumulative stop-the-world GC time of the (single, local-mode) JVM
+    via the GarbageCollector MXBeans — the per-sample delta exposes GC
+    pauses that the external-CPU probe cannot see."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total = 0
+        it = beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return float(total)
+    except Exception:
+        return 0.0
+
+
 def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
     """Time one query min-of-N after TWO untimed per-query warm runs.
 
@@ -223,14 +241,22 @@ def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
     while attempts < budget:
         attempts += 1
         busy0, tree0 = _total_busy_jiffies(), _tree_cpu_jiffies()
+        gc0 = _jvm_gc_millis(spark)
         try:
             t = run()
         except Exception as exc:
             err = f"err: {type(exc).__name__}: {exc}"[:300]
             break
         ext = round(_external_cores(t, busy0, tree0), 2)
+        gc_ms = _jvm_gc_millis(spark) - gc0
         if ext > EXT_DISCARD_CORES and len(discarded) < 3:
             discarded.append({"t": t, "ext_cores": ext})
+            continue
+        if gc_ms > 0.5 * t * 1000 and len(discarded) < 3:
+            # second documented discard: a sample dominated by stop-the-
+            # world JVM GC (zero external load, one isolated multi-x
+            # spike among tight samples — seen at the 1M anchors)
+            discarded.append({"t": t, "gc_ms": int(gc_ms)})
             continue
         kept.append(t)
         ext_seen.append(ext)
