@@ -287,6 +287,9 @@ def render_markdown(artifact_path: str) -> str:
     if "scale_hot" in data:
         hdr += " 1M events / 150 users (s) |"
         sep += "---|"
+    if "scale_skew" in data:
+        hdr += " 1M skew: one user owns 25% (s) |"
+        sep += "---|"
     if "scale100" in data:
         hdr += " 10M events (s) |"
         sep += "---|"
@@ -299,6 +302,7 @@ def render_markdown(artifact_path: str) -> str:
     ]
     scale_q = data.get("scale", {}).get("queries", {})
     hot_q = data.get("scale_hot", {}).get("queries", {})
+    skew_q = data.get("scale_skew", {}).get("queries", {})
     s100_q = data.get("scale100", {}).get("queries", {})
     for name, sec in data["queries"].items():
         row = f"| {name} | {sec} |"
@@ -306,6 +310,8 @@ def render_markdown(artifact_path: str) -> str:
             row += f" {scale_q.get(name, '—')} |"
         if "scale_hot" in data:
             row += f" {hot_q.get(name, '—')} |"
+        if "scale_skew" in data:
+            row += f" {skew_q.get(name, '—')} |"
         if "scale100" in data:
             row += f" {s100_q.get(name, '—')} |"
         lines.append(row)
@@ -316,6 +322,8 @@ def render_markdown(artifact_path: str) -> str:
         row = f"| {name} (scale-only) | — | {sec} |"
         if "scale_hot" in data:
             row += f" {hot_q.get(name, '—')} |"
+        if "scale_skew" in data:
+            row += f" {skew_q.get(name, '—')} |"
         if "scale100" in data:
             row += f" {s100_q.get(name, '—')} |"
         lines.append(row)
@@ -324,6 +332,8 @@ def render_markdown(artifact_path: str) -> str:
         total += f" **{data['scale']['value']}** |"
     if "scale_hot" in data:
         total += f" **{data['scale_hot']['value']}** |"
+    if "scale_skew" in data:
+        total += f" **{data['scale_skew']['value']}** |"
     if "scale100" in data:
         total += f" **{data['scale100']['value']}** |"
     lines.append(total)
