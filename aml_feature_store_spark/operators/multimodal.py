@@ -9,10 +9,12 @@ binary PPM/PGM, and integer-PCM WAV are parsed with pure struct+numpy
 (`decode_features`) — PLUS compressed PNG, decoded natively with stdlib
 zlib + numpy (`_parse_png_pixels`: chunk walk, DEFLATE inflate, the five
 scanline filters inverted) and compressed GIF, decoded with a
-pure-Python LZW + palette parser (`_parse_gif_pixels`). Only JPEG/WebP
-remain gated behind a PIL import; `extract_image_features`
-remains the deterministic fake featurizer for pipeline tests that want
-format-independent output.
+pure-Python LZW + palette parser (`_parse_gif_pixels`), baseline +
+progressive JPEG via the native codec (`operators/jpeg.py`) and
+lossless WebP via the native VP8L codec (`operators/webp.py`). Only
+lossy-VP8 WebP remains gated behind a PIL import;
+`extract_image_features` remains the deterministic fake featurizer for
+pipeline tests that want format-independent output.
 
 Scale notes: payloads skew partition sizes — repartition by a digest
 prefix before decode so one executor doesn't get all the large blobs;
@@ -361,13 +363,33 @@ def _decode_jpeg(b: bytes):
     return ("jpeg", w, h, nch, None, None, float(x.mean()), float(x.std()))
 
 
+def _decode_webp(b: bytes):
+    """WebP lossless (VP8L) via the native pure-Python codec
+    (operators/webp.py); lossy VP8 returns None here and falls through
+    to the PIL gate below."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    import numpy as np
+
+    from .webp import decode_webp
+
+    px = decode_webp(bytes(b))
+    if px is None:
+        return None
+    nch = 4 if (px[..., 3] != 255).any() else 3
+    x = px[..., :nch].astype(np.float64)
+    h, w = px.shape[:2]
+    return ("webp", w, h, nch, None, None, float(x.mean()), float(x.std()))
+
+
 def _decode_any(b: bytes):
     """Dispatch on magic bytes; pure-numpy for uncompressed formats,
-    stdlib zlib+numpy for PNG, pure-Python LZW for GIF and pure-Python
-    Huffman+IDCT for baseline AND progressive (SOF2) JPEG, PIL (if
-    installed) for the remaining compressed formats (WebP), else None."""
+    stdlib zlib+numpy for PNG, pure-Python LZW for GIF, pure-Python
+    Huffman+IDCT for baseline AND progressive (SOF2) JPEG, and a
+    pure-Python VP8L decoder for lossless WebP; PIL (if installed) for
+    the remaining compressed formats (lossy VP8 WebP), else None."""
     for dec in (_decode_bmp, _decode_ppm, _decode_wav, _decode_png,
-                _decode_gif, _decode_jpeg):
+                _decode_gif, _decode_jpeg, _decode_webp):
         try:
             got = dec(b)
         except Exception:
