@@ -300,3 +300,79 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters_exact_topk(ev, "user_id", top_n=15, k=256)
+
+
+_TDIGEST_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound,
+       TRUE AS p99_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def _tdigest_validated(spark, sf_dir: str, pre_rollup_col=None):
+    """Shared body: t-digest quantiles -> rank-bound validation booleans
+    (the quantiles_approx_by_event_type contract, ε=0.01 vs the sketch's
+    measured ~1e-4 — tests/test_tdigest.py pins the tight bound)."""
+    from ..operators.tdigest import group_quantiles
+
+    df = load_table(spark, sf_dir, "events")
+    if pre_rollup_col == "event_date":
+        df = df.withColumn("event_date", F.to_date("ts"))
+    approx = group_quantiles(
+        df,
+        ["event_type"],
+        "value",
+        {"_p50": 0.5, "_p95": 0.95, "_p99": 0.99},
+        delta=500.0,
+        pre_rollup_col=pre_rollup_col,
+    ).drop("n")
+    eps = 0.01
+    joined = df.join(F.broadcast(approx), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            f
+            for tag in ("p50", "p95", "p99")
+            for f in (
+                F.sum((F.col("value") <= F.col(f"_{tag}")).cast("long")).alias(
+                    f"_le_{tag}"
+                ),
+                F.sum((F.col("value") < F.col(f"_{tag}")).cast("long")).alias(
+                    f"_lt_{tag}"
+                ),
+            )
+        ],
+    )
+    checks = [
+        (
+            (F.col(f"_le_{tag}") >= F.floor(F.lit(q - eps) * F.col("n")))
+            & (F.col(f"_lt_{tag}") <= F.ceil(F.lit(q + eps) * F.col("n")))
+        ).alias(f"{tag}_within_bound")
+        for q, tag in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+    ]
+    return agg.select("event_type", "n", *checks)
+
+
+@register("tdigest_quantiles_by_event_type", oracle=_TDIGEST_ORACLE)
+def tdigest_quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantiles (operators/tdigest.py): map-side
+    bounded-state centroid pass, shuffle only ~δ centroid rows per
+    group, merge + interpolate per group. Unlike `percentile_approx`
+    the sketch is a first-class VALUE (centroid rows) that can be
+    persisted and re-aggregated — the 100 TB rollup shape. Validated by
+    the rank-bound contract (same as quantiles_approx_by_event_type);
+    numeric accuracy (~1e-4 rank error at δ=500) pinned in
+    tests/test_tdigest.py. Reference: dashboard/app.py:366-367."""
+    return _tdigest_validated(spark, sf_dir)
+
+
+@register("tdigest_rollup_quantiles", oracle=_TDIGEST_ORACLE)
+def tdigest_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP: stage 1 digests per (event_type, day) — the shape
+    a nightly job would persist — then per-type quantiles computed by
+    merging the per-day centroid rows, never rescanning raw values.
+    Proves the re-aggregation path percentile_approx cannot express in
+    SQL; validated by the same rank-bound contract."""
+    return _tdigest_validated(spark, sf_dir, pre_rollup_col="event_date")
