@@ -157,3 +157,85 @@ GROUP BY 1
 ORDER BY cnt DESC, item
 LIMIT {top_n}
 """
+
+
+# --- HyperLogLog (Flajolet et al. 2007; HLL++ 64-bit variant) --------------
+#
+# Completes the mergeable-sketch family: Misra-Gries (frequency),
+# t-digest (quantiles, operators/tdigest.py), HLL (cardinality).  Spark's
+# approx_count_distinct is HLL++ too, but its partial state is opaque —
+# these registers are a first-class VALUE (rows of (group, reg_idx,
+# reg_val)) that can be persisted per (group, day) and re-aggregated with
+# a plain MAX, which is the 100 TB rollup shape: count distinct users
+# over any date range by merging tiny register tables, never rescanning
+# the raw events.
+#
+# Everything is JVM-side column algebra (xxhash64 -> register index via
+# unsigned shift, rho via the binary-string length of the remaining
+# bits) — no Python in the pipeline, so the sketch pass is one scan and
+# one (group, reg_idx) shuffle of at most m rows per group.
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], item_col: str, p: int = 12
+) -> DataFrame:
+    """HLL registers per group: reg_idx = top p bits of xxhash64(item),
+    reg_val = max over items of rho(remaining 64-p bits) where rho =
+    1 + leading zeros. Absent rows mean register value 0. Deterministic
+    (fixed-seed xxhash64), mergeable by MAX on reg_val."""
+    rest_bits = 64 - p
+    h = F.xxhash64(F.col(item_col))
+    idx = F.shiftrightunsigned(h, rest_bits).alias("reg_idx")
+    w = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    # bit_length(w) via the base-2 string (exact for < 2^63); w == 0 -> 0
+    bitlen = F.when(w == F.lit(0), F.lit(0)).otherwise(
+        F.length(F.conv(w, 10, 2))
+    )
+    rho = (F.lit(rest_bits + 1) - bitlen).alias("rho")
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(*group_cols, idx)
+        .agg(F.max(rho).cast("int").alias("reg_val"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 12) -> DataFrame:
+    """Cardinality estimate from register rows: raw HLL harmonic mean
+    with the linear-counting small-range correction (no large-range
+    correction needed with 64-bit hashes). Pure column algebra."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg_val"))).alias("_z_present"),
+    )
+    z = F.col("_z_present") + (F.lit(m) - F.col("_n_regs"))
+    e_raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("_n_regs")  # registers still at 0
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, est.alias("hll_estimate"))
+
+
+def hll_group_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    p: int = 12,
+    rollup_col: str | None = None,
+) -> DataFrame:
+    """Distinct-count estimates per group. With ``rollup_col`` the
+    registers are first built per (group, rollup) — the persistable
+    shape — then merged with MAX across the rollup dimension; because
+    MAX is associative the merged registers are bit-identical to the
+    direct build (pinned in tests), so the two paths return the exact
+    same estimate."""
+    if rollup_col:
+        per = hll_registers(df, group_cols + [rollup_col], item_col, p)
+        regs = per.groupBy(*group_cols, "reg_idx").agg(
+            F.max("reg_val").alias("reg_val")
+        )
+    else:
+        regs = hll_registers(df, group_cols, item_col, p)
+    return hll_estimate(regs, group_cols, p)

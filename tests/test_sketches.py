@@ -84,3 +84,75 @@ def test_exact_topk_deterministic_ties(spark):
     b = sketches.heavy_hitters_exact_topk(df, "item", top_n=7, k=64).collect()
     assert a == b
     assert [r["item"] for r in a] == sorted(r["item"] for r in a)
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+
+def test_hll_accuracy_across_cardinalities(spark):
+    from aml_feature_store_spark.operators.sketches import hll_group_counts
+
+    rows = []
+    for g, card in (("small", 100), ("mid", 5_000), ("big", 60_000)):
+        for i in range(card):
+            rows.append((g, f"{g}_item_{i}"))
+        # duplicates must not change the estimate
+        for i in range(min(card, 500)):
+            rows.append((g, f"{g}_item_{i}"))
+    df = spark.createDataFrame(rows, "grp string, item string").repartition(8)
+    got = {
+        r["grp"]: r["hll_estimate"]
+        for r in hll_group_counts(df, ["grp"], "item", p=12).collect()
+    }
+    for g, card in (("small", 100), ("mid", 5_000), ("big", 60_000)):
+        assert abs(got[g] - card) / card < 0.05, (g, got[g])
+
+
+def test_hll_rollup_registers_identical(spark):
+    from aml_feature_store_spark.operators.sketches import hll_registers
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", day, f"u{(day * 97 + i) % 700}")
+        for day in range(20)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, day int, item string")
+    direct = {
+        (r["grp"], r["reg_idx"]): r["reg_val"]
+        for r in hll_registers(df, ["grp"], "item", p=10).collect()
+    }
+    per_day = hll_registers(df, ["grp", "day"], "item", p=10)
+    rolled = {
+        (r["grp"], r["reg_idx"]): r["reg_val"]
+        for r in per_day.groupBy("grp", "reg_idx")
+        .agg(F.max("reg_val").alias("reg_val"))
+        .collect()
+    }
+    assert direct == rolled  # MAX-merge is exact, register by register
+
+
+def test_hll_rho_computation(spark):
+    """Pin rho against a pure-Python recomputation of the same xxhash64
+    values Spark produced (seed 42 default) — catches any drift in the
+    shift/mask/conv column algebra."""
+    from aml_feature_store_spark.operators.sketches import hll_registers
+    from pyspark.sql import functions as F
+
+    p = 12
+    df = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(2_000)], "item string"
+    )
+    hashed = df.select("item", F.xxhash64("item").alias("h")).collect()
+    expect: dict[int, int] = {}
+    for r in hashed:
+        h = r["h"] & 0xFFFFFFFFFFFFFFFF  # two's complement -> unsigned
+        idx = h >> (64 - p)
+        w = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) + 1 - w.bit_length()
+        expect[idx] = max(expect.get(idx, 0), rho)
+    got = {
+        r["reg_idx"]: r["reg_val"]
+        for r in hll_registers(df.withColumn("g", F.lit("x")), ["g"], "item", p).collect()
+    }
+    assert got == expect
