@@ -381,3 +381,85 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_STREAMING_HLL_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact_distinct,
+       TRUE AS est_within_bound,
+       TRUE AS registers_match_batch
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_hll_distinct", oracle=_STREAMING_HLL_ORACLE)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality sketch (T6 × the sketch family): HLL
+    registers maintained BY the streaming engine — the register build
+    (xxhash64 → reg_idx, rho) is pure column algebra, so
+    `groupBy(event_type, reg_idx).max(rho)` runs as a native streaming
+    aggregation with incremental state (≤ m rows per type), no custom
+    processor. Complete-mode output over the bounded replay must be
+    bit-identical to the batch register build (checked register-by-
+    register), and the resulting estimate within 5σ of the exact
+    distinct count the oracle computes. This is the streaming half of
+    the persisted-sketch story: the same MAX-merge that makes the
+    nightly rollup sound makes the streaming state incremental."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    p = 12
+    src = isolate_events_files(sf_dir)
+    events = stream_events(spark, src)
+    stream_regs = hll_registers(events, ["event_type"], "user_id", p)
+    name = f"hll_q_{uuid.uuid4().hex[:8]}"
+    with bounded_shuffle_partitions(spark, src):
+        q = (
+            stream_regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _run_tmpdir("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    streamed = spark.table(name)
+    from ..sources.tables import load_events
+
+    batch_df = load_events(spark, src)
+    batch_regs = hll_registers(batch_df, ["event_type"], "user_id", p)
+    reg_cmp = (
+        batch_regs.withColumnRenamed("reg_val", "v_batch")
+        .join(
+            streamed.withColumnRenamed("reg_val", "v_stream"),
+            ["event_type", "reg_idx"],
+            "full_outer",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.col("v_batch").isNull()
+                    | F.col("v_stream").isNull()
+                    | (F.col("v_batch") != F.col("v_stream"))
+                ).cast("long")
+            ).alias("_n_mismatch")
+        )
+    )
+    est = hll_estimate(streamed, ["event_type"], p)
+    exact = batch_df.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact_distinct")
+    )
+    rsd = 1.04 / (1 << (p // 2))
+    return (
+        exact.join(est, "event_type")
+        .join(reg_cmp, "event_type")
+        .select(
+            "event_type",
+            "n_exact_distinct",
+            (
+                F.abs(F.col("hll_estimate") - F.col("n_exact_distinct"))
+                <= F.lit(5 * rsd) * F.col("n_exact_distinct")
+            ).alias("est_within_bound"),
+            (F.col("_n_mismatch") == 0).alias("registers_match_batch"),
+        )
+    )
