@@ -406,3 +406,77 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@register(
+    "order_priority_check_q4",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_check_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to the generated schema (no l_commitdate
+    column): orders in a one-year range having at least one lineitem
+    shipped after the order date, counted per priority. Exercises the
+    correlated-EXISTS plan — Spark LEFT SEMI join with an equi key plus
+    a non-equi residual condition; the date filter prunes the orders
+    scan before the shuffle (O1/J-family breadth)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    sel = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "supplier_part_counts_q16",
+    oracle="""
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 15
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted to the generated schema (lineitem is the
+    part-supplier link, negative-balance suppliers play the complaints
+    exclusion): distinct suppliers per (brand, size). Exercises the
+    NOT-IN anti-join (broadcast — the excluded set is tiny) feeding a
+    distinct-count aggregation; part is broadcast onto the lineitem
+    scan so the only shuffle is the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    joined = (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    )
+    return joined.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
