@@ -239,3 +239,72 @@ def hll_group_counts(
     else:
         regs = hll_registers(df, group_cols, item_col, p)
     return hll_estimate(regs, group_cols, p)
+
+
+# --- Count-min (Cormode & Muthukrishnan 2005) ------------------------------
+#
+# Point-frequency estimates for ALL items (Misra-Gries only answers the
+# heavy ones): d hash rows x w buckets of additive counters.  Like the
+# HLL registers the sketch is a first-class table of
+# (row, bucket, count) rows, merged by plain SUM — integer addition, so
+# a per-day rollup is BIT-identical to the direct build, not just
+# approximately equal.  Build is one scan with map-side combine: each
+# input row explodes to d (row, bucket) pairs that partially aggregate
+# to at most d*w rows per partition before the shuffle.
+
+
+def countmin_table(
+    df: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 8192,
+    extra_group_cols: list[str] | None = None,
+) -> DataFrame:
+    """CM counters: row r uses xxhash64(r, item) mod w. Returns rows of
+    (*extra_group_cols, cm_row, cm_bucket, cnt)."""
+    extra = extra_group_cols or []
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("cm_row"),
+                F.pmod(
+                    F.xxhash64(F.lit(r), F.col(item_col)), F.lit(w)
+                ).alias("cm_bucket"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(*extra, F.explode(pairs).alias("e"))
+        .groupBy(*extra, F.col("e.cm_row").alias("cm_row"), F.col("e.cm_bucket").alias("cm_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_lookup(
+    table: DataFrame, items: DataFrame, item_col: str, d: int = 4, w: int = 8192
+) -> DataFrame:
+    """Point estimates for each distinct item in ``items``: join the d
+    (row, bucket) probes against the counter table, take the min."""
+    probes = items.select(item_col).distinct().select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("cm_row"),
+                        F.pmod(
+                            F.xxhash64(F.lit(r), F.col(item_col)), F.lit(w)
+                        ).alias("cm_bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("e"),
+    ).select(item_col, "e.cm_row", "e.cm_bucket")
+    return (
+        probes.join(table, ["cm_row", "cm_bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("cm_estimate"), F.count(F.lit(1)).alias("_n_probes"))
+    )

@@ -156,3 +156,47 @@ def test_hll_rho_computation(spark):
         for r in hll_registers(df.withColumn("g", F.lit("x")), ["g"], "item", p).collect()
     }
     assert got == expect
+
+
+# --- Count-min -------------------------------------------------------------
+
+
+def test_countmin_never_undershoots_and_rollup_exact(spark):
+    from pyspark.sql import functions as F
+
+    from aml_feature_store_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_table,
+    )
+
+    # adversarial: tiny w forces collisions; undershoot must still be 0
+    d, w = 3, 16
+    rows = [(f"item_{i % 40}", i % 7) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "item string, day int").repartition(6)
+    cm = countmin_table(df, "item", d, w)
+    est = countmin_lookup(cm, df, "item", d, w)
+    exact = df.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    j = est.join(exact, "item").collect()
+    assert len(j) == 40
+    n = len(rows)
+    for r in j:
+        assert r["_n_probes"] == d  # every probe row found a counter
+        assert r["cm_estimate"] >= r["exact"]  # CM never undershoots
+        assert r["cm_estimate"] <= r["exact"] + n  # trivial sanity cap
+    # per-day rollup merged by SUM is counter-identical to direct build
+    direct = {
+        (r["cm_row"], r["cm_bucket"]): r["cnt"] for r in cm.collect()
+    }
+    rolled_rows = (
+        countmin_table(df, "item", d, w, extra_group_cols=["day"])
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    rolled = {(r["cm_row"], r["cm_bucket"]): r["cnt"] for r in rolled_rows}
+    assert direct == rolled
+    # total mass per hash row == number of input rows
+    per_row = {}
+    for (row_idx, _), c in direct.items():
+        per_row[row_idx] = per_row.get(row_idx, 0) + c
+    assert per_row == {r: n for r in range(d)}
