@@ -66,6 +66,14 @@ HEADLINE = [
     "bm25_rank",
     "unigram_logprob_quality",
     "benchmark_decontamination",
+    # r6 session-3 additions (sketch family + relational breadth) —
+    # headline totals before/after are again not directly comparable
+    "tdigest_quantiles_by_event_type",
+    "hll_rollup_distinct_users",
+    "countmin_frequency_validation",
+    "streaming_hll_distinct",
+    "order_priority_check_q4",
+    "supplier_part_counts_q16",
 ]
 
 # events-only queries re-run against the 10x generated events table
@@ -81,6 +89,10 @@ SCALE_HEADLINE = [
     "user_graph_degrees",
     "pit_join_purchases_24h",
     "streaming_per_event_extended",
+    # r6 session-3: the two rollup sketches — the claim is that sketch
+    # cost stays bounded-state while the data grows 10x/100x
+    "tdigest_quantiles_by_event_type",
+    "hll_rollup_distinct_users",
 ]
 
 # LLM-pipeline queries re-run against the 10x generated documents/
