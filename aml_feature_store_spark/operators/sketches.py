@@ -27,7 +27,7 @@ re-expression of it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _SUMMARY_SCHEMA = StructType(
@@ -307,4 +307,76 @@ def countmin_lookup(
         probes.join(table, ["cm_row", "cm_bucket"])
         .groupBy(item_col)
         .agg(F.min("cnt").alias("cm_estimate"), F.count(F.lit(1)).alias("_n_probes"))
+    )
+
+
+# --- Bloom filter (Bloom 1970) ---------------------------------------------
+#
+# Membership pre-filter: the 100 TB dedup/routing shape ("has this doc
+# digest been ingested already?") where a compact bit set screens a huge
+# probe stream before any expensive exact join.  Like the HLL registers
+# and the CM counters, the sketch is a first-class table — here of SET
+# BIT POSITIONS — merged by DISTINCT union (bitwise OR), so a per-day
+# rollup is set-identical to the direct build, not just approximately
+# equal.  Structurally zero false negatives; false positives at the
+# standard (1 - e^{-kn/m})^k rate.  The bits table holds at most
+# min(m, k*n) rows; size m for the target FP rate (bits-per-member ~16,
+# k = 11 ≈ (m/n)·ln 2 gives ~4.5e-4) and broadcast it to the probe
+# side — at cluster scale where m outgrows the broadcast threshold the
+# probe join degrades gracefully to a shuffled equi-join on bit_pos.
+
+
+def _bloom_positions(item_col: str, m: int, k: int) -> Column:
+    """The k bit positions of an item: pmod(xxhash64(r, item), m) for
+    hash row r — same fixed-seed hash family as the CM sketch, so the
+    bit set is a pure function of the member SET (dedup-safe, stable
+    across partitionings and insert order)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(r), F.col(item_col)), F.lit(m))
+            for r in range(k)
+        ]
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    item_col: str,
+    m: int,
+    k: int,
+    extra_group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set-bit table (*extra_group_cols, bit_pos) of the Bloom filter
+    over ``df[item_col]``.  One scan; the explode pre-aggregates to at
+    most m rows per partition before the distinct's shuffle."""
+    extra = extra_group_cols or []
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(*extra, F.explode(_bloom_positions(item_col, m, k)).alias("bit_pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame, items: DataFrame, item_col: str, m: int, k: int
+) -> DataFrame:
+    """Membership flags for each distinct item in ``items``: positive
+    iff ALL k bit positions are set.  ``bits`` is broadcast (≤ m rows)."""
+    probes = (
+        items.select(item_col)
+        .distinct()
+        .select(
+            item_col,
+            F.explode(_bloom_positions(item_col, m, k)).alias("bit_pos"),
+        )
+    )
+    hits = probes.join(
+        F.broadcast(bits.select("bit_pos").withColumn("_hit", F.lit(1))),
+        "bit_pos",
+        "left",
+    )
+    return hits.groupBy(item_col).agg(
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == F.lit(k)).alias(
+            "bloom_positive"
+        )
     )

@@ -441,3 +441,90 @@ def countmin_frequency_validation(spark: SparkSession, sf_dir: str) -> DataFrame
     return checks.crossJoin(
         F.broadcast(mismatches.select((F.col("_n_mismatch") == 0).alias("rollup_matches")))
     ).select("n_users", "n_underestimates", "n_over_bound", "rollup_matches")
+
+
+@register(
+    "bloom_membership_validation",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS n_members,
+       TRUE AS zero_false_negatives,
+       TRUE AS fp_within_bound,
+       TRUE AS rollup_matches
+FROM events
+""",
+)
+def bloom_membership_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (operators/sketches.py:
+    bloom_bits/bloom_probe) — the screen-before-exact-join shape a
+    100 TB ingest uses to ask "was this id already ingested?" without
+    touching the full corpus. Members are purchase event_ids; every
+    event_id is probed. Deterministic validation contract (same style
+    as the CM/HLL rows): (1) zero false negatives — structural, every
+    member must probe positive; (2) false positives among nonmembers
+    within expected-rate + 5 sigma + 1 (p = (1-e^{-kn/m})^k ~ 4.5e-4 at
+    16 bits/member, k=11 — the boolean is a pure function of the data,
+    so it is a stable relational output, not a flaky statistic); and
+    (3) a per-day bit table OR-merged (DISTINCT union) is set-identical
+    to the direct build — the persisted-rollup soundness property,
+    exact. The bits table (<= min(m, k*n) rows) is broadcast to the
+    probe join; at scales where m outgrows the broadcast threshold the
+    same plan degrades to a shuffled equi-join on bit_pos."""
+    import math
+
+    from ..operators.sketches import bloom_bits, bloom_probe
+
+    df = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    members = df.where(F.col("event_type") == "purchase")
+    n = members.count()  # bounded driver scalar (sizes m), same as CM total
+    k = 11
+    m = max(1024, 16 * n)
+    bits = bloom_bits(members, "event_id", m, k)
+    per_day = bloom_bits(
+        members, "event_id", m, k, extra_group_cols=["event_date"]
+    )
+    merged = per_day.select("bit_pos").distinct()
+    mismatch = (
+        bits.withColumn("_d", F.lit(1))
+        .join(merged.withColumn("_m", F.lit(1)), "bit_pos", "full_outer")
+        .agg(
+            F.sum(
+                (F.col("_d").isNull() | F.col("_m").isNull()).cast("long")
+            ).alias("_n_mismatch")
+        )
+    )
+    probed = bloom_probe(bits, df, "event_id", m, k)
+    flags = probed.join(df.select("event_id", "event_type"), "event_id")
+    p = (1.0 - math.exp(-k * n / m)) ** k
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_members"
+        ),
+        F.sum(
+            ((F.col("event_type") == "purchase") & ~F.col("bloom_positive")).cast(
+                "long"
+            )
+        ).alias("_fn"),
+        F.sum(
+            ((F.col("event_type") != "purchase") & F.col("bloom_positive")).cast(
+                "long"
+            )
+        ).alias("_fp"),
+        F.sum((F.col("event_type") != "purchase").cast("long")).alias("_nn"),
+    )
+    bound = (
+        F.lit(p) * F.col("_nn")
+        + F.lit(5.0) * F.sqrt(F.lit(p) * F.col("_nn"))
+        + F.lit(1.0)
+    )
+    return agg.crossJoin(F.broadcast(mismatch)).select(
+        "n_probes",
+        "n_members",
+        (F.col("_fn") == F.lit(0)).alias("zero_false_negatives"),
+        (F.col("_fp") <= bound).alias("fp_within_bound"),
+        (F.col("_n_mismatch") == F.lit(0)).alias("rollup_matches"),
+    )

@@ -200,3 +200,49 @@ def test_countmin_never_undershoots_and_rollup_exact(spark):
     for (row_idx, _), c in direct.items():
         per_row[row_idx] = per_row.get(row_idx, 0) + c
     assert per_row == {r: n for r in range(d)}
+
+
+def test_bloom_zero_false_negatives_and_fp_rate(spark):
+    from aml_feature_store_spark.operators.sketches import bloom_bits, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"member_{i}",) for i in range(2_000)], "item string"
+    ).repartition(5)
+    n, k = 2_000, 11
+    m = 16 * n
+    bits = bloom_bits(members, "item", m, k)
+    # probe members + disjoint nonmembers
+    probes = spark.createDataFrame(
+        [(f"member_{i}",) for i in range(2_000)]
+        + [(f"stranger_{i}",) for i in range(8_000)],
+        "item string",
+    ).repartition(7)
+    flags = {r["item"]: r["bloom_positive"] for r in bloom_probe(bits, probes, "item", m, k).collect()}
+    assert len(flags) == 10_000
+    # structural: every member positive
+    assert all(flags[f"member_{i}"] for i in range(2_000))
+    # FP rate ~ (1-e^{-kn/m})^k ~ 4.5e-4 -> expect ~3.6 of 8000; allow 5 sigma
+    fp = sum(flags[f"stranger_{i}"] for i in range(8_000))
+    assert fp <= 8_000 * 4.5e-4 + 5 * (8_000 * 4.5e-4) ** 0.5 + 1
+
+
+def test_bloom_rollup_or_merge_identical_and_layout_invariant(spark):
+    from aml_feature_store_spark.operators.sketches import bloom_bits
+
+    rows = [(f"item_{i % 300}", i % 9) for i in range(3_000)]
+    df = spark.createDataFrame(rows, "item string, day int")
+    m, k = 4_096, 7
+    direct = {r["bit_pos"] for r in bloom_bits(df, "item", m, k).collect()}
+    # per-day OR-merge (DISTINCT union) is set-identical to direct build
+    per_day = bloom_bits(df, "item", m, k, extra_group_cols=["day"])
+    merged = {r["bit_pos"] for r in per_day.select("bit_pos").distinct().collect()}
+    assert direct == merged
+    # bit set is a pure function of the member SET: layout + dup invariant
+    shuffled = {
+        r["bit_pos"]
+        for r in bloom_bits(
+            df.union(df).repartition(13), "item", m, k
+        ).collect()
+    }
+    assert direct == shuffled
+    assert len(direct) <= min(m, k * 300)
