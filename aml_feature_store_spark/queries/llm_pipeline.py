@@ -612,3 +612,59 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     X3). Same deterministic recurrence as embedding_pca_component plus
     one projection pass; oracle-exact."""
     return simsearch.pca_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+_PACK_BUDGET = 2048
+
+_SEQUENCE_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{text.TOKEN_RE}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+  FROM toks
+)
+SELECT CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+         AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM cum
+GROUP BY 1
+"""
+
+
+@register("sequence_packing", oracle=_SEQUENCE_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (X4 training-prep): documents
+    are laid end-to-end in doc_id order and cut every 2048 tokens — the
+    standard pretraining batch-packing shape; a doc belongs to the pack
+    its starting token offset lands in. The global token offset is the
+    classic distributed prefix scan (operators/prefix.py:global_cumsum —
+    range-bucketed two-pass, NO single-partition window, the named
+    scale-killer an ORDER BY cumsum would hit at corpus scale); token
+    counts are the BPE-ish regex of the text family, identical in the
+    DuckDB oracle. Output is one row per pack (docs-per-pack, token
+    mass, doc_id span) — the manifest a loader shards by."""
+    from ..operators.prefix import global_cumsum
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count_col().alias("n_tokens")
+    )
+    cum = global_cumsum(toks, "doc_id", ["n_tokens"])
+    packed = cum.withColumn(
+        "pack_id",
+        F.floor(
+            (F.col("cum_n_tokens") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)
+        ).cast("long"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

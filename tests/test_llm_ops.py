@@ -899,3 +899,33 @@ def test_pca_top_component_finds_dominant_direction(spark):
     assert abs(abs(out[0]) - 1.0) < 1e-3
     assert abs(out[2]) < 1e-6 and abs(out[3]) < 1e-6
     assert abs(math.sqrt(sum(v * v for v in out.values())) - 1.0) < 1e-6
+
+
+def test_sequence_packing_concat_then_chunk_invariants(spark):
+    """Packing = concat docs in doc_id order, cut every BUDGET tokens; a
+    doc joins the pack its starting offset lands in. Pins: pack mass
+    conservation, doc_id-span contiguity across packs, and each pack's
+    start offset living in [pack_id*B, (pack_id+1)*B)."""
+    from aml_feature_store_spark.queries.llm_pipeline import (
+        _PACK_BUDGET,
+        sequence_packing,
+    )
+
+    out = sorted(
+        sequence_packing(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["pack_id"],
+    )
+    assert out[0]["pack_id"] == 0
+    assert [r["pack_id"] for r in out] == list(range(len(out)))
+    total = sum(r["pack_tokens"] for r in out)
+    assert sum(r["n_docs"] for r in out) == 500  # sf0.001 documents count
+    # doc_id spans tile the corpus without gap or overlap
+    for a, b in zip(out, out[1:]):
+        assert b["first_doc_id"] == a["last_doc_id"] + 1
+    # each pack's first doc STARTS inside the pack's token interval, so
+    # the cumulative mass of all earlier packs is within [id*B, (id+1)*B)
+    run = 0
+    for r in out:
+        assert r["pack_id"] * _PACK_BUDGET <= run < (r["pack_id"] + 1) * _PACK_BUDGET
+        run += r["pack_tokens"]
+    assert run == total
