@@ -668,3 +668,68 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+_ES_SEED = "13"
+_ES_K = 100
+
+_ES_SAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id, source,
+    LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+      + (1.0 - (n_chars - CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]',
+          '', 'g')) AS DOUBLE)) / n_chars) * 0.3
+      + LEAST(CAST(len(list_distinct(toks)) AS DOUBLE) / 25.0, 1.0) * 0.3
+        AS q,
+    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_ES_SEED}'), 1, 8))
+          AS BIGINT) + 1) / 4294967296.0 AS u
+  FROM base
+)
+SELECT doc_id, source, GREATEST(q, 0.05) AS weight,
+       round(ln(u) / GREATEST(q, 0.05), 6) + 0.0 AS sample_key
+FROM sc
+ORDER BY sample_key DESC, doc_id
+LIMIT {_ES_K}
+"""
+
+
+@register("quality_weighted_sample", oracle=_ES_SAMPLE_ORACLE)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible quality-WEIGHTED sample without replacement
+    (Efraimidis-Spirakis 2006 exponential-key trick, X4 curation): each
+    doc draws u from the engine-portable md5(doc_id||seed) uniform and
+    keeps key ln(u)/w with w = max(quality_score, 0.05); the global
+    top-K keys ARE a weighted sample without replacement — higher-
+    quality docs proportionally likelier, yet fully deterministic on
+    any engine/partitioning (same md5-mod idiom as seeded_sample; the
+    quality formula is the bit-exact text_stats one). Plan is a
+    TakeOrderedAndProject global top-K — no shuffle of the full corpus,
+    no single-partition window; keys round(·,6) on both engines with
+    doc_id tiebreak, so the cut is total-ordered and oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(_ES_SEED))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    w = F.greatest(text.quality_score_col(), F.lit(0.05))
+    key = F.round(F.log(u) / w, 6) + F.lit(0.0)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            w.alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_ES_K)
+    )

@@ -929,3 +929,29 @@ def test_sequence_packing_concat_then_chunk_invariants(spark):
         assert r["pack_id"] * _PACK_BUDGET <= run < (r["pack_id"] + 1) * _PACK_BUDGET
         run += r["pack_tokens"]
     assert run == total
+
+
+def test_quality_weighted_sample_biases_and_is_layout_invariant(spark):
+    """E-S weighted sampling: the top-K exponential-key cut must (a) be
+    identical under any partitioning (pure hash function of content),
+    (b) overrepresent high-quality docs vs the corpus mean, and (c) use
+    a global top-K plan, not a full sort or single-partition window."""
+    from aml_feature_store_spark.queries.llm_pipeline import (
+        quality_weighted_sample,
+    )
+    from aml_feature_store_spark.operators import text
+    from aml_feature_store_spark.sources import load_table
+
+    out = quality_weighted_sample(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 100
+    assert rows == out.collect()  # deterministic re-execution
+    corpus_mean = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.avg(text.quality_score_col()).alias("m"))
+        .first()["m"]
+    )
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean  # weighting biases toward quality
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
