@@ -480,3 +480,115 @@ def supplier_part_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand", "p_size").agg(
         F.count_distinct("l_suppkey").alias("supplier_cnt")
     )
+
+
+@register(
+    "large_volume_customer_q18",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(25,2))) AS qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(25,2))) > 250
+)
+SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       epoch_ms(o.o_orderdate) AS orderdate_ms,
+       o.o_totalprice AS totalprice,
+       CAST(b.qty AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+ORDER BY totalprice DESC, orderkey
+LIMIT 100
+""",
+)
+def large_volume_customer_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): orders whose total
+    lineitem quantity exceeds 250 (~top 1%), joined back to customer,
+    top-100 by order value. Exercises the HAVING-subquery shape; unlike
+    the textbook plan the big-order aggregate is computed ONCE and its
+    sum reused (no second lineitem scan), the tiny qualifying set is
+    broadcast into the orders join, and the final cut is a
+    TakeOrderedAndProject with a unique-key tiebreak. Decimal-exact
+    quantity sums (house float rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,2)")).alias("qty"))
+        .where(F.col("qty") > 250)
+    )
+    sel = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+    return (
+        c.join(F.broadcast(sel), c["c_custkey"] == sel["o_custkey"])
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.unix_millis("o_orderdate").alias("orderdate_ms"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "local_supplier_volume_q5",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the six-way join —
+    region → nation → supplier/customer → orders → lineitem — with the
+    same-nation residual on the supplier join, revenue per nation in one
+    region-year. The deepest multi-way join in the catalog: dimensions
+    (region, nation, supplier, customer) all broadcast, so the two fact
+    tables join and aggregate with a single shuffle each and Catalyst is
+    free to reorder the dimension builds; the region/date filters prune
+    before any join. Decimal-exact revenue."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                .cast("decimal(25,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
