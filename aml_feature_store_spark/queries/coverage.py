@@ -528,3 +528,78 @@ def bloom_membership_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_fp") <= bound).alias("fp_within_bound"),
         (F.col("_n_mismatch") == F.lit(0)).alias("rollup_matches"),
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value
+FROM events
+GROUP BY user_id
+""",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the nightly 100 TB shape:
+    yesterday's per-user aggregate STATE merged with today's partition
+    DELTA instead of rescanning the full history. The engine computes
+    state (all days but the last) and delta (the last day) separately,
+    then MERGEs them with a full-outer join + mergeable combiners
+    (count/decimal-sum add, max/min greatest/least, coalesce for
+    one-sided users). The DuckDB oracle computes the SAME result
+    directly over the full table — a cross-derivation check: the merge
+    path and the recompute path must agree bit-exactly (decimal sums
+    make the addition associative, so they do). At scale the state side
+    is a compact persisted table and only the delta partition is
+    scanned; the merge is one equi-join on the aggregation key."""
+    df = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    max_date = df.agg(F.max("event_date")).first()[0]  # bounded scalar
+    DEC = "decimal(25,2)"
+
+    def _agg(part):
+        return part.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("s"),
+            F.max("value").alias("mx"),
+            F.min("value").alias("mn"),
+        )
+
+    state = _agg(df.where(F.col("event_date") < F.lit(max_date)))
+    delta = _agg(df.where(F.col("event_date") == F.lit(max_date)))
+    s = state.select(
+        "user_id",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("mx").alias("mx_a"),
+        F.col("mn").alias("mn_a"),
+    )
+    d = delta.select(
+        "user_id",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("mx").alias("mx_b"),
+        F.col("mn").alias("mn_b"),
+    )
+    merged = s.join(d, "user_id", "full_outer")
+    zero = F.lit(0).cast("long")
+    return merged.select(
+        "user_id",
+        (F.coalesce("n_a", zero) + F.coalesce("n_b", zero)).alias("n_events"),
+        (
+            F.coalesce(F.col("s_a"), F.lit(0).cast(DEC))
+            + F.coalesce(F.col("s_b"), F.lit(0).cast(DEC))
+        )
+        .cast("double")
+        .alias("sum_value"),
+        F.greatest(
+            F.coalesce("mx_a", "mx_b"), F.coalesce("mx_b", "mx_a")
+        ).alias("max_value"),
+        F.least(
+            F.coalesce("mn_a", "mn_b"), F.coalesce("mn_b", "mn_a")
+        ).alias("min_value"),
+    )

@@ -246,3 +246,37 @@ def test_bloom_rollup_or_merge_identical_and_layout_invariant(spark):
     }
     assert direct == shuffled
     assert len(direct) <= min(m, k * 300)
+
+
+def test_incremental_agg_merge_handles_one_sided_users(spark, tmp_path):
+    """Users present only in state (inactive today) or only in delta
+    (brand-new) must survive the full-outer merge — live testdata has
+    every user active daily, so the gate can't exercise the coalesce
+    arms; this pins them."""
+    import datetime
+
+    from aml_feature_store_spark.queries.coverage import (
+        incremental_agg_maintenance,
+    )
+
+    rows = [
+        # user 1: both days; user 2: old only; user 3: last day only
+        (1, 1, datetime.datetime(2026, 1, 1, 10), "view", 10.0, "{}"),
+        (2, 1, datetime.datetime(2026, 1, 2, 10), "view", 30.0, "{}"),
+        (3, 2, datetime.datetime(2026, 1, 1, 11), "view", 5.0, "{}"),
+        (4, 3, datetime.datetime(2026, 1, 2, 12), "view", 7.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    # the loader expects <dir>/events.parquet
+    out = {
+        r["user_id"]: r
+        for r in incremental_agg_maintenance(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_events"] == 2 and out[1]["sum_value"] == 40.0
+    assert out[1]["max_value"] == 30.0 and out[1]["min_value"] == 10.0
+    assert out[2]["n_events"] == 1 and out[2]["sum_value"] == 5.0   # state-only
+    assert out[3]["n_events"] == 1 and out[3]["sum_value"] == 7.5   # delta-only
