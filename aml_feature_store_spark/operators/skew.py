@@ -51,3 +51,31 @@ def direct_agg_sum_count(df: DataFrame, key_col: str, amount_col: str) -> DataFr
         F.min(amount_col).alias("min_value"),
         F.max(amount_col).alias("max_value"),
     )
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hot_keys: list,
+) -> DataFrame:
+    """Skew-safe equi-join: rows whose key is in ``hot_keys`` join against
+    a BROADCAST of the dim's hot slice (no shuffle of the hot mass — the
+    partition that would hold a hot key never materializes), the cold
+    remainder takes the regular shuffled join; the union is
+    row-identical to the direct join. ``hot_keys`` is a small driver
+    list (top-K by frequency — bounded like every other scalar collect
+    in this repo). AQE's skew-join split solves the same problem
+    adaptively at runtime; this is the explicit, plan-pinned form for
+    engines/settings where it is off."""
+    hot_lit = [F.lit(k) for k in hot_keys]
+    f_hot = fact.where(F.col(fact_key).isin(*hot_lit))
+    f_cold = fact.where(~F.col(fact_key).isin(*hot_lit))
+    d_hot = dim.where(F.col(dim_key).isin(*hot_lit))
+    d_cold = dim.where(~F.col(dim_key).isin(*hot_lit))
+    joined_hot = f_hot.join(
+        F.broadcast(d_hot), f_hot[fact_key] == d_hot[dim_key]
+    )
+    joined_cold = f_cold.join(d_cold, f_cold[fact_key] == d_cold[dim_key])
+    return joined_hot.unionByName(joined_cold)

@@ -603,3 +603,47 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mn_a", "mn_b"), F.coalesce("mn_b", "mn_a")
         ).alias("min_value"),
     )
+
+
+@register(
+    "skew_split_join_revenue",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(25,2))) AS DOUBLE) AS revenue
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def skew_split_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join (operators/skew.py:skew_split_join): the generator
+    plants hot users (~25% of events on ~100 keys), the classic shape
+    where one shuffle partition of a plain sort-merge join holds a
+    quarter of the fact table. The engine routes the top-10 hottest
+    keys through a broadcast of the dim's hot slice (their rows never
+    shuffle) and the cold remainder through the regular join, then
+    unions — the explicit form of AQE's skew-join split. The DuckDB
+    oracle runs the DIRECT join: split path and direct path must agree
+    bit-exactly (cross-derivation check, decimal sums)."""
+    from ..operators.skew import skew_split_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    hot = [
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), "user_id")
+        .limit(10)
+        .collect()
+    ]  # bounded: K=10 driver scalars
+    joined = skew_split_join(ev, cust, "user_id", "c_custkey", hot)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -61,3 +61,27 @@ def test_chunked_context_bounds_hot_key_tasks(spark):
     n_rows = sel.count()
     n_exploded = exploded.count()
     assert n_exploded <= n_rows * (1 + 1 / 7 + 0.02), (n_rows, n_exploded)
+
+
+def test_skew_split_join_equals_direct(spark):
+    """Split-union join must be row-identical to the direct join, with
+    unmatched fact/dim keys dropped the same way (inner semantics), and
+    the hot side must carry a broadcast join in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from aml_feature_store_spark.operators.skew import skew_split_join
+
+    fact = spark.createDataFrame(
+        [(1, 10.0)] * 500 + [(2, 1.0), (3, 2.0), (99, 7.0)],  # 99: no dim row
+        "k long, v double",
+    ).repartition(8)
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "unused")], "dk long, tag string"
+    )
+    out = skew_split_join(fact, dim, "k", "dk", [1])
+    direct = fact.join(dim, fact["k"] == dim["dk"])
+    got = sorted((r["k"], r["v"], r["tag"]) for r in out.collect())
+    want = sorted((r["k"], r["v"], r["tag"]) for r in direct.collect())
+    assert got == want and len(got) == 502  # 99 dropped, 4 unused
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
