@@ -430,6 +430,11 @@ def pagerank(
     outdeg = (
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ).localCheckpoint(eager=True)
+    # outdeg never changes across iterations — join it into the edge list
+    # ONCE (r7: saves one src-keyed shuffle join per iteration; the r6
+    # code re-joined outdeg in all 8 rounds). Same values, so the oracle
+    # (which joins outdeg per unrolled CTE) is unaffected.
+    edges_w = edges.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
@@ -439,26 +444,28 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iters):
-        # per-edge contributions are 12-dp rounded and summed in DECIMAL
-        # (r6, ADVICE r5): a 12-dp double below magnitude ~2e3 converts to
-        # DECIMAL(38,15) exactly in both engines, and decimal summation is
-        # integer-exact — so the aggregate cannot depend on Spark's
-        # partition order or differ from the oracle's summation order.
-        # (Residual cross-engine risk is per-ADDEND round() boundary
-        # interpretation at ~1e-16 of a lattice step — orders of magnitude
-        # rarer than the summation-order noise this removes.)
+        # per-edge contributions are snapped to the 1e-12 lattice as
+        # SCALED INT64 and summed as longs (r7; replaces the r6
+        # DECIMAL(38,15) sum, which was bit-exact but several× slower on
+        # the hottest join ×8 iterations): floor(x*1e12 + 0.5) is the
+        # nearest lattice integer to x (|fp error of x*1e12| ≲ 1e-4 ≪ 0.5
+        # for x ≤ 1), computed from bit-identical doubles in both engines,
+        # so the per-edge integer — and therefore the order-independent
+        # long sum — cannot differ between Spark and the oracle. Per-dst
+        # sums are ≤ Σranks·1e12 ≈ 1e12, far inside int64.
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(
-                F.sum(
-                    F.round(F.col("rank") / F.col("outdeg"), 12).cast(
-                        "decimal(38,15)"
-                    )
-                )
-                .cast("double")
-                .alias("c")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("rank") / F.col("outdeg") * F.lit(1e12)
+                            + F.lit(0.5)
+                        )
+                    ).cast("double")
+                    / F.lit(1e12)
+                ).alias("c")
             )
         )
         ranks = (
@@ -504,26 +511,33 @@ def hits(
     hubs = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "h", F.lit(1.0)
     ).localCheckpoint(eager=True)
-    # Exact-summation recipe (r6, ADVICE r5): scores are 12-dp doubles in
-    # [0, 1], which convert to DECIMAL(19,12) exactly in both engines, so
-    # the per-node sums and the L2 norm's sum of squares are integer-exact
-    # — no partition-order or engine-order dependence. The square is taken
-    # at DECIMAL(18,12) x (18,12) -> (37,24), inside both engines' exact
-    # 38-digit range for raw scores below ~1e6 (i.e. max in-degree 1e6;
-    # beyond that, widen or accept documented statistical resync).
+    # Exact-summation recipe (r7; replaces the r6 DECIMAL(19,12) per-edge
+    # sums with the scaled-int64 lattice — same bit-exactness, integer-sum
+    # cost on the hot per-edge aggregations): scores are 12-dp doubles in
+    # [0, 1], so floor(h*1e12 + 0.5) recovers each score's exact lattice
+    # integer (fp error of h*1e12 is ≲1e-4 ≪ 0.5) identically in both
+    # engines, and the per-node long sums are order-independent. Only the
+    # node-cardinality L2 norm still sums in DECIMAL — (19,0)² products
+    # summed at (38,0), exact while Σ(raw·1e12)² < 1e38, i.e. raw scores
+    # below ~1e6 with ≤1e6 nodes (same documented bound as r6). The 1e12
+    # scale cancels in score/norm, so the quotient needs no rescale.
     for it in range(n_iters):
+        cp = (it + 1) % checkpoint_every == 0 or it == n_iters - 1
         a_raw = (
             edges.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(
-                F.sum(F.col("h").cast("decimal(19,12)"))
-                .cast("decimal(18,12)")
-                .alias("a_raw")
+                F.sum(
+                    F.floor(F.col("h") * F.lit(1e12) + F.lit(0.5))
+                ).alias("a_raw")
             )
         )
         a_norm = a_raw.agg(
             F.sqrt(
-                F.sum(F.col("a_raw") * F.col("a_raw")).cast("double")
+                F.sum(
+                    F.col("a_raw").cast("decimal(19,0)")
+                    * F.col("a_raw").cast("decimal(19,0)")
+                ).cast("double")
             ).alias("nrm")
         )
         auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
@@ -532,18 +546,29 @@ def hits(
                 "a"
             ),
         )
+        if cp:
+            # checkpoint auths BEFORE building h_raw from it (r7): the
+            # hubs checkpoint then costs a single join+agg from the fresh
+            # auths snapshot. The r6 order (both checkpointed after the
+            # full iteration was wired) recomputed the un-checkpointed
+            # a_i ← h_{i-1} ← a_{i-1} chain inside the hubs job — ~7
+            # join+agg phases per 2 iterations instead of 4.
+            auths = auths.localCheckpoint(eager=True)
         h_raw = (
             edges.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
             .agg(
-                F.sum(F.col("a").cast("decimal(19,12)"))
-                .cast("decimal(18,12)")
-                .alias("h_raw")
+                F.sum(
+                    F.floor(F.col("a") * F.lit(1e12) + F.lit(0.5))
+                ).alias("h_raw")
             )
         )
         h_norm = h_raw.agg(
             F.sqrt(
-                F.sum(F.col("h_raw") * F.col("h_raw")).cast("double")
+                F.sum(
+                    F.col("h_raw").cast("decimal(19,0)")
+                    * F.col("h_raw").cast("decimal(19,0)")
+                ).cast("double")
             ).alias("nrm")
         )
         hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
@@ -552,9 +577,8 @@ def hits(
                 "h"
             ),
         )
-        if (it + 1) % checkpoint_every == 0 or it == n_iters - 1:
+        if cp:
             hubs = hubs.localCheckpoint(eager=True)
-            auths = auths.localCheckpoint(eager=True)
     return hubs.select(
         "node",
         F.lit("hub").alias("role"),

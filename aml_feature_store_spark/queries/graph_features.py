@@ -203,8 +203,8 @@ r{i} AS (
                + {damping!r} * coalesce(s.c, 0.0), 12) AS rank
   FROM outdeg o LEFT JOIN (
     SELECT e.dst AS node,
-           CAST(SUM(CAST(round(r.rank / od.outdeg, 12) AS DECIMAL(38,15)))
-                AS DOUBLE) AS c
+           CAST(SUM(CAST(floor(r.rank / od.outdeg * 1e12 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e12 AS c
     FROM edges e
     JOIN r{i - 1} r ON e.src = r.node
     JOIN outdeg od ON od.node = e.src
@@ -266,11 +266,12 @@ h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS h FROM edges)"""
         cte += f""",
 ar{i} AS MATERIALIZED (
   SELECT e.dst,
-         CAST(SUM(CAST(h.h AS DECIMAL(19,12))) AS DECIMAL(18,12)) AS a_raw
+         SUM(CAST(floor(h.h * 1e12 + 0.5) AS BIGINT)) AS a_raw
   FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
 ),
 an{i} AS MATERIALIZED (
-  SELECT sqrt(CAST(SUM(a_raw * a_raw) AS DOUBLE)) AS nrm FROM ar{i}
+  SELECT sqrt(CAST(SUM(CAST(a_raw AS HUGEINT) * a_raw) AS DOUBLE)) AS nrm
+  FROM ar{i}
 ),
 a{i} AS MATERIALIZED (
   SELECT dst AS node,
@@ -279,11 +280,12 @@ a{i} AS MATERIALIZED (
 ),
 hr{i} AS MATERIALIZED (
   SELECT e.src,
-         CAST(SUM(CAST(a.a AS DECIMAL(19,12))) AS DECIMAL(18,12)) AS h_raw
+         SUM(CAST(floor(a.a * 1e12 + 0.5) AS BIGINT)) AS h_raw
   FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
 ),
 hn{i} AS MATERIALIZED (
-  SELECT sqrt(CAST(SUM(h_raw * h_raw) AS DOUBLE)) AS nrm FROM hr{i}
+  SELECT sqrt(CAST(SUM(CAST(h_raw AS HUGEINT) * h_raw) AS DOUBLE)) AS nrm
+  FROM hr{i}
 ),
 h{i} AS MATERIALIZED (
   SELECT src AS node,

@@ -583,7 +583,28 @@ def main() -> None:
             "loadavg": {"before": s100_load, "after": _loadavg()},
         }
 
-    print(json.dumps(out))
+    # Full artifact (all raw samples) goes to a file; stdout gets a COMPACT
+    # final line. The driver archives only the TAIL of stdout, so a huge
+    # single line loses its head and parses as null (r5/r6 artifacts both
+    # carried "parsed": null) — the compact line keeps per-query timings
+    # and spreads but drops the per-sample arrays, staying tail-safe.
+    artifact_path = os.environ.get("BENCH_ARTIFACT", "bench_last_full.json")
+    try:
+        with open(artifact_path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
+    slim = {k: v for k, v in out.items() if k != "samples"}
+    slim["spreads"] = {
+        n: s.get("spread") for n, s in out["samples"].items() if s.get("spread")
+    }
+    for sect in ("scale", "scale_hot", "scale_skew", "scale100"):
+        if sect in slim:
+            slim[sect] = {
+                k: v for k, v in slim[sect].items() if k != "samples"
+            }
+    slim["full_artifact"] = artifact_path
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":
