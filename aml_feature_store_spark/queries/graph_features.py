@@ -145,16 +145,112 @@ def landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lc(edges, k_landmarks=4, max_depth=8)
 
 
-@register("graph_global_centralities", oracle=None)
-def graph_global_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closeness + betweenness centrality over the projected user graph
-    (A28's global metrics): numpy Brandes inside a guarded applyInPandas —
-    the documented non-relational escape hatch; rows-only check, semantics
-    pinned by unit tests on known graphs."""
-    from ..operators.graph import global_centralities, shared_neighbor_pairs
+def _centralities_sql(max_depth: int = 8, modulus: int = 50) -> str:
+    """Oracle for :func:`graph_global_centralities`: recursive-BFS
+    distances (the landmark_closeness oracle pattern, all sources) plus an
+    unrolled per-level shortest-path-count chain and the Brandes
+    pair-dependency sum, each term snapped to the 1e-9 lattice and summed
+    in DECIMAL — bit-exact against the relational Spark derivation."""
+    sig_ctes = ""
+    sig_union = "SELECT * FROM sig0"
+    for d in range(1, max_depth + 1):
+        sig_ctes += f""",
+sig{d} AS MATERIALIZED (
+  SELECT p.root, e.dst AS node, {d} AS dist, SUM(p.sigma) AS sigma
+  FROM sig{d - 1} p
+  JOIN edges e ON e.src = p.node
+  JOIN dmin dm ON dm.root = p.root AND dm.node = e.dst AND dm.dist = {d}
+  GROUP BY p.root, e.dst
+)"""
+        sig_union += f" UNION ALL SELECT * FROM sig{d}"
+    return rf"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT user_id AS u, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events
+  WHERE user_id % {modulus} = 0 AND regexp_extract(props, '"k": (\d+)', 1) <> ''
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, -k - 1 AS dst FROM base
+  UNION ALL
+  SELECT -k - 1 AS src, u AS dst FROM base
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+bfs(root, node, dist) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION
+  SELECT b.root, e.dst, b.dist + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < {max_depth}
+),
+dmin AS MATERIALIZED (
+  SELECT root, node, MIN(dist) AS dist FROM bfs GROUP BY root, node
+),
+sig0 AS (SELECT node AS root, node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+         FROM nodes){sig_ctes},
+sig AS MATERIALIZED ({sig_union}),
+bet AS MATERIALIZED (
+  SELECT sv.node AS v,
+         CAST(SUM(CAST(round(CAST(sv.sigma * vt.sigma AS DOUBLE)
+                             / CAST(st.sigma AS DOUBLE), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS bsum
+  FROM sig sv
+  JOIN sig vt ON vt.root = sv.node AND vt.node <> sv.node
+  JOIN sig st ON st.root = sv.root AND st.node = vt.node
+            AND st.dist = sv.dist + vt.dist
+  WHERE sv.node <> sv.root AND vt.node <> sv.root
+  GROUP BY sv.node
+),
+clo AS (SELECT root, COUNT(*) AS cnt, SUM(dist) AS td FROM dmin GROUP BY root)
+SELECT c.root AS node,
+       round(CASE WHEN c.td > 0
+         THEN ((c.cnt - 1.0) / c.td)
+              * ((c.cnt - 1.0) / ((SELECT n_nodes FROM nn) - 1.0))
+         ELSE 0.0 END, 6) AS closeness_centrality,
+       round(CASE WHEN (SELECT n_nodes FROM nn) > 2
+         THEN COALESCE(b.bsum, 0.0)
+              / (((SELECT n_nodes FROM nn) - 1.0)
+                 * ((SELECT n_nodes FROM nn) - 2.0))
+         ELSE 0.0 END, 6) AS betweenness_centrality
+FROM clo c LEFT JOIN bet b ON b.v = c.root
+"""
 
-    pairs = shared_neighbor_pairs(_edges(spark, sf_dir)).select("u", "v")
-    return global_centralities(pairs)
+
+@register("graph_global_centralities", oracle=_centralities_sql())
+def graph_global_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closeness + betweenness centrality (A28's global metrics),
+    ORACLE-EXACT since r7 on a bounded deterministic slice of the
+    user↔prop_k bipartite graph (user_id % 50 == 0; prop_k encoded as
+    -k-1): all-sources BFS + level-synchronous σ counting + the Brandes
+    pair-dependency sum, all relational
+    (operators.graph.bounded_exact_centralities), verified against a
+    WITH RECURSIVE + unrolled-CTE DuckDB oracle. Distances capped at 8
+    hops on both engines (bounded-radius, like landmark_closeness). The
+    unbounded per-component numpy-Brandes kernel
+    (operators.graph.global_centralities) remains the scale path for
+    full graphs and is pinned equal to this derivation in
+    tests/test_centralities.py. Reference: advanced_features.py:59-88
+    networkx closeness/betweenness_centrality."""
+    from ..operators.graph import bounded_exact_centralities
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            F.col("user_id").alias("u"),
+            F.from_json("props", EVENT_PROPS)["k"].cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    edges = base.select(
+        F.col("u").alias("src"), (-F.col("k") - 1).alias("dst")
+    ).unionAll(
+        base.select((-F.col("k") - 1).alias("src"), F.col("u").alias("dst"))
+    )
+    return bounded_exact_centralities(edges, max_depth=8)
 
 
 @register(

@@ -235,16 +235,136 @@ def voting_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_voting(_gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label")
 
 
-@register("pca_anomaly_scores", oracle=None)
-def pca_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-autoencoder anomaly detector (advanced_models.py:107-143):
-    distributed PCA + squared reconstruction error off the principal
-    subspace per entity. Rows-only (eigenvectors are sign/rotation
-    ambiguous across engines); numpy agreement and the k=d zero-error
-    property are pytest-pinned."""
-    from ..operators.ensemble import pca_anomaly_scores as _pca
+def _standardized_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score the 4 online features per dim with the house exact-summation
+    recipe (9-dp addends summed in DECIMAL(38,12), numerator rounded before
+    the divide), then assemble an array<double> column — the input the
+    deterministic PCA recurrence shares with the embeddings queries."""
+    feats = _gbt_inputs(spark, sf_dir).select(
+        "user_id", *[F.col(c).cast("double").alias(c) for c in _GBT_FEATURES]
+    )
+    n = F.count(F.lit(1))
+    mus = feats.agg(
+        *[
+            F.round(
+                F.sum(F.round(F.col(c), 9).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / n,
+                9,
+            ).alias(f"_mu{i}")
+            for i, c in enumerate(_GBT_FEATURES)
+        ]
+    )
+    c1 = feats.crossJoin(F.broadcast(mus))
+    sigs = c1.agg(
+        *[
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col(c) - F.col(f"_mu{i}"))
+                            * (F.col(c) - F.col(f"_mu{i}")),
+                            9,
+                        ).cast("decimal(38,12)")
+                    ).cast("double")
+                    / n
+                ),
+                9,
+            ).alias(f"_sg{i}")
+            for i, c in enumerate(_GBT_FEATURES)
+        ]
+    )
+    z = c1.crossJoin(F.broadcast(sigs)).select(
+        "user_id",
+        F.array(
+            *[
+                F.round(
+                    (F.col(c) - F.col(f"_mu{i}"))
+                    / F.when(F.col(f"_sg{i}") > 0, F.col(f"_sg{i}")).otherwise(
+                        F.lit(1.0)
+                    ),
+                    9,
+                )
+                for i, c in enumerate(_GBT_FEATURES)
+            ]
+        ).alias("features"),
+    )
+    # one users×5 snapshot: the PCA recurrence re-derives its exploded/
+    # centered frames from this input several times (pca_scores builds the
+    # component chain AND the projection pass) — without the checkpoint
+    # each re-derivation replays the full online-features window pass
+    return z.localCheckpoint(eager=True)
 
-    return _pca(_gbt_inputs(spark, sf_dir), _GBT_FEATURES, k=2)
+
+def _standardized_features_sql() -> str:
+    """DuckDB mirror of :func:`_standardized_feature_vectors` as a
+    FROM-able subquery: same per-dim mean/std lattice, same z rounding,
+    list assembled in dim order."""
+    from .joins_scoring import _ONLINE_FEATURES_SQL
+
+    cols = ", ".join(
+        f"UNION ALL SELECT user_id, {i} AS dim, CAST({c} AS DOUBLE) AS val FROM feat"
+        for i, c in enumerate(_GBT_FEATURES[1:], start=1)
+    )
+    return f"""(
+WITH feat AS MATERIALIZED ({_ONLINE_FEATURES_SQL}),
+el AS MATERIALIZED (
+  SELECT user_id, 0 AS dim, CAST({_GBT_FEATURES[0]} AS DOUBLE) AS val FROM feat
+  {cols}
+),
+muz AS (
+  SELECT dim,
+         round(CAST(SUM(CAST(round(val, 9) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 9) AS mu
+  FROM el GROUP BY dim
+),
+cz AS (SELECT user_id, dim, val - mu AS vc FROM el JOIN muz USING (dim)),
+sz AS (
+  SELECT dim,
+         round(sqrt(CAST(SUM(CAST(round(vc * vc, 9) AS DECIMAL(38,12)))
+                         AS DOUBLE) / COUNT(*)), 9) AS sigma
+  FROM cz GROUP BY dim
+),
+zz AS (
+  SELECT user_id, dim,
+         round(vc / (CASE WHEN sigma > 0 THEN sigma ELSE 1.0 END), 9) AS z
+  FROM cz JOIN sz USING (dim)
+)
+SELECT user_id, list(z ORDER BY dim) AS features FROM zz GROUP BY user_id
+) tstd"""
+
+
+from ..operators import simsearch as _simsearch  # noqa: E402
+
+
+@register(
+    "pca_anomaly_scores",
+    oracle=_simsearch.pca_scores_sql(
+        n_iters=5,
+        table=_standardized_features_sql(),
+        id_col="user_id",
+        vec_col="features",
+    ),
+)
+def pca_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-autoencoder anomaly detector (advanced_models.py:107-143),
+    ORACLE-EXACT since r7: the online features are z-scored with the
+    exact-summation lattice, then the deterministic distributed power-
+    iteration recurrence (the embedding_pca_scores contract,
+    simsearch.pca_scores) yields the 1-D compression code and the squared
+    reconstruction error off the top principal component per entity —
+    sign-deterministic across engines because both run the identical
+    recurrence from the uniform start. Oracle = standardized-feature CTE
+    feeding the unrolled power-iteration chain. The MLlib-PCA k-dim
+    variant stays available as operators.ensemble.pca_anomaly_scores
+    (numpy agreement + k=d zero-error pytest-pinned)."""
+    return _simsearch.pca_scores(
+        _standardized_feature_vectors(spark, sf_dir),
+        n_iters=5,
+        id_col="user_id",
+        vec_col="features",
+    )
 
 
 @register("mlp_training_summary", oracle=None)

@@ -171,3 +171,41 @@ def test_hits_star_concentrates_authority(spark):
     assert hubs["u1"] > hubs["u2"] == hubs["u3"]
     assert math.isclose(sum(v * v for v in hubs.values()), 1.0, abs_tol=1e-6)
     assert math.isclose(sum(v * v for v in auths.values()), 1.0, abs_tol=1e-6)
+
+
+def test_bounded_exact_matches_brandes(spark):
+    """The r7 relational derivation (BFS + level-synchronous sigma + the
+    pair-dependency sum) must agree with the numpy Brandes kernel on an
+    irregular graph with multiple equal-length shortest paths."""
+    import random
+
+    from aml_feature_store_spark.operators.graph import (
+        bounded_exact_centralities,
+    )
+
+    rng = random.Random(7)
+    n = 14
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(30)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    edges = _pairs(spark, pairs).selectExpr(
+        "u as src", "v as dst"
+    ).unionAll(_pairs(spark, pairs).selectExpr("v as src", "u as dst"))
+    rel = {
+        r["node"]: r for r in bounded_exact_centralities(edges).collect()
+    }
+    brandes = {
+        r["node"]: r for r in global_centralities(_pairs(spark, pairs)).collect()
+    }
+    assert set(rel) == set(brandes)
+    for node in rel:
+        assert rel[node]["closeness_centrality"] == pytest.approx(
+            brandes[node]["closeness_centrality"], abs=2e-6
+        ), node
+        assert rel[node]["betweenness_centrality"] == pytest.approx(
+            brandes[node]["betweenness_centrality"], abs=2e-6
+        ), node
