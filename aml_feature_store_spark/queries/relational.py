@@ -592,3 +592,228 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "suppliers_kept_waiting_q21",
+    oracle="""
+SELECT s.s_name AS s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1
+    FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def suppliers_kept_waiting_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to the
+    generated schema: no l_commitdate/l_receiptdate, so "late" =
+    l_shipdate more than 60 days after o_orderdate. For finished orders
+    ('F') in region EUROPE: count, per supplier, late lineitems in
+    multi-supplier orders where that supplier was the ONLY late one —
+    the classic EXISTS + NOT EXISTS double self-join on lineitem, the
+    skew/semi-join stressor. Spark shape: the late set is computed once;
+    both the EXISTS (left_semi) and NOT-EXISTS (left_anti) self-joins
+    shuffle on l_orderkey — the same key as the build — so AQE reuses
+    one exchange layout, and the supplier/nation/region dimension stack
+    is broadcast."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    waiting = (
+        late.join(
+            other,
+            (late["l_orderkey"] == other["_ok"])
+            & (late["l_suppkey"] != other["_sk"]),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late["l_orderkey"] == other_late["_ok"])
+            & (late["l_suppkey"] != other_late["_sk"]),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "min_balance_supplier_q2",
+    oracle="""
+WITH eu AS MATERIALIZED (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eul AS MATERIALIZED (
+  SELECT l.l_partkey, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name
+  FROM links l JOIN eu e ON l.l_suppkey = e.s_suppkey
+),
+mn AS (SELECT l_partkey, MIN(s_acctbal) AS min_bal FROM eul GROUP BY l_partkey)
+SELECT DISTINCT e.s_acctbal AS acctbal, e.s_name AS s_name,
+       e.n_name AS nation, p.p_partkey AS partkey, p.p_name AS p_name
+FROM eul e
+JOIN mn m ON m.l_partkey = e.l_partkey AND e.s_acctbal = m.min_bal
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_size = 15
+ORDER BY acctbal DESC, nation, s_name, partkey
+LIMIT 100
+""",
+)
+def min_balance_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) adapted to the generated
+    schema: no partsupp/ps_supplycost, so the part-supplier relation is
+    the DISTINCT (l_partkey, l_suppkey) projection of lineitem and the
+    cost criterion is the supplier's account balance — for each size-15
+    part, the EUROPE supplier(s) with the minimum balance among its
+    EUROPE suppliers. The correlated scalar-MIN subquery is decorrelated
+    into a per-part aggregate + equality join (the standard Catalyst
+    rewrite, here written explicitly): one shuffle for the distinct
+    link projection, per-part min and the equality join both broadcast,
+    final cut a TakeOrderedAndProject."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    links = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    eul = links.join(F.broadcast(eu), links["l_suppkey"] == eu["s_suppkey"])
+    mn = eul.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        eul.join(
+            F.broadcast(mn.withColumnRenamed("l_partkey", "_pk")),
+            (eul["l_partkey"] == F.col("_pk"))
+            & (eul["s_acctbal"] == F.col("min_bal")),
+        )
+        .join(F.broadcast(p), eul["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+        )
+        .distinct()
+        .orderBy(F.col("acctbal").desc(), "nation", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "dominant_part_suppliers_q20",
+    oracle="""
+WITH yr AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(25,2)) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+),
+tot AS (SELECT l_partkey, SUM(q) AS t FROM yr GROUP BY l_partkey),
+per AS (SELECT l_partkey, l_suppkey, SUM(q) AS q FROM yr
+        GROUP BY l_partkey, l_suppkey)
+SELECT DISTINCT s.s_name AS s_name, n.n_name AS nation
+FROM per
+JOIN tot USING (l_partkey)
+JOIN part p ON p.p_partkey = per.l_partkey AND p.p_name LIKE 'red%'
+JOIN supplier s ON s.s_suppkey = per.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE 2 * per.q > tot.t
+ORDER BY s_name, nation
+""",
+)
+def dominant_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion) adapted to the
+    generated schema: no partsupp/ps_availqty, so the correlated
+    "availqty > half the shipped volume" predicate becomes "this
+    supplier shipped more than half of the part's total 1996 volume" —
+    suppliers dominating any red part's supply. The correlated scalar
+    aggregate decorrelates into two partial aggregates over ONE
+    year-pruned scan (per-(part,supplier) and per-part) joined on
+    l_partkey; the comparison is decimal-exact as 2q > t (no 0.5*
+    double rounding); part/supplier/nation dims broadcast."""
+    yr = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("decimal(25,2)").alias("q"),
+        )
+    )
+    per = yr.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("q"))
+    tot = yr.groupBy("l_partkey").agg(F.sum("q").alias("t"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        per.join(tot, "l_partkey")
+        .filter(F.lit(2) * F.col("q") > F.col("t"))
+        .join(F.broadcast(p), per["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), per["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("s_name", "nation")
+    )
