@@ -463,3 +463,150 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_n_mismatch") == 0).alias("registers_match_batch"),
         )
     )
+
+
+_STREAMING_TDIGEST_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       TRUE AS digests_match_batch,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM events GROUP BY event_type
+"""
+
+_DAY_DIGEST_SCHEMA = (
+    "event_type string, event_date date, mean double, weight double, "
+    "vmin double, vmax double"
+)
+
+
+def _day_digests(df: DataFrame) -> DataFrame:
+    """Deterministic per-(event_type, day) t-digest centroid rows: the
+    whole group's values reach one applyInPandas task and build_digest
+    sorts them, so the digest is a pure function of the group's value
+    multiset — independent of partitioning, identical between the
+    streaming micro-batch and the batch twin."""
+
+    def build(key, pdf):
+        import pandas as pd
+
+        from ..operators.tdigest import build_digest
+
+        vals = pdf["value"].to_numpy("float64")
+        m, w, mn, mx = build_digest(vals, 500.0)
+        return pd.DataFrame(
+            {
+                "event_type": key[0],
+                "event_date": key[1],
+                "mean": m,
+                "weight": w,
+                "vmin": mn,
+                "vmax": mx,
+            }
+        )
+
+    return (
+        df.where(F.col("value").isNotNull())
+        .select("event_type", F.to_date("ts").alias("event_date"), "value")
+        .groupBy("event_type", "event_date")
+        .applyInPandas(build, _DAY_DIGEST_SCHEMA)
+    )
+
+
+@register("streaming_tdigest_quantiles", oracle=_STREAMING_TDIGEST_ORACLE)
+def streaming_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-digest maintenance (T6 × the sketch family; VERDICT r6
+    #8): foreachBatch builds deterministic per-(event_type, day) digests
+    for each micro-batch and APPENDS them to a persisted centroid table —
+    the nightly-rollup shape maintained by the stream itself; quantile
+    reads merge centroid rows and never rescan raw values. Pins:
+    (1) stream ≡ batch — the streamed centroid table must equal the
+    batch-built day digests row-for-row (exact doubles; the digest is a
+    pure function of each day-group's value multiset), and (2) the
+    merged digest's p50/p95 satisfy the ±0.01 rank bound against the raw
+    data (the tdigest_quantiles_by_event_type contract; measured rank
+    error ~1e-4 at δ=500, tests/test_tdigest.py)."""
+    import numpy as np
+
+    from ..operators.tdigest import digest_quantile, merge_digests
+    from ..sources.tables import load_events
+
+    src = isolate_events_files(sf_dir)
+    events = stream_events(spark, src)
+    digest_dir = _run_tmpdir("tdig_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _day_digests(batch_df).write.mode("append").parquet(digest_dir)
+
+    with bounded_shuffle_partitions(spark, src):
+        q = (
+            events.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", _run_tmpdir("ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    streamed = spark.read.schema(_DAY_DIGEST_SCHEMA).parquet(digest_dir)
+
+    batch_raw = load_events(spark, src)
+    batch_dig = _day_digests(batch_raw)
+    mismatch = (
+        streamed.exceptAll(batch_dig)
+        .unionAll(batch_dig.exceptAll(streamed))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_n_mismatch"))
+    )
+
+    def finish(key, pdf):
+        import pandas as pd
+
+        order = np.lexsort((pdf["weight"].to_numpy(), pdf["mean"].to_numpy()))
+        m, w = merge_digests(
+            pdf["mean"].to_numpy()[order], pdf["weight"].to_numpy()[order]
+        )
+        vmin = float(pdf["vmin"].min())
+        vmax = float(pdf["vmax"].max())
+        return pd.DataFrame(
+            {
+                "event_type": key[0],
+                "_p50": [digest_quantile(m, w, vmin, vmax, 0.5)],
+                "_p95": [digest_quantile(m, w, vmin, vmax, 0.95)],
+            }
+        )
+
+    approx = streamed.groupBy("event_type").applyInPandas(
+        finish, "event_type string, _p50 double, _p95 double"
+    )
+    eps = 0.01
+    joined = batch_raw.join(F.broadcast(approx), "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            f
+            for tag in ("p50", "p95")
+            for f in (
+                F.sum((F.col("value") <= F.col(f"_{tag}")).cast("long")).alias(
+                    f"_le_{tag}"
+                ),
+                F.sum((F.col("value") < F.col(f"_{tag}")).cast("long")).alias(
+                    f"_lt_{tag}"
+                ),
+            )
+        ],
+    )
+    return (
+        agg.join(mismatch, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            (F.coalesce(F.col("_n_mismatch"), F.lit(0)) == 0).alias(
+                "digests_match_batch"
+            ),
+            *[
+                (
+                    (F.col(f"_le_{tag}") >= F.floor(F.lit(q - eps) * F.col("n")))
+                    & (F.col(f"_lt_{tag}") <= F.ceil(F.lit(q + eps) * F.col("n")))
+                ).alias(f"{tag}_within_bound")
+                for q, tag in ((0.5, "p50"), (0.95, "p95"))
+            ],
+        )
+    )
