@@ -38,7 +38,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # least-certified surface. Rows-only (oracle=None) queries sort last: a
 # driver slot spent there yields no hash signal.
 CERTIFIED: dict[str, int] = {
-    # r4-certified (stalest — refill the window after never-certified rows)
+    # r4-certified
     "amount_trend_per_user": 4,
     "ann_ivf_multiprobe": 4,
     "ann_ivf_topk": 4,
@@ -50,8 +50,6 @@ CERTIFIED: dict[str, int] = {
     "dedup_ngram_jaccard": 4,
     "dedup_simhash": 4,
     "doc_fingerprints": 4,
-    "embedding_near_dup_pairs": 4,
-    "feature_target_correlation": 4,
     "gini_per_user": 4,
     "hhi_per_user": 4,
     "hour_entropy_per_user": 4,
@@ -59,11 +57,7 @@ CERTIFIED: dict[str, int] = {
     "language_id": 4,
     "merchant_graph_features": 4,
     "merchant_trailing_features": 4,
-    "model_auc": 4,
-    "model_eval_metrics": 4,
     "moments_per_user": 4,
-    "online_feature_view": 4,
-    "pandas_udf_model_scores": 4,
     "population_zscore_per_user": 4,
     "retrain_decision": 4,
     "risk_explanations": 4,
@@ -71,7 +65,6 @@ CERTIFIED: dict[str, int] = {
     "streaming_graph_edges": 4,
     "streaming_tumbling_complete": 4,
     "text_stats": 4,
-    "user_clustering_coeff": 4,
     "user_graph_degrees": 4,
     "user_shared_k_pairs": 4,
     "windowed_entropy_24h": 4,
@@ -96,8 +89,6 @@ CERTIFIED: dict[str, int] = {
     "landmark_closeness": 5,
     "mktsegment_acctbal_summary": 5,
     "multimodal_binary_stats": 5,
-    # pagerank_bipartite: r5 row INVALIDATED r6 — per-edge contribution
-    # lattice fix (ADVICE r5) changed both engines' arithmetic.
     "pit_join_purchases_24h": 5,
     "pricing_summary": 5,
     "props_json_extract": 5,
@@ -112,8 +103,6 @@ CERTIFIED: dict[str, int] = {
     "session_window_rollup": 5,
     "span_dup_coverage": 5,
     "stratified_sample": 5,
-    # streaming_per_event_extended: r5 row INVALIDATED r6 — distinct-marker
-    # path rewritten to incremental prev-occurrence state (VERDICT r5 #2).
     "streaming_per_event_features": 5,
     "tfidf_top_terms": 5,
     "time_bucket_rollup": 5,
@@ -128,6 +117,58 @@ CERTIFIED: dict[str, int] = {
     "user_sessions": 5,
     "windowed_gini_24h": 5,
     "windowed_hhi_24h": 5,
+    # r6-certified
+    "basket_lift_pairs": 6,
+    "bloom_membership_validation": 6,
+    "bm25_index_topk": 6,
+    "chi2_drift_event_type": 6,
+    "cohort_retention_weekly": 6,
+    "countmin_frequency_validation": 6,
+    "cusum_changepoint": 6,
+    "data_quality_profile": 6,
+    "embedding_near_dup_pairs": 6,
+    "embedding_pca_component": 6,
+    "embedding_pca_scores": 6,
+    "event_type_transitions": 6,
+    "feature_target_correlation": 6,
+    "funnel_conversion": 6,
+    "heavy_hitters_topk": 6,
+    "hll_rollup_distinct_users": 6,
+    "incremental_agg_maintenance": 6,
+    "large_volume_customer_q18": 6,
+    "local_supplier_volume_q5": 6,
+    "model_auc": 6,
+    "model_calibration_bins": 6,
+    "model_eval_metrics": 6,
+    "online_feature_view": 6,
+    "order_priority_check_q4": 6,
+    "pandas_udf_model_scores": 6,
+    "promo_revenue_q14": 6,
+    "psi_drift_value": 6,
+    "quality_weighted_sample": 6,
+    "quantiles_approx_by_event_type": 6,
+    "revenue_cube_by_type_dow": 6,
+    "rfm_segments": 6,
+    "robust_zscore_outliers": 6,
+    "seeded_sample": 6,
+    "sequence_packing": 6,
+    "shipping_priority_q3": 6,
+    "skew_split_join_revenue": 6,
+    "streaming_dedup_events": 6,
+    "streaming_dim_enrich": 6,
+    "streaming_hll_distinct": 6,
+    "streaming_interval_join": 6,
+    "streaming_per_event_extended": 6,
+    "streaming_tumbling_rollup": 6,
+    "supplier_part_counts_q16": 6,
+    "tdigest_quantiles_by_event_type": 6,
+    "tdigest_rollup_quantiles": 6,
+    "unique_users_approx_by_type": 6,
+    "user_clustering_coeff": 6,
+    "viewers_never_purchased": 6,
+    # pagerank_bipartite / hits_bipartite: r6 rows INVALIDATED r7 — the
+    # per-edge DECIMAL sums were replaced by the scaled-int64 lattice
+    # (VERDICT r6 #1); re-certify under the new arithmetic.
 }
 
 # The driver's correctness gate checks the first DRIVER_CAP registered

@@ -74,6 +74,19 @@ HEADLINE = [
     "streaming_hll_distinct",
     "order_priority_check_q4",
     "supplier_part_counts_q16",
+    # r7: track the HITS twin next to pagerank (its sf0.1 cost was
+    # invisible in r6 while the decimal-lattice regression hit pagerank)
+    "hits_bipartite",
+]
+
+# iterative-graph family re-run against the 1M and 10M events tables —
+# the one expensive family whose 100x behavior was still extrapolated in
+# r6 (VERDICT r6 #1); events-derived bipartite graphs, so the same dirs
+# serve
+GRAPH_SCALE_HEADLINE = [
+    "pagerank_bipartite",
+    "hits_bipartite",
+    "landmark_closeness",
 ]
 
 # events-only queries re-run against the 10x generated events table
@@ -433,7 +446,7 @@ def main() -> None:
         scale_load = _loadavg()
         scale_timings: dict[str, float] = {}
         scale_samples: dict[str, list[float]] = {}
-        names_scale = list(SCALE_HEADLINE)
+        names_scale = list(SCALE_HEADLINE) + list(GRAPH_SCALE_HEADLINE)
         llm_rows: dict[str, int] = {}
         has_llm = os.path.exists(os.path.join(scale_dir, "documents.parquet"))
         if has_llm:
@@ -553,11 +566,16 @@ def main() -> None:
         s100_load = _loadavg()
         s100_timings: dict[str, float] = {}
         s100_samples: dict[str, list[float]] = {}
-        names_100 = list(SCALE_HEADLINE)
+        # LLM anchors FIRST (VERDICT r6 #4): dedup_components_lsh showed a
+        # 10.0 <-> 36.2 s session-tail GC spread in r6 — running the LLM
+        # section before the events anchors (plus a bigger driver heap via
+        # SPARK_DRIVER_MEMORY) keeps its samples out of the GC tail
+        names_100 = []
         s100_llm_rows: dict[str, int] = {}
         has_llm_100 = os.path.exists(os.path.join(s100_dir, "documents.parquet"))
         if has_llm_100:  # 100x LLM anchors (VERDICT r5 #5)
             names_100 += LLM_SCALE_HEADLINE
+        names_100 += list(SCALE_HEADLINE) + list(GRAPH_SCALE_HEADLINE)
         for name in names_100:
             if time.perf_counter() - t_start > budget_s * 2:
                 skipped.append("scale100:" + name)  # opt-in run: softer guard

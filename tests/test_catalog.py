@@ -85,36 +85,27 @@ def test_rows_only_sort_last():
     assert not mixed, f"oracle-backed queries sorted after rows-only: {mixed}"
 
 
-def test_r6_rotation_certifies_the_judge_only_queries():
-    """VERDICT r5 directive #1: the 22 queries certified only by the judge's
-    re-check (plus this round's invalidations) must sit inside the cap."""
-    window = set(_ordered_names()[:DRIVER_CAP])
+def test_r7_rotation_pins_new_and_stalest():
+    """VERDICT r6 #2: the r7 window must lead with this round's new and
+    invalidated oracle queries and then absorb EVERY remaining r4-stale
+    row — after the r7 driver run no oracle query is certified older
+    than r5."""
+    catalog._ensure_loaded()
+    names = _ordered_names()
+    window = set(names[:DRIVER_CAP])
     for name in (
-        "psi_drift_value",
-        "chi2_drift_event_type",
-        "model_calibration_bins",
-        "cusum_changepoint",
-        "revenue_cube_by_type_dow",
-        "shipping_priority_q3",
-        "promo_revenue_q14",
-        "funnel_conversion",
-        "cohort_retention_weekly",
-        "rfm_segments",
-        "event_type_transitions",
-        "basket_lift_pairs",
-        "hits_bipartite",
-        "viewers_never_purchased",
-        "data_quality_profile",
-        "robust_zscore_outliers",
-        "embedding_pca_component",
-        "embedding_pca_scores",
-        "bm25_index_topk",
-        "streaming_dedup_events",
-        "streaming_dim_enrich",
-        "streaming_interval_join",
-        "seeded_sample",
-        # invalidated this round (implementation changes)
+        # new oracle registrations this round
+        "suppliers_kept_waiting_q21",
+        "min_balance_supplier_q2",
+        "dominant_part_suppliers_q20",
+        "streaming_tdigest_quantiles",
+        # rows-only → oracle conversions this round
+        "pca_anomaly_scores",
+        "graph_global_centralities",
+        # invalidated this round (scaled-int64 lattice rewrite)
         "pagerank_bipartite",
-        "streaming_per_event_extended",
+        "hits_bipartite",
     ):
         assert name in window, f"{name} fell outside the driver cap"
+    r4 = {n for n, r in catalog.CERTIFIED.items() if r == 4}
+    assert r4 <= window, f"r4-stale rows outside the cap: {sorted(r4 - window)}"
