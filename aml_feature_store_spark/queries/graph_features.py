@@ -276,9 +276,8 @@ def _pagerank_sql(n_iters: int = 8, damping: float = 0.85) -> str:
     head = r"""
 WITH base AS (
   SELECT DISTINCT
-         'u:' || CAST(user_id AS VARCHAR) AS a,
-         'm:' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
-                      AS VARCHAR) AS b
+         user_id AS a,
+         -CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) - 1 AS b
   FROM events
   WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
 ),
@@ -323,7 +322,10 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope-caps centralities to networkx on collected edges,
     advanced_features.py:59-88 — this is the shape that actually scales).
     8 power iterations, damping 0.85, per-iteration 12-dp resync
-    rounding; oracle is an unrolled CTE chain, bit-exact."""
+    rounding; oracle is an unrolled CTE chain, bit-exact. Node ids are
+    LONGS (users ≥ 0, prop_k encoded -k-1, the landmark_closeness
+    scheme; r7 — the r6 'u:'/'m:' string keys made every per-iteration
+    shuffle hash/compare strings on the hottest join at the 10M anchor)."""
     from ..operators.graph import pagerank
     from ..schemas import EVENT_PROPS
 
@@ -332,8 +334,8 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
         .filter(F.col("prop_k").isNotNull())
         .select(
-            F.concat(F.lit("u:"), F.col("user_id")).alias("a"),
-            F.concat(F.lit("m:"), F.col("prop_k")).alias("b"),
+            F.col("user_id").alias("a"),
+            (-F.col("prop_k").cast("long") - 1).alias("b"),
         )
         .distinct()
     )
@@ -350,9 +352,8 @@ def _hits_sql(n_iters: int = 8) -> str:
     head = r"""
 WITH edges AS MATERIALIZED (
   SELECT DISTINCT
-         'u:' || CAST(user_id AS VARCHAR) AS src,
-         'm:' || CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
-                      AS VARCHAR) AS dst
+         user_id AS src,
+         -CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) - 1 AS dst
   FROM events
   WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
 ),
@@ -404,7 +405,9 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the DIRECTED user→prop_k graph — the
     complementary eigenvector pair to pagerank_bipartite (A28 family):
     users ranked as hubs, merchants as authorities, 8 mutually recursive
-    L2-normalized rounds, unrolled-CTE oracle, bit-exact."""
+    L2-normalized rounds, unrolled-CTE oracle, bit-exact. Long node ids
+    (users ≥ 0, prop_k as -k-1; r7, same rationale as
+    pagerank_bipartite — integer shuffle keys on the hot joins)."""
     from ..operators.graph import hits
     from ..schemas import EVENT_PROPS
 
@@ -413,8 +416,8 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
         .filter(F.col("prop_k").isNotNull())
         .select(
-            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
-            F.concat(F.lit("m:"), F.col("prop_k")).alias("dst"),
+            F.col("user_id").alias("src"),
+            (-F.col("prop_k").cast("long") - 1).alias("dst"),
         )
         .distinct()
     )
