@@ -416,9 +416,13 @@ def global_centralities(
     (A28's inherently-global metrics; reference advanced_features.py:59-72
     networkx calls).
 
-    These do NOT decompose into relational operators — this is the
-    documented applyInPandas escape hatch running Brandes' algorithm
-    (2001, O(V·E)) in numpy. Shortest paths never cross components, so by
+    At unbounded V these metrics do not decompose economically into
+    relational operators (the exact relational form,
+    :func:`bounded_exact_centralities`, carries O(V²) distance state and
+    is reserved for bounded slices) — this is the documented
+    applyInPandas escape hatch running Brandes' algorithm (2001,
+    O(V·E)) in numpy, pinned equal to the relational derivation in
+    tests/test_centralities.py. Shortest paths never cross components, so by
     default the graph is first split with distributed
     :func:`connected_components` and Brandes runs per component IN
     PARALLEL — ``max_nodes`` then guards the largest component, not the
