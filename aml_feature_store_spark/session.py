@@ -62,11 +62,22 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # a crashed Python worker dumps its native-frame traceback instead
+        # of dying silently as a bare daemon BrokenPipeError (the r7 100x
+        # bench lost one 10M-event sample to an untraceable worker death)
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )
     if master:
         builder = builder.master(master)
     elif not SparkSession.getActiveSession():
-        builder = builder.master(f"local[{cpus}]")
+        # local[N,2] = one task retry, mirroring a real cluster's
+        # spark.task.maxFailures=4 (local mode otherwise aborts the whole
+        # job on the FIRST task failure — a single transient worker crash
+        # zeroed a 55-minute bench section in r7). The conf key is ignored
+        # in local mode; only the master string sets it. A deterministic
+        # failure still fails: it just fails twice first.
+        builder = builder.master(f"local[{cpus},2]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

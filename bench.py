@@ -151,6 +151,21 @@ def _warm_section(qs, spark, sf_dir: str) -> None:
         pass  # warm-up must never fail the bench
 
 
+def _section_gc(spark) -> None:
+    """Full-GC hint at a section boundary. With a large driver heap
+    (SPARK_DRIVER_MEMORY=24g for the 100x section) the JVM lets garbage
+    from one section pile up into the next: r7's 100x run put the LLM
+    anchors first and the following events section opened with a 107.9 s
+    first warm (r6: 12.7 s) and ran its latency-sensitive streaming
+    queries ~2x slow under full-GC pauses. One System.gc() between
+    sections starts each on a compacted heap — the moral equivalent of
+    the separate JVMs these sections would be on a real cluster."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _loadavg() -> list[float]:
     try:
         return [round(x, 2) for x in os.getloadavg()]
@@ -442,6 +457,7 @@ def main() -> None:
         os.path.exists(os.path.join(scale_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
+        _section_gc(spark)
         _warm_section(qs, spark, scale_dir)
         scale_load = _loadavg()
         scale_timings: dict[str, float] = {}
@@ -485,6 +501,7 @@ def main() -> None:
         os.path.exists(os.path.join(hot_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
+        _section_gc(spark)
         _warm_section(qs, spark, hot_dir)
         hot_load = _loadavg()
         hot_timings: dict[str, float] = {}
@@ -523,6 +540,7 @@ def main() -> None:
         os.path.exists(os.path.join(skew_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
+        _section_gc(spark)
         _warm_section(qs, spark, skew_dir)
         skew_load = _loadavg()
         skew_timings: dict[str, float] = {}
@@ -562,6 +580,7 @@ def main() -> None:
         and os.path.exists(os.path.join(s100_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
+        _section_gc(spark)
         _warm_section(qs, spark, s100_dir)
         s100_load = _loadavg()
         s100_timings: dict[str, float] = {}
@@ -580,6 +599,9 @@ def main() -> None:
             if time.perf_counter() - t_start > budget_s * 2:
                 skipped.append("scale100:" + name)  # opt-in run: softer guard
                 continue
+            if has_llm_100 and name == SCALE_HEADLINE[0]:
+                # LLM -> events subsection boundary (see _section_gc)
+                _section_gc(spark)
             s100_timings[name], s100_samples[name] = _time_query(
                 qs, name, spark, s100_dir, max(scale_repeats - 1, 1)
             )
