@@ -314,8 +314,16 @@ def bounded_exact_centralities(
     from functools import reduce
 
     e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # node set = union of BOTH endpoints: on a directed (non-symmetrized)
+    # edge list a src-only derivation silently drops pure-sink nodes from
+    # the output and from the n_nodes normalization (networkx includes
+    # every endpoint). The symmetrized callers see the identical set, so
+    # certified results are unchanged.
     nodes = (
-        e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     dist = multi_source_bfs(e, nodes, max_depth=max_depth).localCheckpoint(
@@ -376,7 +384,12 @@ def bounded_exact_centralities(
     )
     cnt = F.count(F.lit(1)).cast("double")
     clo = dist.groupBy("root").agg(
-        ((cnt - 1.0) / F.sum("dist").cast("double")).alias("_inv"),
+        # guard inside the agg, not just downstream: a root that reaches
+        # only itself (directed pure sink) has Σdist = 0, and under ANSI
+        # the unguarded quotient raises before the outer WHEN can mask it
+        F.when(
+            F.sum("dist") > 0, (cnt - 1.0) / F.sum("dist").cast("double")
+        ).otherwise(F.lit(0.0)).alias("_inv"),
         (cnt - 1.0).alias("_nr"),
         F.sum("dist").cast("long").alias("_td"),
     )
@@ -619,6 +632,25 @@ def pagerank(
     )
 
 
+def _guarded_norm(side: str):
+    """The L2 norm column with an explicit overflow trap: a DECIMAL(38,0)
+    sum that overflows yields NULL (non-ANSI) — dividing by it would
+    silently NULL every score, while the DuckDB oracle's HUGEINT raises.
+    Raise loudly instead, naming the documented bound (Σ raw² < 1e14)."""
+    return F.when(
+        F.col("nrm").isNotNull() & (F.col("nrm") > 0), F.col("nrm")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"hits: {side} L2 norm overflowed DECIMAL(38,0) "
+                "(sum of squared 1e12-scaled scores >= 1e38, i.e. "
+                "sum(raw^2) >= 1e14 — a node with degree >= ~1e7); "
+                "shard the hot node or lower the lattice scale"
+            )
+        )
+    )
+
+
 def hits(
     edges: DataFrame, n_iters: int = 8, checkpoint_every: int = 2
 ) -> DataFrame:
@@ -649,8 +681,13 @@ def hits(
     # integer (fp error of h*1e12 is ≲1e-4 ≪ 0.5) identically in both
     # engines, and the per-node long sums are order-independent. Only the
     # node-cardinality L2 norm still sums in DECIMAL — (19,0)² products
-    # summed at (38,0), exact while Σ(raw·1e12)² < 1e38, i.e. raw scores
-    # below ~1e6 with ≤1e6 nodes (same documented bound as r6). The 1e12
+    # summed at (38,0), exact while Σ(raw·1e12)² < 1e38, i.e. Σ raw² <
+    # 1e14 (NOT raw<1e6 with 1e6 nodes as r6/r7 claimed — that sits at
+    # ~1e42, 4 orders past the cap). On iteration 1 raw equals in-degree,
+    # so one hot node with in-degree ≥ ~1e7 would overflow the sum; the
+    # norm select below guards that explicitly (a NULL/invalid norm
+    # raises instead of silently nulling every score — DuckDB's HUGEINT
+    # raises on the same overflow, so the engines stay aligned). The 1e12
     # scale cancels in score/norm, so the quotient needs no rescale.
     for it in range(n_iters):
         cp = (it + 1) % checkpoint_every == 0 or it == n_iters - 1
@@ -673,9 +710,10 @@ def hits(
         )
         auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
             F.col("dst").alias("node"),
-            F.round(F.col("a_raw").cast("double") / F.col("nrm"), 12).alias(
-                "a"
-            ),
+            F.round(
+                F.col("a_raw").cast("double") / _guarded_norm("authority"),
+                12,
+            ).alias("a"),
         )
         if cp:
             # checkpoint auths BEFORE building h_raw from it (r7): the
@@ -704,9 +742,9 @@ def hits(
         )
         hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
             F.col("src").alias("node"),
-            F.round(F.col("h_raw").cast("double") / F.col("nrm"), 12).alias(
-                "h"
-            ),
+            F.round(
+                F.col("h_raw").cast("double") / _guarded_norm("hub"), 12
+            ).alias("h"),
         )
         if cp:
             hubs = hubs.localCheckpoint(eager=True)

@@ -193,6 +193,43 @@ def _total_busy_jiffies() -> int:
     return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal (/proc/stat cpu field 8): jiffies the VM wanted
+    to run but the host scheduled elsewhere. Steal never shows up in any
+    process's accounting, so the external-cores probe is blind to it —
+    r7 recorded a 953 s sample of a 6 s query with ZERO measured
+    external cores; the box's cumulative steal was 4.3 core-hours."""
+    try:
+        with open("/proc/stat") as f:
+            vals = f.readline().split()[1:]
+        return int(vals[7]) if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return 0
+
+
+# Discard a timed sample when hypervisor steal averaged more than this
+# many cores during it (same unit as EXT_DISCARD_CORES; steal is summed
+# across all vCPUs so steal_cores = steal_jiffies / HZ / wall).
+STEAL_DISCARD_CORES = float(os.environ.get("BENCH_STEAL_DISCARD_CORES", "4"))
+
+
+def _discard_reason(t: float, ext: float, gc_ms: float, steal_cores: float):
+    """Pure decision: why a timed sample must not enter the artifact.
+
+    Returns a dict describing the discard (merged into the 'discarded'
+    record) or None to keep the sample. Three documented, mechanical
+    rules — external process load, stop-the-world JVM GC dominating the
+    sample, and hypervisor steal (the r7 contamination class that the
+    first two cannot see). Unit-tested in tests/test_bench_merge.py."""
+    if ext > EXT_DISCARD_CORES:
+        return {"t": t, "ext_cores": ext}
+    if gc_ms > 0.5 * t * 1000:
+        return {"t": t, "gc_ms": int(gc_ms)}
+    if steal_cores > STEAL_DISCARD_CORES:
+        return {"t": t, "steal_cores": round(steal_cores, 2)}
+    return None
+
+
 def _tree_cpu_jiffies() -> int:
     """CPU jiffies consumed by this process and every live descendant
     (the Spark JVM and its Python workers are children of this driver)."""
@@ -279,6 +316,7 @@ def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
 
     kept: list[float] = []
     ext_seen: list[float] = []
+    steal_seen: list[float] = []
     discarded: list[dict] = []
     err = None
     budget = repeats + 6  # replacements for discards + spread retries
@@ -286,6 +324,7 @@ def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
     while attempts < budget:
         attempts += 1
         busy0, tree0 = _total_busy_jiffies(), _tree_cpu_jiffies()
+        steal0 = _steal_jiffies()
         gc0 = _jvm_gc_millis(spark)
         try:
             t = run()
@@ -294,23 +333,26 @@ def _time_query(qs, name: str, spark, sf_dir: str, repeats: int):
             break
         ext = round(_external_cores(t, busy0, tree0), 2)
         gc_ms = _jvm_gc_millis(spark) - gc0
-        if ext > EXT_DISCARD_CORES and len(discarded) < 3:
-            discarded.append({"t": t, "ext_cores": ext})
-            continue
-        if gc_ms > 0.5 * t * 1000 and len(discarded) < 3:
-            # second documented discard: a sample dominated by stop-the-
-            # world JVM GC (zero external load, one isolated multi-x
-            # spike among tight samples — seen at the 1M anchors)
-            discarded.append({"t": t, "gc_ms": int(gc_ms)})
+        steal_s = (_steal_jiffies() - steal0) / _HZ
+        steal_cores = steal_s / max(t, 1e-6)
+        reason = _discard_reason(t, ext, gc_ms, steal_cores)
+        if reason is not None and len(discarded) < 3:
+            discarded.append(reason)
             continue
         kept.append(t)
         ext_seen.append(ext)
+        steal_seen.append(round(steal_s, 2))
         if len(kept) >= repeats and (max(kept) / min(kept)) <= 2.0:
             break
         if len(kept) >= repeats + 3:
             break  # spread persists; report it honestly
 
-    out = {"warm": warms, "timed": kept, "ext_cores": ext_seen}
+    out = {
+        "warm": warms,
+        "timed": kept,
+        "ext_cores": ext_seen,
+        "steal_s": steal_seen,
+    }
     if discarded:
         out["discarded"] = discarded
     if err:
@@ -337,6 +379,20 @@ def _merge_artifacts(paths: list[str]) -> dict:
         with open(p) as f:
             arts.append(json.load(f))
     merged = json.loads(json.dumps(arts[0]))  # deep copy of the first
+    # Union section keys across ALL inputs: a section only one later run
+    # carries (e.g. scale100 succeeded only in run 2) is seeded from the
+    # first artifact that has it, then min-merged like the rest — without
+    # this, that whole section was silently dropped, contradicting the
+    # contract above.
+    for sect in ("scale", "scale_hot", "scale_skew", "scale100"):
+        if sect not in merged:
+            for other in arts[1:]:
+                if sect in other:
+                    merged[sect] = json.loads(json.dumps(other[sect]))
+                    merged[sect]["seeded_from"] = os.path.basename(
+                        paths[arts.index(other)]
+                    )
+                    break
     sections = [("queries", merged)] + [
         (sect, merged[sect])
         for sect in ("scale", "scale_hot", "scale_skew", "scale100")
@@ -358,6 +414,13 @@ def _merge_artifacts(paths: list[str]) -> dict:
         holder[total_key] = round(
             sum(v for v in qdict.values() if v is not None), 3
         )
+        # the seed run's raw samples no longer correspond to the merged
+        # per-query mins — keep them (provenance) but say so explicitly
+        if "samples" in holder:
+            holder["samples_note"] = (
+                "raw samples are from the seeding run only; per-query "
+                "timings are mins across merged_from"
+            )
     merged["merged_from"] = [os.path.basename(p) for p in paths]
     return merged
 
@@ -496,8 +559,11 @@ def main() -> None:
             "records the average busy cores used by processes outside "
             f"this bench's process tree — samples above {EXT_DISCARD_CORES} "
             "external cores are discarded (recorded under 'discarded') "
-            "and replaced; per-query max/min spread of kept samples is "
-            "in 'spread'"
+            "and replaced; samples whose hypervisor steal "
+            f"(/proc/stat field 8 delta) exceeds {STEAL_DISCARD_CORES} "
+            "average cores are likewise discarded (per-sample steal "
+            "seconds recorded under 'steal_s'); per-query max/min spread "
+            "of kept samples is in 'spread'"
         ),
     }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -704,6 +770,34 @@ def main() -> None:
             }
     slim["full_artifact"] = artifact_path
     print(json.dumps(slim))
+    # FINAL stdout line, guaranteed tiny (<1.5 kB): the driver archives
+    # only the last ~2000 chars of stdout and parses the tail — the slim
+    # line above is still ~4.6 kB with 40 queries, so r5/r6/r7 artifacts
+    # all recorded "parsed": null with the line's head cut mid-dict. This
+    # line carries the headline numbers + section totals + the 5 slowest
+    # query timings and points at the full artifact for everything else.
+    top5 = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t is not None),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    final = {
+        "metric": "headline-query wall time, noop sink, min of repeats",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "n_skipped": len(skipped),
+        "queries": top5,
+        "queries_note": "5 slowest of n_queries; all in full_artifact",
+        "full_artifact": artifact_path,
+    }
+    for sect in ("scale", "scale_hot", "scale_skew", "scale100"):
+        if sect in out:
+            final[sect + "_total"] = out[sect]["value"]
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

@@ -62,6 +62,44 @@ def test_merge_ignores_queries_missing_from_later_runs(tmp_path):
     assert merged["queries"] == {"q1": 1.5, "only_in_a": 4.0}
 
 
+def test_merge_seeds_sections_missing_from_first_run(tmp_path):
+    # scale100 succeeded only in the SECOND run: the section must survive
+    # the merge (seeded from b) instead of being silently dropped
+    a = _artifact({"q1": 2.0})
+    b = _artifact({"q1": 3.0}, scale100={"s1": 10.0})
+    c = _artifact({"q1": 4.0}, scale100={"s1": 8.0})
+    paths = []
+    for name, art in (("a", a), ("b", b), ("c", c)):
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps(art))
+        paths.append(str(p))
+    merged = bench._merge_artifacts(paths)
+    assert merged["queries"] == {"q1": 2.0}
+    assert merged["scale100"]["queries"] == {"s1": 8.0}  # min of b and c
+    assert merged["scale100"]["value"] == 8.0
+    assert merged["scale100"]["seeded_from"] == "b.json"
+
+
+def test_discard_reason_rules():
+    # clean sample: kept
+    assert bench._discard_reason(5.0, ext=1.0, gc_ms=100, steal_cores=0.1) is None
+    # external-process load beyond the documented threshold
+    r = bench._discard_reason(5.0, ext=bench.EXT_DISCARD_CORES + 1, gc_ms=0,
+                              steal_cores=0.0)
+    assert r == {"t": 5.0, "ext_cores": bench.EXT_DISCARD_CORES + 1}
+    # stop-the-world GC dominating the sample (>50% of wall)
+    r = bench._discard_reason(2.0, ext=0.0, gc_ms=1500, steal_cores=0.0)
+    assert r == {"t": 2.0, "gc_ms": 1500}
+    # hypervisor steal: the r7 class invisible to process accounting —
+    # a 953 s sample of a 6 s query with 0 external cores but huge steal
+    r = bench._discard_reason(953.0, ext=0.0, gc_ms=0,
+                              steal_cores=bench.STEAL_DISCARD_CORES * 3)
+    assert r is not None and "steal_cores" in r
+    # steal just under the threshold: kept (rule is a threshold, not a tax)
+    assert bench._discard_reason(6.0, ext=0.0, gc_ms=0,
+                                 steal_cores=bench.STEAL_DISCARD_CORES - 0.5) is None
+
+
 def test_render_markdown_single_and_multi(tmp_path):
     a = _artifact({"q1": 2.0})
     b = _artifact({"q1": 1.0})

@@ -209,3 +209,28 @@ def test_bounded_exact_matches_brandes(spark):
         assert rel[node]["betweenness_centrality"] == pytest.approx(
             brandes[node]["betweenness_centrality"], abs=2e-6
         ), node
+
+
+def test_bounded_exact_includes_directed_sink_nodes(spark):
+    """On a DIRECTED (non-symmetrized) edge list, nodes that only appear
+    as destinations must still be output rows and count toward the
+    n_nodes normalization (networkx includes every endpoint) — the r7
+    src-only node derivation silently dropped them (ADVICE r8)."""
+    from aml_feature_store_spark.operators.graph import (
+        bounded_exact_centralities,
+    )
+
+    # path 0 -> 1 -> 2: node 2 is a pure sink (never a src)
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    rows = {r["node"]: r for r in bounded_exact_centralities(edges).collect()}
+    assert set(rows) == {0, 1, 2}
+    # sink: nothing reachable, closeness 0; never an intermediary
+    assert rows[2]["closeness_centrality"] == pytest.approx(0.0)
+    assert rows[2]["betweenness_centrality"] == pytest.approx(0.0)
+    # node 1 lies on the single 0->2 shortest path: ordered-pair Brandes
+    # dependency 1/((n-1)(n-2)) = 0.5
+    assert rows[1]["betweenness_centrality"] == pytest.approx(0.5, abs=2e-6)
+    # closeness, networkx reachable-set convention: node 0 reaches both
+    # others at distances 1 and 2 -> (2/2) * (2/3) ... = (k-1)/sum_d * (k-1)/(n-1)
+    # with k=3 reachable incl. self: ((3-1)/3) * ((3-1)/(3-1)) = 2/3
+    assert rows[0]["closeness_centrality"] == pytest.approx(2 / 3, abs=2e-6)
