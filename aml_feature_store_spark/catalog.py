@@ -38,83 +38,40 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # least-certified surface. Rows-only (oracle=None) queries sort last: a
 # driver slot spent there yields no hash signal.
 CERTIFIED: dict[str, int] = {
-    # r4-certified
-    "amount_trend_per_user": 4,
-    "ann_ivf_multiprobe": 4,
-    "ann_ivf_topk": 4,
-    "ann_ivf_topk_refined": 4,
-    "ann_recall_at_k": 4,
-    "ann_recall_refined": 4,
-    "batch_score_requests": 4,
-    "dedup_exact": 4,
-    "dedup_ngram_jaccard": 4,
-    "dedup_simhash": 4,
-    "doc_fingerprints": 4,
-    "gini_per_user": 4,
-    "hhi_per_user": 4,
-    "hour_entropy_per_user": 4,
-    "knn_cosine_bruteforce": 4,
-    "language_id": 4,
-    "merchant_graph_features": 4,
-    "merchant_trailing_features": 4,
-    "moments_per_user": 4,
-    "population_zscore_per_user": 4,
-    "retrain_decision": 4,
-    "risk_explanations": 4,
-    "risk_shapley": 4,
-    "streaming_graph_edges": 4,
-    "streaming_tumbling_complete": 4,
-    "text_stats": 4,
-    "user_graph_degrees": 4,
-    "user_shared_k_pairs": 4,
-    "windowed_entropy_24h": 4,
     # r5-certified
     "ann_ivf_index_topk": 5,
-    "behavioral_feature_vector": 5,
     "benchmark_decontamination": 5,
     "bm25_rank": 5,
-    "conditional_window_counts": 5,
     "curate_training_docs": 5,
     "daily_counts_per_user": 5,
-    "dbscan_outliers_sliced": 5,
     "dedup_components_lsh": 5,
     "dedup_minhash_lsh": 5,
-    "derived_time_flags": 5,
     "domain_mixture_weights": 5,
     "dow_entropy_per_user": 5,
     "event_type_pivot": 5,
     "graph_edge_list": 5,
     "interarrival_stats_per_user": 5,
-    "ks_drift_value": 5,
     "landmark_closeness": 5,
     "mktsegment_acctbal_summary": 5,
     "multimodal_binary_stats": 5,
-    "pit_join_purchases_24h": 5,
     "pricing_summary": 5,
-    "props_json_extract": 5,
     "quantiles_by_event_type": 5,
     "regional_revenue": 5,
     "repetition_stats": 5,
     "revenue_rollup_region_nation": 5,
-    "risk_scores": 5,
-    "running_totals_per_user": 5,
     "salted_user_totals": 5,
     "sequence_lag_features": 5,
-    "session_window_rollup": 5,
     "span_dup_coverage": 5,
     "stratified_sample": 5,
     "streaming_per_event_features": 5,
     "tfidf_top_terms": 5,
     "time_bucket_rollup": 5,
     "timestamp_functions": 5,
-    "top_events_global": 5,
     "top_orders_per_customer": 5,
     "trailing_1h_features": 5,
     "trailing_multiwindow_features": 5,
     "trailing_sums_cumsum_strategy": 5,
     "unigram_logprob_quality": 5,
-    "unique_counts_windows": 5,
-    "user_sessions": 5,
     "windowed_gini_24h": 5,
     "windowed_hhi_24h": 5,
     # r6-certified
@@ -166,9 +123,57 @@ CERTIFIED: dict[str, int] = {
     "unique_users_approx_by_type": 6,
     "user_clustering_coeff": 6,
     "viewers_never_purchased": 6,
-    # pagerank_bipartite / hits_bipartite: r6 rows INVALIDATED r7 — the
-    # per-edge DECIMAL sums were replaced by the scaled-int64 lattice
-    # (VERDICT r6 #1); re-certify under the new arithmetic.
+    # r7-certified
+    "amount_trend_per_user": 7,
+    "ann_ivf_multiprobe": 7,
+    "ann_ivf_topk": 7,
+    "ann_ivf_topk_refined": 7,
+    "ann_recall_at_k": 7,
+    "ann_recall_refined": 7,
+    "batch_score_requests": 7,
+    "behavioral_feature_vector": 7,
+    "conditional_window_counts": 7,
+    "dbscan_outliers_sliced": 7,
+    "dedup_exact": 7,
+    "dedup_ngram_jaccard": 7,
+    "dedup_simhash": 7,
+    "derived_time_flags": 7,
+    "doc_fingerprints": 7,
+    "dominant_part_suppliers_q20": 7,
+    "gini_per_user": 7,
+    "graph_global_centralities": 7,
+    "hhi_per_user": 7,
+    "hits_bipartite": 7,
+    "hour_entropy_per_user": 7,
+    "knn_cosine_bruteforce": 7,
+    "ks_drift_value": 7,
+    "language_id": 7,
+    "merchant_graph_features": 7,
+    "merchant_trailing_features": 7,
+    "min_balance_supplier_q2": 7,
+    "moments_per_user": 7,
+    "pagerank_bipartite": 7,
+    "pca_anomaly_scores": 7,
+    "pit_join_purchases_24h": 7,
+    "population_zscore_per_user": 7,
+    "props_json_extract": 7,
+    "retrain_decision": 7,
+    "risk_explanations": 7,
+    "risk_scores": 7,
+    "risk_shapley": 7,
+    "running_totals_per_user": 7,
+    "session_window_rollup": 7,
+    "streaming_graph_edges": 7,
+    "streaming_tdigest_quantiles": 7,
+    "streaming_tumbling_complete": 7,
+    "suppliers_kept_waiting_q21": 7,
+    "text_stats": 7,
+    "top_events_global": 7,
+    "unique_counts_windows": 7,
+    "user_graph_degrees": 7,
+    "user_sessions": 7,
+    "user_shared_k_pairs": 7,
+    "windowed_entropy_24h": 7,
 }
 
 # The driver's correctness gate checks the first DRIVER_CAP registered

@@ -85,27 +85,29 @@ def test_rows_only_sort_last():
     assert not mixed, f"oracle-backed queries sorted after rows-only: {mixed}"
 
 
-def test_r7_rotation_pins_new_and_stalest():
-    """VERDICT r6 #2: the r7 window must lead with this round's new and
-    invalidated oracle queries and then absorb EVERY remaining r4-stale
-    row — after the r7 driver run no oracle query is certified older
-    than r5."""
+def test_rotation_pins_never_certified_then_stalest():
+    """Round-agnostic rotation invariant (replaces the r7-specific pin,
+    which described the pre-r7-fold ledger): the driver certifies only
+    the first DRIVER_CAP names, so the window must lead with every
+    never-certified oracle query and then absorb ALL rows from the
+    stalest certified round (the treadmill: each round retires the
+    oldest certifications)."""
     catalog._ensure_loaded()
     names = _ordered_names()
     window = set(names[:DRIVER_CAP])
-    for name in (
-        # new oracle registrations this round
-        "suppliers_kept_waiting_q21",
-        "min_balance_supplier_q2",
-        "dominant_part_suppliers_q20",
-        "streaming_tdigest_quantiles",
-        # rows-only → oracle conversions this round
-        "pca_anomaly_scores",
-        "graph_global_centralities",
-        # invalidated this round (scaled-int64 lattice rewrite)
-        "pagerank_bipartite",
-        "hits_bipartite",
-    ):
-        assert name in window, f"{name} fell outside the driver cap"
-    r4 = {n for n, r in catalog.CERTIFIED.items() if r == 4}
-    assert r4 <= window, f"r4-stale rows outside the cap: {sorted(r4 - window)}"
+    oracle = set(catalog.oracle_sql())
+    never = oracle - set(catalog.CERTIFIED)
+    assert never <= window, f"never-certified outside the cap: {sorted(never - window)}"
+    if catalog.CERTIFIED:
+        stalest = min(catalog.CERTIFIED.values())
+        stale_rows = {
+            n for n, r in catalog.CERTIFIED.items() if r == stalest and n in oracle
+        }
+        # all stalest rows rotate in, up to the cap's remaining room
+        room = DRIVER_CAP - len(never)
+        expect = stale_rows if len(stale_rows) <= room else None
+        if expect is not None:
+            assert expect <= window, (
+                f"stalest (r{stalest}) rows outside the cap: "
+                f"{sorted(expect - window)}"
+            )
