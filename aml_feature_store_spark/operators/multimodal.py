@@ -451,6 +451,68 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+PX_CONTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_sq_sum", T.LongType()),
+        T.StructField("roundtrip_fixpoint", T.BooleanType()),
+    ]
+)
+
+
+def decode_pixel_contract(
+    df: DataFrame, codec: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Validation-contract decode (r8): run the REAL native parser over
+    each payload and emit facts an oracle can check independently —
+    integer pixel sums (exact, order-invariant, and recomputable by
+    DuckDB from the planted source bytes without any codec) plus an
+    encode→decode fixpoint boolean (re-encode the decoded array, decode
+    again, require pixel-exact equality). A parse failure emits NULLs,
+    which the oracle comparison turns red — so the codec path itself is
+    driver-certifiable, the same idiom as the sketch validation
+    contracts. Arrow-batched mapInPandas; no shuffle."""
+    import numpy as np
+
+    parse = {"png": _parse_png_pixels, "bmp": _parse_bmp_pixels}[codec]
+    encode = {"png": _encode_png, "bmp": _encode_bmp}[codec]
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                got = parse(b)
+                if got is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None)
+                    )
+                    continue
+                w, h, nch, px = got
+                flat = np.asarray(px, dtype=np.int64)
+                s = int(flat.sum())
+                sq = int((flat * flat).sum())
+                again = parse(encode(np.asarray(px, dtype=np.uint8)))
+                fix = again is not None and np.array_equal(
+                    np.asarray(again[3]), np.asarray(px)
+                )
+                rows.append((doc_id, codec, w, h, nch, s, sq, bool(fix)))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in PX_CONTRACT_SCHEMA],
+                dtype=object,
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        _batch, schema=PX_CONTRACT_SCHEMA
+    )
+
+
 def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:
     """Deterministically build REAL 8×8 24-bit BMP bytes per document
     (pixels = repeating UTF-8 text bytes) — gives the decode path genuine

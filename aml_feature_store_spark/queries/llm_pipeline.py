@@ -195,31 +195,103 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_image_features(multimodal.binarize_documents(docs))
 
 
-@register("multimodal_decode_features", oracle=None)
+# Oracle for the codec validation contracts (r8, VERDICT #6): the
+# synthesized 8×8×3 images plant np.resize(utf8_bytes, 192) — byte i of
+# the pixel array is source byte (i mod n) — so DuckDB recomputes the
+# exact integer pixel sums from the documents table alone (hex-pair →
+# int via a strpos lookup), with zero codec involvement. The Spark side
+# derives the same sums from the DECODED pixels, so any decode defect
+# diverges. Dims/format are planted constants; the encode→decode
+# fixpoint boolean must be TRUE everywhere. mean = sum/192 and
+# std = sqrt(sq/192 − (sum/192)²) are evaluated with the identical
+# expression tree on both engines (integer operands → bit-identical
+# doubles), then 6-dp rounded per house rules.
+_PX_CONTRACT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         hex(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS hx,
+         octet_length(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS n
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1) AS v
+  FROM b, range(0, 192) t(i)
+), s AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
+         CAST(sum(v*v) AS BIGINT) AS px_sq_sum
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, '{fmt}' AS "format", 8 AS width, 8 AS height, 3 AS n_channels,
+       px_sum, px_sq_sum,
+       round(px_sum / 192.0, 6) + 0.0 AS px_mean,
+       round(sqrt(px_sq_sum / 192.0 - (px_sum / 192.0) * (px_sum / 192.0)), 6) + 0.0 AS px_std,
+       TRUE AS roundtrip_fixpoint
+FROM s
+"""
+
+
+def _px_contract_stats(contract: DataFrame) -> DataFrame:
+    """mean/std columns from the exact integer sums — the same expression
+    tree the oracle evaluates, so the doubles are bit-identical."""
+    mean = F.col("px_sum") / F.lit(192.0)
+    return contract.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "n_channels",
+        "px_sum",
+        "px_sq_sum",
+        (F.round(mean, 6) + F.lit(0.0)).alias("px_mean"),
+        (
+            F.round(
+                F.sqrt(F.col("px_sq_sum") / F.lit(192.0) - mean * mean), 6
+            )
+            + F.lit(0.0)
+        ).alias("px_std"),
+        "roundtrip_fixpoint",
+    )
+
+
+@register("multimodal_decode_features", oracle=_PX_CONTRACT_ORACLE.format(fmt="bmp"))
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL format decode over genuine BMP bytes (X5): deterministic 8x8
     24-bit BMPs are synthesized from each document's UTF-8 bytes, then
-    parsed back by the pure struct+numpy decoder — dimensions, channels,
-    pixel mean/std per doc. Rows-only; exact decode of hand-built
-    BMP/PPM/WAV fixtures is pytest-pinned. Compressed PNG, GIF and
-    baseline and progressive JPEG decode natively too (stdlib zlib /
-    pure-Python LZW / pure-Python Huffman+IDCT); only WebP remains
-    PIL-gated."""
+    parsed back by the pure struct+numpy decoder. Oracle-certified via the
+    codec validation contract (r8, converted from rows-only): integer
+    pixel sums recomputed by DuckDB from the planted source bytes, planted
+    dimensions, an encode→decode fixpoint boolean, and mean/std derived
+    from the exact sums — a decode defect or broken round-trip turns the
+    row red. Exact decode of hand-built BMP/PPM/WAV fixtures stays
+    pytest-pinned; compressed PNG, GIF and baseline+progressive JPEG
+    decode natively too (stdlib zlib / pure-Python LZW / pure-Python
+    Huffman+IDCT); only lossy-VP8 WebP remains PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_features(multimodal.synthesize_bmp_payloads(docs))
+    return _px_contract_stats(
+        multimodal.decode_pixel_contract(
+            multimodal.synthesize_bmp_payloads(docs), "bmp"
+        )
+    )
 
 
-@register("multimodal_png_features", oracle=None)
+@register("multimodal_png_features", oracle=_PX_CONTRACT_ORACLE.format(fmt="png"))
 def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-format decode with zero codec libraries (X5): real RGB
     PNGs (DEFLATE-compressed scanlines) are synthesized from each
-    document's UTF-8 bytes, then decoded natively with stdlib
-    zlib+numpy — chunk walk, inflate, scanline-filter inversion. Rows-only
-    (binary payloads aren't SQL-expressible); exact decode of all five
-    PNG filter types, palette images, and encode/decode round-trips are
-    pytest-pinned in tests/test_llm_ops.py."""
+    document's UTF-8 bytes, then decoded natively with stdlib zlib+numpy —
+    chunk walk, inflate, scanline-filter inversion. Oracle-certified via
+    the codec validation contract (r8, converted from rows-only; same
+    contract as multimodal_decode_features — the sums pass through the
+    full DEFLATE decode, so a single wrong inflated byte diverges). Exact
+    decode of all five PNG filter types, palette images, and encode/decode
+    round-trips remain pytest-pinned in tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_features(multimodal.synthesize_png_payloads(docs))
+    return _px_contract_stats(
+        multimodal.decode_pixel_contract(
+            multimodal.synthesize_png_payloads(docs), "png"
+        )
+    )
 
 
 @register("multimodal_resize_features", oracle=None)

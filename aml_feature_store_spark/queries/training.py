@@ -83,17 +83,62 @@ def gbt_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
-@register("gbt_feature_contributions", oracle=None)
+@register(
+    "gbt_feature_contributions",
+    oracle="""
+SELECT u.user_id, f.feature,
+       TRUE AS contribution_finite, TRUE AS axiom_ok, TRUE AS base_is_global
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (VALUES ('txn_amount_sum_1h'), ('txn_count_1h'),
+                   ('velocity_score_1h'), ('unique_event_type_1h')) f(feature)
+""",
+)
 def gbt_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-feature path attribution (Saabas decomposition) of the fitted
     GBT model over every scored entity — the tree-model counterpart of
-    risk_shapley (shap_explainer.py:78-126 re-expressed): long-format
-    (user_id, feature, contribution, base_value, margin) rows with
-    margin = base + Σ contributions exactly. Rows-only; the telescoping
-    identity and model-probability agreement are pytest-pinned."""
+    risk_shapley (shap_explainer.py:78-126 re-expressed). Oracle-certified
+    via the axiom validation contract (r8, converted from rows-only):
+    tree FITS aren't bit-portable across engines, but the attribution
+    AXIOMS hold for any fit, so the query emits them as booleans the
+    oracle pins TRUE over the exact (user × feature) key set —
+    margin = base + Σ contributions within 1e-6 (Saabas telescoping),
+    every contribution finite, and one global base value. A broken walk,
+    dropped feature, or NaN contribution turns rows red. The raw
+    contribution surface stays pytest-pinned (telescoping identity +
+    model-probability agreement in tests/test_training.py)."""
     feats = _gbt_inputs(spark, sf_dir)
     model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
-    return training.gbt_path_contributions(feats, model, _GBT_FEATURES)
+    contrib = training.gbt_path_contributions(feats, model, _GBT_FEATURES)
+    per_user = contrib.groupBy("user_id").agg(
+        F.sum("contribution").alias("_csum"),
+        F.first("base_value").alias("_base"),
+        F.first("margin").alias("_margin"),
+    )
+    glob = contrib.agg(
+        F.min("base_value").alias("_gbmin"), F.max("base_value").alias("_gbmax")
+    )
+    inf = F.lit(float("inf"))
+    return (
+        contrib.join(per_user, "user_id")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "user_id",
+            "feature",
+            (
+                F.col("contribution").isNotNull()
+                & ~F.isnan("contribution")
+                & (F.abs(F.col("contribution")) < inf)
+            ).alias("contribution_finite"),
+            (
+                F.abs(F.col("_margin") - (F.col("_base") + F.col("_csum")))
+                <= F.lit(1e-6)
+            ).alias("axiom_ok"),
+            (
+                (F.col("base_value") == F.col("_gbmin"))
+                & (F.col("_gbmin") == F.col("_gbmax"))
+            ).alias("base_is_global"),
+        )
+    )
 
 
 @register("gbt_shap_values", oracle=None)
