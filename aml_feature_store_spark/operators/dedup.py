@@ -165,13 +165,127 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return withh.groupBy(F.col(id_col)).agg(*aggs)
 
 
+def _exact_collapse(docs: DataFrame, id_col: str = "doc_id",
+                    content_col: str = "text"):
+    """(members, reps) for exact-duplicate pre-collapse (r8 hot-bucket
+    mitigation). Identical text ⇒ identical shingle set ⇒ identical
+    MinHash signature ⇒ identical band buckets and identical Jaccard to
+    every other document — so LSH over one representative per distinct
+    text plus a post-hoc expansion is EXACTLY the all-docs computation,
+    while candidate generation and shingle verification become quadratic
+    in REPRESENTATIVES, not documents. This is the adversary where one
+    band bucket holds 25% of the corpus as exact copies (every LLM-scale
+    dedup pipeline runs exact dedup before fuzzy dedup for this reason);
+    chosen over band salting / hot-bucket caps because it is lossless.
+
+    members: (id, _ck content digest, _rep = min id of the exact group);
+    reps: the full docs rows of the representatives."""
+    mem = docs.select(F.col(id_col), F.md5(F.col(content_col)).alias("_ck"))
+    grp = mem.groupBy("_ck").agg(F.min(id_col).alias("_rep"))
+    members = mem.join(grp, "_ck").select(id_col, "_ck", "_rep")
+    reps = docs.join(
+        members.filter(F.col(id_col) == F.col("_rep")).select(id_col), id_col
+    )
+    return members, reps
+
+
+def _shingled_reps(reps: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Representatives whose text yields at least one shingle (≥ 3
+    tokens). Groups below that produce NO signature/band rows, so the
+    uncollapsed pipeline never pairs them — the expansion must mirror
+    that, or identical two-word docs would gain pairs the oracle lacks."""
+    return reps.withColumn("_toks", F.expr(_TOKS)).filter(
+        F.size("_toks") >= SHINGLE_N
+    ).select(F.col(id_col).alias("_rep"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       id_col: str = "doc_id") -> DataFrame:
     """LSH candidate pairs (any identical band) verified with exact Jaccard.
 
     Returns (d1, d2, est_sim, jaccard) for verified pairs ≥ threshold.
     est_sim = fraction of the 16 signature components that agree.
-    """
+
+    Execution (r8): exact-duplicate pre-collapse (see _exact_collapse) —
+    the banding/verify pipeline runs on one representative per distinct
+    text, then pairs expand back: intra-group pairs are emitted directly
+    (est_sim = jaccard = 1 by identity, gated on the group having
+    shingles), cross-group pairs inherit their representative pair's
+    exact values. Output is provably identical to running the pipeline
+    over all documents; the oracle is unchanged."""
+    members, reps = _exact_collapse(docs, id_col)
+    members = members.cache()
+    rep_pairs = _rep_lsh_pairs(reps, threshold, id_col)
+    shingled = _shingled_reps(reps, id_col)
+    eligible = members.join(shingled, members["_rep"] == shingled["_rep"]
+                            ).select(members[id_col], "_ck")
+    x = eligible.select(F.col(id_col).alias("d1"), "_ck")
+    y = eligible.select(F.col(id_col).alias("d2"), "_ck")
+    intra = (
+        x.join(y, "_ck")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2",
+            F.lit(1.0).alias("est_sim"), F.lit(1.0).alias("jaccard"),
+        )
+    )
+    m1 = members.select(F.col("_rep").alias("_r1"), F.col(id_col).alias("_m1"))
+    m2 = members.select(F.col("_rep").alias("_r2"), F.col(id_col).alias("_m2"))
+    cross = (
+        rep_pairs.withColumnsRenamed({"d1": "_r1", "d2": "_r2"})
+        .join(m1, "_r1")
+        .join(m2, "_r2")
+        .select(
+            F.least("_m1", "_m2").alias("d1"),
+            F.greatest("_m1", "_m2").alias("d2"),
+            "est_sim",
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def minhash_dedup_labels(docs: DataFrame, threshold: float = 0.5,
+                         id_col: str = "doc_id",
+                         max_rounds: int = 12) -> DataFrame:
+    """Corpus dedup labels (component = min reachable id, is_canonical)
+    over the COLLAPSED exact-dup graph (r8): star-contraction components
+    run on representative pairs only, then every member inherits its
+    representative's component — exact, because each member is jaccard-1
+    connected to its representative and the representative is already its
+    group's min id. A 25%-of-corpus exact-dup cluster costs O(cluster)
+    here instead of the O(cluster²) expanded pair graph. Members of
+    shingle-less groups (< 3 tokens ⇒ no bands ⇒ no pairs) label
+    themselves, mirroring the uncollapsed semantics."""
+    members, reps = _exact_collapse(docs, id_col)
+    members = members.cache()
+    rep_pairs = _rep_lsh_pairs(reps, threshold, id_col)
+    rep_labels = near_dup_components_star(reps, rep_pairs, id_col, max_rounds)
+    shingled = _shingled_reps(reps, id_col).withColumn("_sh", F.lit(True))
+    lab = (
+        members.join(shingled, "_rep", "left")
+        .join(
+            rep_labels.select(F.col(id_col).alias("_rep"),
+                              F.col("component").alias("_rc")),
+            "_rep",
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("_sh"), F.col("_rc")).otherwise(F.col(id_col))
+            .alias("component"),
+        )
+    )
+    return lab.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _rep_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The banding → candidate → exact-Jaccard-verify pipeline (runs on
+    exact-dup representatives; see minhash_lsh_pairs)."""
     # sh and sig are re-read by several downstream branches (banding,
     # signature-agreement join, Jaccard verify) — persist them or Spark
     # recomputes the whole shingle pipeline once per branch
@@ -206,20 +320,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .select("d1", "d2")
         .distinct()
     )
-    s1 = sig.select(
-        F.col(id_col).alias("d1"), *[F.col(f"sig{i}").alias(f"a{i}") for i in range(MINHASH_K)]
-    )
-    s2 = sig.select(
-        F.col(id_col).alias("d2"), *[F.col(f"sig{i}").alias(f"b{i}") for i in range(MINHASH_K)]
-    )
-    est = F.lit(0)
-    for i in range(MINHASH_K):
-        est = est + F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-    cand_est = (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", (est.cast("double") / MINHASH_K).alias("est_sim"))
-    )
     # exact-Jaccard verify restricted to CANDIDATE pairs only (the whole
     # point of LSH): explode candidates against the two shingle sides
     # instead of the full inverted-index self-join — at scale this is the
@@ -245,10 +345,31 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
             ).alias("jaccard"),
         )
     )
+    # est_sim joins the two 16-component signature rows per pair — the
+    # WIDEST per-candidate work in the pipeline. Verify first, attach est
+    # to SURVIVORS only (r8): under the gray adversary (sub-threshold
+    # near-clique: banding admits ~0.8M candidate pairs, verification
+    # rejects every one) the wide join then touches ~5k rows instead of
+    # ~0.8M. Output-identical — est_sim is only ever emitted for pairs
+    # that pass the jaccard threshold.
+    keep = true_j.filter(F.col("jaccard") >= threshold)
+    s1 = sig.select(
+        F.col(id_col).alias("d1"), *[F.col(f"sig{i}").alias(f"a{i}") for i in range(MINHASH_K)]
+    )
+    s2 = sig.select(
+        F.col(id_col).alias("d2"), *[F.col(f"sig{i}").alias(f"b{i}") for i in range(MINHASH_K)]
+    )
+    est = F.lit(0)
+    for i in range(MINHASH_K):
+        est = est + F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
     return (
-        cand_est.join(true_j, ["d1", "d2"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "est_sim", "jaccard")
+        keep.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1", "d2",
+            (est.cast("double") / MINHASH_K).alias("est_sim"),
+            "jaccard",
+        )
     )
 
 

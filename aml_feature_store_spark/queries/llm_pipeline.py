@@ -44,10 +44,12 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min-label-propagation twin stays as near_dup_components,
     pytest-pinned identical), one canonical doc per cluster (X2
     completion — pair detection alone does not dedup a corpus).
-    Oracle = recursive-CTE transitive closure."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_components_star(
-        docs, dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    Oracle = recursive-CTE transitive closure. r8: runs on the collapsed
+    exact-dup graph (dedup.minhash_dedup_labels) — a 25%-of-corpus
+    exact-copy cluster costs O(cluster), not O(cluster²) expanded
+    pairs; output provably unchanged."""
+    return dedup.minhash_dedup_labels(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
     )
 
 

@@ -137,7 +137,20 @@ SKEW_HEADLINE = [
     # rank frame broadcasts (the hot key never lands in one shuffle
     # bucket). In the section so the property stays REGRESSION-TESTED.
     "pagerank_bipartite",
+    # r8 (VERDICT #5): the mutual-recursion twin on the same hot-src
+    # graph — the remaining unprobed expensive graph family.
+    "hits_bipartite",
 ]
+
+# r8 (VERDICT #5): LSH dedup under adversarial duplicate structure.
+# .scale/skew documents: 25% of docs are EXACT copies of one template
+# (every band bucket holds 25% of the corpus) — exercises the exact-dup
+# pre-collapse, run inside the skew section. .scale/lsh documents: a 3%
+# sub-threshold near-clique (pairwise jaccard ≈ 0.41 < 0.5, band
+# collision ≈ 0.77) — a candidate-pair blowup whose verified output is
+# empty, run as its own scale_lsh section with candidate counts recorded.
+SKEW_LLM_HEADLINE = ["dedup_minhash_lsh", "dedup_components_lsh"]
+LSH_HEADLINE = ["dedup_minhash_lsh", "dedup_components_lsh"]
 
 
 def _warm_section(qs, spark, sf_dir: str) -> None:
@@ -384,7 +397,7 @@ def _merge_artifacts(paths: list[str]) -> dict:
     # first artifact that has it, then min-merged like the rest — without
     # this, that whole section was silently dropped, contradicting the
     # contract above.
-    for sect in ("scale", "scale_hot", "scale_skew", "scale100"):
+    for sect in ("scale", "scale_hot", "scale_skew", "scale_lsh", "scale100"):
         if sect not in merged:
             for other in arts[1:]:
                 if sect in other:
@@ -395,7 +408,7 @@ def _merge_artifacts(paths: list[str]) -> dict:
                     break
     sections = [("queries", merged)] + [
         (sect, merged[sect])
-        for sect in ("scale", "scale_hot", "scale_skew", "scale100")
+        for sect in ("scale", "scale_hot", "scale_skew", "scale_lsh", "scale100")
         if sect in merged
     ]
     for key, holder in sections:
@@ -446,6 +459,9 @@ def render_markdown(artifact_path: str) -> str:
     if "scale_skew" in data:
         hdr += " 1M skew: one user owns 25% (s) |"
         sep += "---|"
+    if "scale_lsh" in data:
+        hdr += " 50k docs, 3% gray near-clique (s) |"
+        sep += "---|"
     if "scale100" in data:
         hdr += " 10M events (s) |"
         sep += "---|"
@@ -465,6 +481,7 @@ def render_markdown(artifact_path: str) -> str:
     scale_q = data.get("scale", {}).get("queries", {})
     hot_q = data.get("scale_hot", {}).get("queries", {})
     skew_q = data.get("scale_skew", {}).get("queries", {})
+    lsh_q = data.get("scale_lsh", {}).get("queries", {})
     s100_q = data.get("scale100", {}).get("queries", {})
     for name, sec in data["queries"].items():
         row = f"| {name} | {sec} |"
@@ -474,6 +491,8 @@ def render_markdown(artifact_path: str) -> str:
             row += f" {hot_q.get(name, '—')} |"
         if "scale_skew" in data:
             row += f" {skew_q.get(name, '—')} |"
+        if "scale_lsh" in data:
+            row += f" {lsh_q.get(name, '—')} |"
         if "scale100" in data:
             row += f" {s100_q.get(name, '—')} |"
         lines.append(row)
@@ -486,6 +505,8 @@ def render_markdown(artifact_path: str) -> str:
             row += f" {hot_q.get(name, '—')} |"
         if "scale_skew" in data:
             row += f" {skew_q.get(name, '—')} |"
+        if "scale_lsh" in data:
+            row += f" {lsh_q.get(name, '—')} |"
         if "scale100" in data:
             row += f" {s100_q.get(name, '—')} |"
         lines.append(row)
@@ -496,6 +517,8 @@ def render_markdown(artifact_path: str) -> str:
         total += f" **{data['scale_hot']['value']}** |"
     if "scale_skew" in data:
         total += f" **{data['scale_skew']['value']}** |"
+    if "scale_lsh" in data:
+        total += f" **{data['scale_lsh']['value']}** |"
     if "scale100" in data:
         total += f" **{data['scale100']['value']}** |"
     lines.append(total)
@@ -670,16 +693,31 @@ def main() -> None:
         skew_load = _loadavg()
         skew_timings: dict[str, float] = {}
         skew_samples: dict[str, list[float]] = {}
-        for name in SKEW_HEADLINE:
+        names_skew = list(SKEW_HEADLINE)
+        skew_llm_rows: dict[str, int] = {}
+        has_skew_docs = os.path.exists(
+            os.path.join(skew_dir, "documents.parquet")
+        )
+        if has_skew_docs:  # 25%-exact-dup corpus (r8, VERDICT #5)
+            names_skew += SKEW_LLM_HEADLINE
+        for name in names_skew:
             if time.perf_counter() - t_start > budget_s:
                 skipped.append("scale_skew:" + name)
                 continue
             skew_timings[name], skew_samples[name] = _time_query(
                 qs, name, spark, skew_dir, scale_repeats
             )
+        if has_skew_docs:
+            for name in SKEW_LLM_HEADLINE:
+                try:  # output-size evidence: the exact cluster's pairs
+                    skew_llm_rows[name] = qs[name](spark, skew_dir).count()
+                except Exception:
+                    skew_llm_rows[name] = -1
         out["scale_skew"] = {
             "n_events": 1_000_000,
             "hot_user_frac": 0.25,
+            "exact_dup_frac": 0.25 if has_skew_docs else None,
+            "llm_rows": skew_llm_rows,
             "repeats": scale_repeats,
             "value": round(
                 sum(v for v in skew_timings.values() if v is not None), 3
@@ -687,6 +725,55 @@ def main() -> None:
             "queries": skew_timings,
             "samples": skew_samples,
             "loadavg": {"before": skew_load, "after": _loadavg()},
+        }
+
+    # gray-cluster LSH anchor (r8, VERDICT #5): 50k docs where 3% form a
+    # sub-threshold near-clique — ~0.8M junk candidate pairs that banding
+    # admits and verification must reject (verified output ≈ the uniform
+    # corpus's). tools/gen_scale.py 1000000 .scale/lsh --llm-only
+    # --gray=0.03 writes it; absent => section omitted.
+    lsh_dir = os.environ.get(
+        "SPARK_GRAFT_LSH_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "lsh"),
+    )
+    if (
+        os.path.exists(os.path.join(lsh_dir, "documents.parquet"))
+        and time.perf_counter() - t_start < budget_s
+    ):
+        _section_gc(spark)
+        try:  # doc-table warm (the events warmer has no events here)
+            qs["dedup_exact"](spark, lsh_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+        lsh_load = _loadavg()
+        lsh_timings: dict[str, float] = {}
+        lsh_samples: dict[str, list[float]] = {}
+        lsh_rows: dict[str, int] = {}
+        for name in LSH_HEADLINE:
+            if time.perf_counter() - t_start > budget_s:
+                skipped.append("scale_lsh:" + name)
+                continue
+            lsh_timings[name], lsh_samples[name] = _time_query(
+                qs, name, spark, lsh_dir, scale_repeats
+            )
+        for name in LSH_HEADLINE:
+            try:  # blowup evidence: verified output stays near-uniform
+                lsh_rows[name] = qs[name](spark, lsh_dir).count()
+            except Exception:
+                lsh_rows[name] = -1
+        out["scale_lsh"] = {
+            "n_docs": 50_000,
+            "gray_frac": 0.03,
+            "llm_rows": lsh_rows,
+            "repeats": scale_repeats,
+            "value": round(
+                sum(v for v in lsh_timings.values() if v is not None), 3
+            ),
+            "queries": lsh_timings,
+            "samples": lsh_samples,
+            "loadavg": {"before": lsh_load, "after": _loadavg()},
         }
 
     # 100x anchor: 10M events (100x sf0.1) — the direct measurement of
@@ -763,7 +850,7 @@ def main() -> None:
     slim["spreads"] = {
         n: s.get("spread") for n, s in out["samples"].items() if s.get("spread")
     }
-    for sect in ("scale", "scale_hot", "scale_skew", "scale100"):
+    for sect in ("scale", "scale_hot", "scale_skew", "scale_lsh", "scale100"):
         if sect in slim:
             slim[sect] = {
                 k: v for k, v in slim[sect].items() if k != "samples"
@@ -794,7 +881,7 @@ def main() -> None:
         "queries_note": "5 slowest of n_queries; all in full_artifact",
         "full_artifact": artifact_path,
     }
-    for sect in ("scale", "scale_hot", "scale_skew", "scale100"):
+    for sect in ("scale", "scale_hot", "scale_skew", "scale_lsh", "scale100"):
         if sect in out:
             final[sect + "_total"] = out[sect]["value"]
     print(json.dumps(final))

@@ -47,6 +47,49 @@ def test_minhash_lsh_finds_identical(spark):
     assert pairs[0]["est_sim"] == 1.0 and pairs[0]["jaccard"] == 1.0
 
 
+def test_exact_collapse_pairs_equal_uncollapsed(spark):
+    """The r8 exact-dup pre-collapse must be output-invisible: pairs and
+    component labels from the collapsed pipeline equal the uncollapsed
+    banding pipeline run over ALL docs, on an adversarial corpus mixing
+    an exact-copy cluster, a planted near-dup, a shingle-less duplicate
+    group (< 3 tokens: must NOT pair), and unrelated docs."""
+    base = "one two three four five six seven eight nine ten"
+    near = "one two three four five six seven eight nine zzz"
+    texts = [
+        base, base, base, base,          # 0-3: exact cluster
+        near,                            # 4: near-dup of the cluster
+        "tiny doc", "tiny doc",          # 5-6: identical, no shingles
+        "totally different text with other words in it",  # 7
+    ]
+    d = _docs(spark, texts)
+    collapsed = {
+        (r["d1"], r["d2"]): (r["est_sim"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    uncollapsed = {
+        (r["d1"], r["d2"]): (r["est_sim"], r["jaccard"])
+        for r in dedup._rep_lsh_pairs(d, threshold=0.5).collect()
+    }
+    assert collapsed == uncollapsed
+    # the exact cluster pairs among itself; 5-6 must be absent
+    assert (0, 1) in collapsed and (2, 3) in collapsed
+    assert (5, 6) not in collapsed
+    got = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup.minhash_dedup_labels(d, threshold=0.5).collect()
+    }
+    ref = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup.near_dup_components_star(
+            d, dedup._rep_lsh_pairs(d, threshold=0.5)
+        ).collect()
+    }
+    assert got == ref
+    assert got[5] == (5, True) and got[6] == (6, True)  # no-shingle split
+    # near-dup (jaccard 6/10 = 0.6) joins the exact cluster's component
+    assert all(got[i] == (0, i == 0) for i in (0, 1, 2, 3, 4))
+
+
 def test_simhash_identical_zero_hamming(spark):
     t = "one two three four five six seven"
     d = _docs(spark, [t, t])

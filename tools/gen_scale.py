@@ -64,9 +64,21 @@ def main() -> None:
     if llm:
         n_docs = max(500, n // 20)
         n_vecs = max(500, n // 50)
-        generate_documents(spark, n=n_docs).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out, "documents.parquet"))
+        # r8 LSH skew anchors: --dup-exact=F plants an exact-copy cluster
+        # of F·n_docs (every band bucket holds F of the corpus);
+        # --gray=F plants a sub-threshold near-clique (candidate blowup,
+        # empty verified output). See generate_documents.
+        exact_frac = gray_frac = 0.0
+        for a in flags:
+            if a.startswith("--dup-exact="):
+                exact_frac = float(a.split("=", 1)[1])
+            if a.startswith("--gray="):
+                gray_frac = float(a.split("=", 1)[1])
+        generate_documents(
+            spark, n=n_docs, exact_dup_frac=exact_frac, gray_frac=gray_frac
+        ).coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
         generate_embeddings(spark, n=n_vecs).coalesce(4).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, "embeddings.parquet"))
