@@ -268,7 +268,14 @@ def _tree_cpu_jiffies() -> int:
 
 
 def _external_cores(t_wall: float, busy0: int, tree0: int) -> float:
-    """Average busy cores used by OTHER processes during a wall interval."""
+    """Average busy cores used by OTHER processes during a wall interval.
+
+    Known conservative bias (r8, observed as impossible 35-62 'external'
+    cores on an idle 32-core box): descendants that EXIT mid-sample
+    (reaped Python workers) vanish from /proc before the closing tree
+    scan, so their CPU leaks into the 'external' bucket. The discard
+    rule therefore sometimes discards a clean sample (a replacement is
+    taken) but never keeps a contaminated one — the safe direction."""
     ext = (_total_busy_jiffies() - busy0) - (_tree_cpu_jiffies() - tree0)
     return max(0.0, ext / _HZ / max(t_wall, 1e-6))
 
