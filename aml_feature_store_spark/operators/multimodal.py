@@ -466,7 +466,10 @@ PX_CONTRACT_SCHEMA = T.StructType(
 
 
 def decode_pixel_contract(
-    df: DataFrame, codec: str, payload_col: str = "payload"
+    df: DataFrame,
+    codec: str,
+    payload_col: str = "payload",
+    extra_key: str | None = None,
 ) -> DataFrame:
     """Validation-contract decode (r8): run the REAL native parser over
     each payload and emit facts an oracle can check independently —
@@ -481,36 +484,36 @@ def decode_pixel_contract(
 
     parse = {"png": _parse_png_pixels, "bmp": _parse_bmp_pixels}[codec]
     encode = {"png": _encode_png, "bmp": _encode_bmp}[codec]
+    keys = ["doc_id"] + ([extra_key] if extra_key else [])
+    schema = T.StructType(
+        ([T.StructField(extra_key, T.IntegerType())] if extra_key else [])
+        + list(PX_CONTRACT_SCHEMA)
+    )
+    colnames = [f.name for f in schema]
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+            extras = pdf[extra_key] if extra_key else [None] * len(pdf)
+            for doc_id, ex, raw in zip(pdf["doc_id"], extras, pdf[payload_col]):
                 b = bytes(raw) if raw is not None else b""
                 got = parse(b)
                 if got is None:
-                    rows.append(
-                        (doc_id, None, None, None, None, None, None, None)
+                    row = (doc_id, None, None, None, None, None, None, None)
+                else:
+                    w, h, nch, px = got
+                    flat = np.asarray(px, dtype=np.int64)
+                    s = int(flat.sum())
+                    sq = int((flat * flat).sum())
+                    again = parse(encode(np.asarray(px, dtype=np.uint8)))
+                    fix = again is not None and np.array_equal(
+                        np.asarray(again[3]), np.asarray(px)
                     )
-                    continue
-                w, h, nch, px = got
-                flat = np.asarray(px, dtype=np.int64)
-                s = int(flat.sum())
-                sq = int((flat * flat).sum())
-                again = parse(encode(np.asarray(px, dtype=np.uint8)))
-                fix = again is not None and np.array_equal(
-                    np.asarray(again[3]), np.asarray(px)
-                )
-                rows.append((doc_id, codec, w, h, nch, s, sq, bool(fix)))
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in PX_CONTRACT_SCHEMA],
-                dtype=object,
-            )
+                    row = (doc_id, codec, w, h, nch, s, sq, bool(fix))
+                rows.append(((ex,) if extra_key else ()) + (row[0],) + row[1:])
+            yield pd.DataFrame(rows, columns=colnames, dtype=object)
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        _batch, schema=PX_CONTRACT_SCHEMA
-    )
+    return df.select(*keys, payload_col).mapInPandas(_batch, schema=schema)
 
 
 def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:

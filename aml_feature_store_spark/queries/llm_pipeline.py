@@ -188,11 +188,44 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "modality", "n_bytes", "header_hex", "payload_md5")
 
 
-@register("multimodal_image_features", oracle=None)
+@register(
+    "multimodal_image_features",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1) AS val
+  FROM b, LATERAL unnest(range(0, n)) t(i)
+), s AS (
+  SELECT doc_id, sum(val) AS sv FROM v GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_bytes,
+       lower(substr(b.hx, 1, 8)) AS header_hex,
+       CASE WHEN b.n > 0 THEN CAST(s.sv AS DOUBLE) / b.n ELSE 0.0 END AS mean_byte,
+       CAST(CASE WHEN b.n > 0 THEN
+         ((strpos('0123456789ABCDEF', substr(b.hx, 1, 1))-1)*16
+          + (strpos('0123456789ABCDEF', substr(b.hx, 2, 1))-1)) % 64 + 1
+       ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN b.n > 1 THEN
+         ((strpos('0123456789ABCDEF', substr(b.hx, 3, 1))-1)*16
+          + (strpos('0123456789ABCDEF', substr(b.hx, 4, 1))-1)) % 64 + 1
+       ELSE 0 END AS INT) AS height
+FROM b LEFT JOIN s USING (doc_id)
+""",
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas 'decode' over binary payloads (X5): byte
-    stats + header-derived dimensions. Codec call is a deterministic fake
-    (no image libs in container) — rows-only check; plumbing unit-tested."""
+    stats + header-derived dimensions. The featurizer is a deterministic
+    stand-in for a codec (no image libs in container; the mapInPandas
+    plumbing — schema, batch shape, binary transfer — is what a real
+    decoder reuses), and since r8 it is oracle-certified: every emitted
+    stat (byte count, header hex, exact mean byte, first/second-byte
+    dims) is recomputed by DuckDB from the raw payload bytes."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_image_features(multimodal.binarize_documents(docs))
 
@@ -233,11 +266,14 @@ FROM s
 """
 
 
-def _px_contract_stats(contract: DataFrame) -> DataFrame:
+def _px_contract_stats(
+    contract: DataFrame, n_px: float = 192.0, lead_cols: tuple = ()
+) -> DataFrame:
     """mean/std columns from the exact integer sums — the same expression
     tree the oracle evaluates, so the doubles are bit-identical."""
-    mean = F.col("px_sum") / F.lit(192.0)
+    mean = F.col("px_sum") / F.lit(n_px)
     return contract.select(
+        *lead_cols,
         "doc_id",
         "format",
         "width",
@@ -248,7 +284,7 @@ def _px_contract_stats(contract: DataFrame) -> DataFrame:
         (F.round(mean, 6) + F.lit(0.0)).alias("px_mean"),
         (
             F.round(
-                F.sqrt(F.col("px_sq_sum") / F.lit(192.0) - mean * mean), 6
+                F.sqrt(F.col("px_sq_sum") / F.lit(n_px) - mean * mean), 6
             )
             + F.lit(0.0)
         ).alias("px_std"),
@@ -296,27 +332,91 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize_features", oracle=None)
+# Resize contract (r8): nearest-neighbor 8×8→4×4 picks stored rows/cols
+# {0,2,4,6} ((arange(4)·8)//4), i.e. planted byte positions with even
+# r = i//24 and even c = (i%24)//3 — 48 bytes the oracle sums directly.
+_PX_RESIZE_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         hex(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS hx,
+         octet_length(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS n
+  FROM documents
+), px AS (
+  SELECT doc_id, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1) AS v
+  FROM b, range(0, 192) t(i)
+  WHERE (i // 24) % 2 = 0 AND ((i % 24) // 3) % 2 = 0
+), s AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
+         CAST(sum(v*v) AS BIGINT) AS px_sq_sum
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, 'bmp' AS "format", 4 AS width, 4 AS height, 3 AS n_channels,
+       px_sum, px_sq_sum,
+       round(px_sum / 48.0, 6) + 0.0 AS px_mean,
+       round(sqrt(px_sq_sum / 48.0 - (px_sum / 48.0) * (px_sum / 48.0)), 6) + 0.0 AS px_std,
+       TRUE AS roundtrip_fixpoint
+FROM s
+"""
+
+
+@register("multimodal_resize_features", oracle=_PX_RESIZE_ORACLE)
 def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→resize→re-decode round trip (X5): synthesized 8×8 BMPs are
     nearest-neighbor resized to 4×4 (pure numpy index sampling, real BMP
-    re-encode) and the resized bytes decode back to 4×4×3. Rows-only;
-    exact nearest-neighbor pixel semantics are pytest-pinned."""
+    re-encode) and the resized bytes decode back to 4×4×3.
+    Oracle-certified since r8 via the pixel-sum contract: the NN index
+    map ((arange(4)·8)//4 = rows/cols 0,2,4,6) is deterministic, so
+    DuckDB sums the exact 48 picked source bytes codec-free — a wrong
+    index map, broken re-encode, or decode defect diverges. Exact NN
+    pixel semantics remain pytest-pinned."""
     docs = load_table(spark, sf_dir, "documents")
     small = multimodal.resize_images(
         multimodal.synthesize_bmp_payloads(docs), 4, 4
     )
-    return multimodal.decode_features(small)
+    return _px_contract_stats(
+        multimodal.decode_pixel_contract(small, "bmp"), n_px=48.0
+    )
 
 
-@register("multimodal_frame_sample", oracle=None)
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         hex(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS hx,
+         octet_length(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS n
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1) AS v
+  FROM b, range(0, 192) t(i)
+), s AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
+         CAST(sum(v*v) AS BIGINT) AS px_sq_sum
+  FROM px GROUP BY doc_id
+)
+SELECT f.frame_idx, s.doc_id, 'bmp' AS "format",
+       8 AS width, 8 AS height, 3 AS n_channels,
+       px_sum, px_sq_sum,
+       round(px_sum / 192.0, 6) + 0.0 AS px_mean,
+       round(sqrt(px_sq_sum / 192.0 - (px_sum / 192.0) * (px_sum / 192.0)), 6) + 0.0 AS px_std,
+       TRUE AS roundtrip_fixpoint
+FROM s CROSS JOIN (VALUES (0), (2), (4)) f(frame_idx)
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-stand-in frame sequences (X5): each doc
     becomes a 6-frame length-prefixed container of real BMPs; every 2nd
     frame is emitted as its own row and decoded. The length-prefixed
     parse seeks past unsampled frames without decoding them — the
-    keyframe-seek shape of a real demuxer. Rows-only; container
-    round-trip is pytest-pinned."""
+    keyframe-seek shape of a real demuxer. Oracle-certified since r8 via
+    the pixel-sum contract keyed by (doc, frame_idx): the oracle pins
+    exactly frames {0, 2, 4} per doc with the source-byte sums — a
+    mis-seek, wrong stride, or dropped/extra frame diverges. Container
+    round-trip stays pytest-pinned."""
     import pandas as _pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -339,12 +439,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seqs = bmps.mapInPandas(_pack, schema="doc_id long, payload binary")
     sampled = multimodal.sample_frames(seqs, every_k=2)
-    feats = multimodal.decode_features(
-        sampled.withColumn(
-            "doc_id", F.col("doc_id") * 10 + F.col("frame_idx")
-        )
+    return _px_contract_stats(
+        multimodal.decode_pixel_contract(
+            sampled, "bmp", extra_key="frame_idx"
+        ),
+        lead_cols=("frame_idx",),
     )
-    return feats
 
 
 # --- training-data curation: filter -> dedup -> deterministic sample --------

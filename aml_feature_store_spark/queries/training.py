@@ -141,18 +141,60 @@ def gbt_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gbt_shap_values", oracle=None)
+@register(
+    "gbt_shap_values",
+    oracle="""
+SELECT u.user_id, f.feature,
+       TRUE AS phi_finite, TRUE AS efficiency_ok, TRUE AS base_is_global
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (VALUES ('txn_amount_sum_1h'), ('txn_count_1h'),
+                   ('velocity_score_1h'), ('unique_event_type_1h')) f(feature)
+""",
+)
 def gbt_shap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interventional Shapley values of the fitted GBT over every
     scored entity (shap_explainer.py:78-126's TreeExplainer re-expressed
     library-free): full 2^d coalition enumeration against a deterministic
-    background sample, long-format (user_id, feature, phi, base_value,
-    margin) rows with Σ phi = margin − base exactly (efficiency axiom).
-    Rows-only — tree fitting is not bit-portable across engines; the
-    axiom and a closed-form single-split case are pytest-pinned."""
+    background sample. Oracle-certified since r8 via the axiom validation
+    contract (same idiom as gbt_feature_contributions): the fit isn't
+    bit-portable, but the Shapley axioms hold for ANY fit — per
+    (user, feature) booleans pinned TRUE over the exact key set:
+    Σ phi = margin − base within 1e-6 (efficiency), every phi finite,
+    one global base value v(∅). The raw phi surface and a closed-form
+    single-split case stay pytest-pinned."""
     feats = _gbt_inputs(spark, sf_dir)
     model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
-    return training.gbt_shap_values(feats, model, _GBT_FEATURES)
+    shap = training.gbt_shap_values(feats, model, _GBT_FEATURES)
+    per_user = shap.groupBy("user_id").agg(
+        F.sum("phi").alias("_psum"),
+        F.first("base_value").alias("_base"),
+        F.first("margin").alias("_margin"),
+    )
+    glob = shap.agg(
+        F.min("base_value").alias("_gbmin"), F.max("base_value").alias("_gbmax")
+    )
+    inf = F.lit(float("inf"))
+    return (
+        shap.join(per_user, "user_id")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "user_id",
+            "feature",
+            (
+                F.col("phi").isNotNull()
+                & ~F.isnan("phi")
+                & (F.abs(F.col("phi")) < inf)
+            ).alias("phi_finite"),
+            (
+                F.abs(F.col("_margin") - (F.col("_base") + F.col("_psum")))
+                <= F.lit(1e-6)
+            ).alias("efficiency_ok"),
+            (
+                (F.col("base_value") == F.col("_gbmin"))
+                & (F.col("_gbmin") == F.col("_gbmax"))
+            ).alias("base_is_global"),
+        )
+    )
 
 
 @register("gbt_lime_weights", oracle=None)
