@@ -38,42 +38,6 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # least-certified surface. Rows-only (oracle=None) queries sort last: a
 # driver slot spent there yields no hash signal.
 CERTIFIED: dict[str, int] = {
-    # r5-certified
-    "ann_ivf_index_topk": 5,
-    "benchmark_decontamination": 5,
-    "bm25_rank": 5,
-    "curate_training_docs": 5,
-    "daily_counts_per_user": 5,
-    "dedup_components_lsh": 5,
-    "dedup_minhash_lsh": 5,
-    "domain_mixture_weights": 5,
-    "dow_entropy_per_user": 5,
-    "event_type_pivot": 5,
-    "graph_edge_list": 5,
-    "interarrival_stats_per_user": 5,
-    "landmark_closeness": 5,
-    "mktsegment_acctbal_summary": 5,
-    "multimodal_binary_stats": 5,
-    "pricing_summary": 5,
-    "quantiles_by_event_type": 5,
-    "regional_revenue": 5,
-    "repetition_stats": 5,
-    "revenue_rollup_region_nation": 5,
-    "salted_user_totals": 5,
-    "sequence_lag_features": 5,
-    "span_dup_coverage": 5,
-    "stratified_sample": 5,
-    "streaming_per_event_features": 5,
-    "tfidf_top_terms": 5,
-    "time_bucket_rollup": 5,
-    "timestamp_functions": 5,
-    "top_orders_per_customer": 5,
-    "trailing_1h_features": 5,
-    "trailing_multiwindow_features": 5,
-    "trailing_sums_cumsum_strategy": 5,
-    "unigram_logprob_quality": 5,
-    "windowed_gini_24h": 5,
-    "windowed_hhi_24h": 5,
     # r6-certified
     "basket_lift_pairs": 6,
     "bloom_membership_validation": 6,
@@ -83,23 +47,17 @@ CERTIFIED: dict[str, int] = {
     "countmin_frequency_validation": 6,
     "cusum_changepoint": 6,
     "data_quality_profile": 6,
-    "embedding_near_dup_pairs": 6,
     "embedding_pca_component": 6,
     "embedding_pca_scores": 6,
     "event_type_transitions": 6,
-    "feature_target_correlation": 6,
     "funnel_conversion": 6,
     "heavy_hitters_topk": 6,
     "hll_rollup_distinct_users": 6,
     "incremental_agg_maintenance": 6,
     "large_volume_customer_q18": 6,
     "local_supplier_volume_q5": 6,
-    "model_auc": 6,
     "model_calibration_bins": 6,
-    "model_eval_metrics": 6,
-    "online_feature_view": 6,
     "order_priority_check_q4": 6,
-    "pandas_udf_model_scores": 6,
     "promo_revenue_q14": 6,
     "psi_drift_value": 6,
     "quality_weighted_sample": 6,
@@ -121,7 +79,6 @@ CERTIFIED: dict[str, int] = {
     "tdigest_quantiles_by_event_type": 6,
     "tdigest_rollup_quantiles": 6,
     "unique_users_approx_by_type": 6,
-    "user_clustering_coeff": 6,
     "viewers_never_purchased": 6,
     # r7-certified
     "amount_trend_per_user": 7,
@@ -174,6 +131,57 @@ CERTIFIED: dict[str, int] = {
     "user_sessions": 7,
     "user_shared_k_pairs": 7,
     "windowed_entropy_24h": 7,
+    # r8-certified
+    "ann_ivf_index_topk": 8,
+    "audio_spectral_features": 8,
+    "benchmark_decontamination": 8,
+    "bm25_rank": 8,
+    "curate_training_docs": 8,
+    "daily_counts_per_user": 8,
+    "dedup_components_lsh": 8,
+    "dedup_minhash_lsh": 8,
+    "domain_mixture_weights": 8,
+    "dow_entropy_per_user": 8,
+    "embedding_near_dup_pairs": 8,
+    "event_type_pivot": 8,
+    "feature_target_correlation": 8,
+    "gbt_feature_contributions": 8,
+    "gbt_shap_values": 8,
+    "graph_edge_list": 8,
+    "interarrival_stats_per_user": 8,
+    "landmark_closeness": 8,
+    "mktsegment_acctbal_summary": 8,
+    "model_auc": 8,
+    "model_eval_metrics": 8,
+    "multimodal_binary_stats": 8,
+    "multimodal_decode_features": 8,
+    "multimodal_frame_sample": 8,
+    "multimodal_image_features": 8,
+    "multimodal_png_features": 8,
+    "multimodal_resize_features": 8,
+    "online_feature_view": 8,
+    "pandas_udf_model_scores": 8,
+    "pricing_summary": 8,
+    "quantiles_by_event_type": 8,
+    "regional_revenue": 8,
+    "repetition_stats": 8,
+    "revenue_rollup_region_nation": 8,
+    "salted_user_totals": 8,
+    "sequence_lag_features": 8,
+    "span_dup_coverage": 8,
+    "stratified_sample": 8,
+    "streaming_per_event_features": 8,
+    "tfidf_top_terms": 8,
+    "time_bucket_rollup": 8,
+    "timestamp_functions": 8,
+    "top_orders_per_customer": 8,
+    "trailing_1h_features": 8,
+    "trailing_multiwindow_features": 8,
+    "trailing_sums_cumsum_strategy": 8,
+    "unigram_logprob_quality": 8,
+    "user_clustering_coeff": 8,
+    "windowed_gini_24h": 8,
+    "windowed_hhi_24h": 8,
 }
 
 # The driver's correctness gate checks the first DRIVER_CAP registered
