@@ -158,7 +158,9 @@ CERTIFIED: dict[str, int] = {
     "multimodal_frame_sample": 8,
     "multimodal_image_features": 8,
     "multimodal_png_features": 8,
-    "multimodal_resize_features": 8,
+    # multimodal_resize_features: r8 entry deleted in r9 — the BMP
+    # orientation fix (bottom-up flip) changed the picked source rows,
+    # so the query must re-certify under the corrected oracle
     "online_feature_view": 8,
     "pandas_udf_model_scores": 8,
     "pricing_summary": 8,

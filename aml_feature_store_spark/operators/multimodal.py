@@ -128,6 +128,8 @@ def _decode_bmp(b: bytes):
         return None
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=off)
     px = rows.reshape(height, stride)[:, : w * nch].astype(np.float64)
+    if h > 0:  # positive height = rows stored bottom-up; flip to top-down
+        px = px[::-1]
     return ("bmp", w, height, nch, None, None, float(px.mean()), float(px.std()))
 
 
@@ -619,11 +621,15 @@ def _parse_bmp_pixels(b: bytes):
         return None
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=off)
     px = rows.reshape(height, stride)[:, : w * nch].reshape(height, w, nch)
+    if h > 0:  # positive height = rows stored bottom-up (spec); flip so
+        px = px[::-1]  # row 0 is the TOP image row. Negative h = top-down.
     return w, height, nch, px
 
 
 def _encode_bmp(px) -> bytes:
-    """Re-encode an HxWxC uint8 array (C=3) as a 24-bit BI_RGB BMP."""
+    """Re-encode an HxWxC uint8 array (C=3, row 0 = top image row) as a
+    24-bit BI_RGB BMP — positive height, so file rows are written
+    bottom-up per the spec (mirrors the decoder's flip)."""
     import struct
 
     import numpy as np
@@ -634,7 +640,7 @@ def _encode_bmp(px) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 8 * nch, 0, stride * h, 2835, 2835, 0, 0
     )
     padded = np.zeros((h, stride), dtype=np.uint8)
-    padded[:, : w * nch] = px.reshape(h, w * nch)
+    padded[:, : w * nch] = px.reshape(h, w * nch)[::-1]
     return header + padded.tobytes()
 
 

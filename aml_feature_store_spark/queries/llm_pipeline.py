@@ -332,9 +332,13 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Resize contract (r8): nearest-neighbor 8×8→4×4 picks stored rows/cols
-# {0,2,4,6} ((arange(4)·8)//4), i.e. planted byte positions with even
-# r = i//24 and even c = (i%24)//3 — 48 bytes the oracle sums directly.
+# Resize contract (r8; r9 orientation fix): nearest-neighbor 8×8→4×4
+# picks DECODED (top-down) rows/cols {0,2,4,6} ((arange(4)·8)//4). The
+# planted bytes live in FILE order, and a spec-correct BMP decoder flips
+# the bottom-up file rows, so decoded row r is file row 7−r: the picked
+# source bytes are the ODD file rows {7,5,3,1} (r = i//24 odd) at even
+# columns (c = (i%24)//3 even) — 48 bytes the oracle sums directly. A
+# decoder that forgets the flip reads the EVEN file rows and diverges.
 _PX_RESIZE_ORACLE = """
 WITH b AS (
   SELECT doc_id,
@@ -346,7 +350,7 @@ WITH b AS (
          (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1))-1)*16
          + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1) AS v
   FROM b, range(0, 192) t(i)
-  WHERE (i // 24) % 2 = 0 AND ((i % 24) // 3) % 2 = 0
+  WHERE (i // 24) % 2 = 1 AND ((i % 24) // 3) % 2 = 0
 ), s AS (
   SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum,
          CAST(sum(v*v) AS BIGINT) AS px_sq_sum
@@ -367,10 +371,11 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-neighbor resized to 4×4 (pure numpy index sampling, real BMP
     re-encode) and the resized bytes decode back to 4×4×3.
     Oracle-certified since r8 via the pixel-sum contract: the NN index
-    map ((arange(4)·8)//4 = rows/cols 0,2,4,6) is deterministic, so
+    map ((arange(4)·8)//4 = decoded rows/cols 0,2,4,6 = planted FILE
+    rows 7,5,3,1 after the spec's bottom-up flip) is deterministic, so
     DuckDB sums the exact 48 picked source bytes codec-free — a wrong
-    index map, broken re-encode, or decode defect diverges. Exact NN
-    pixel semantics remain pytest-pinned."""
+    index map, a missing orientation flip, broken re-encode, or decode
+    defect diverges. Exact NN pixel semantics remain pytest-pinned."""
     docs = load_table(spark, sf_dir, "documents")
     small = multimodal.resize_images(
         multimodal.synthesize_bmp_payloads(docs), 4, 4

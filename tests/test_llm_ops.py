@@ -355,6 +355,37 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
     assert scan_lines and any("centroid_id" in l for l in scan_lines)
 
 
+def test_multimodal_bmp_orientation():
+    """Positive-height BMPs store rows bottom-up (spec): the decoder must
+    flip so row 0 is the TOP image row; negative height means top-down
+    and is kept as-is; the encoder mirrors the flip so the round trip is
+    pixel-exact AND the first FILE row is the bottom image row. Pinned
+    because order-invariant sum contracts cannot see orientation (the
+    r8 no-flip defect certified green on every sum oracle)."""
+    import struct
+
+    import numpy as np
+
+    from aml_feature_store_spark.operators.multimodal import (
+        _encode_bmp,
+        _parse_bmp_pixels,
+    )
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    b = _encode_bmp(px)
+    (off,) = struct.unpack_from("<I", b, 10)
+    file_row0 = np.frombuffer(b, np.uint8, count=24, offset=off).reshape(8, 3)
+    assert np.array_equal(file_row0, px[7])  # bottom image row first in file
+    got = _parse_bmp_pixels(b)
+    assert got[:3] == (8, 8, 3) and np.array_equal(got[3], px)
+    # negative height = top-down: decoder keeps file order
+    hdr = b"BM" + struct.pack("<IHHI", 54 + 24 * 8, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 8, -8, 1, 24, 0, 24 * 8, 2835, 2835, 0, 0
+    )
+    got_td = _parse_bmp_pixels(hdr + px.tobytes())
+    assert np.array_equal(got_td[3], px)
+
+
 def test_multimodal_resize_nearest_neighbor_exact(spark):
     """4x4 resize of a known 8x8 BMP picks exactly the nearest-neighbor
     source pixels ((y*h)//oh, (x*w)//ow) and re-encodes losslessly."""
