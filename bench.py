@@ -406,12 +406,12 @@ def _merge_artifacts(paths: list[str]) -> dict:
     # contract above.
     for sect in ("scale", "scale_hot", "scale_skew", "scale_lsh", "scale100"):
         if sect not in merged:
-            for other in arts[1:]:
+            # zip keeps path<->artifact pairing even when two inputs are
+            # byte-identical (list.index would misattribute seeded_from)
+            for p, other in zip(paths[1:], arts[1:]):
                 if sect in other:
                     merged[sect] = json.loads(json.dumps(other[sect]))
-                    merged[sect]["seeded_from"] = os.path.basename(
-                        paths[arts.index(other)]
-                    )
+                    merged[sect]["seeded_from"] = os.path.basename(p)
                     break
     sections = [("queries", merged)] + [
         (sect, merged[sect])

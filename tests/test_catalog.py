@@ -105,9 +105,17 @@ def test_rotation_pins_never_certified_then_stalest():
         }
         # all stalest rows rotate in, up to the cap's remaining room
         room = DRIVER_CAP - len(never)
-        expect = stale_rows if len(stale_rows) <= room else None
-        if expect is not None:
-            assert expect <= window, (
+        if len(stale_rows) <= room:
+            assert stale_rows <= window, (
                 f"stalest (r{stalest}) rows outside the cap: "
-                f"{sorted(expect - window)}"
+                f"{sorted(stale_rows - window)}"
+            )
+        else:
+            # crowded case (ADVICE r8): more stale rows than room — the
+            # post-never-certified slots must STILL be filled exclusively
+            # from the stalest round, not from arbitrary newer rows
+            filled = set(names[len(never):DRIVER_CAP])
+            assert filled <= stale_rows, (
+                f"window slots not drawn from the stalest round "
+                f"(r{stalest}): {sorted(filled - stale_rows)}"
             )
