@@ -90,6 +90,48 @@ def test_exact_collapse_pairs_equal_uncollapsed(spark):
     assert all(got[i] == (0, i == 0) for i in (0, 1, 2, 3, 4))
 
 
+def test_exact_dup_guard_skips_collapse_when_uniform(spark, monkeypatch):
+    """r9 (VERDICT #4): a corpus with no exact duplicates must route
+    around the pre-collapse (guard returns False) with output identical
+    to the collapse path (guard forced True) — so the guard is purely a
+    physical shortcut. NULL texts conservatively report 'has dups'."""
+    texts = [
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine zzz",
+        "totally different text with other words in it",
+        "tiny doc",
+    ]
+    d = _docs(spark, texts)
+    assert dedup._has_exact_dups(d) is False
+    assert dedup._has_exact_dups(_docs(spark, texts + [texts[0]])) is True
+    # >=2 NULL texts: distinct md5 ignores NULLs -> conservative True
+    dn = spark.createDataFrame(
+        [(0, None), (1, None)], "doc_id long, text string"
+    )
+    assert dedup._has_exact_dups(dn) is True
+
+    fast_pairs = {
+        (r["d1"], r["d2"]): (r["est_sim"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    fast_labels = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup.minhash_dedup_labels(d, threshold=0.5).collect()
+    }
+    monkeypatch.setattr(dedup, "_has_exact_dups", lambda *a, **k: True)
+    slow_pairs = {
+        (r["d1"], r["d2"]): (r["est_sim"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    slow_labels = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup.minhash_dedup_labels(d, threshold=0.5).collect()
+    }
+    assert fast_pairs == slow_pairs and (0, 1) in fast_pairs
+    assert fast_labels == slow_labels
+    assert fast_labels[3] == (3, True)  # shingle-less doc labels itself
+
+
 def test_simhash_identical_zero_hamming(spark):
     t = "one two three four five six seven"
     d = _docs(spark, [t, t])
