@@ -484,8 +484,20 @@ def decode_pixel_contract(
     contracts. Arrow-batched mapInPandas; no shuffle."""
     import numpy as np
 
-    parse = {"png": _parse_png_pixels, "bmp": _parse_bmp_pixels}[codec]
-    encode = {"png": _encode_png, "bmp": _encode_bmp}[codec]
+    parse = {
+        "png": _parse_png_pixels,
+        "bmp": _parse_bmp_pixels,
+        "jpeg": _parse_jpeg_pixels,
+    }[codec]
+    encode = {
+        "png": _encode_png,
+        "bmp": _encode_bmp,
+        # quality 100 scales every Annex-K quant entry to 1, and on the
+        # flat-block planted images the DCT round trip is pixel-EXACT
+        # (pytest-pinned over all 256 gray levels) — which is what makes
+        # a LOSSY codec admissible under the fixpoint contract
+        "jpeg": _encode_jpeg_q100,
+    }[codec]
     keys = ["doc_id"] + ([extra_key] if extra_key else [])
     schema = T.StructType(
         ([T.StructField(extra_key, T.IntegerType())] if extra_key else [])
@@ -516,6 +528,74 @@ def decode_pixel_contract(
             yield pd.DataFrame(rows, columns=colnames, dtype=object)
 
     return df.select(*keys, payload_col).mapInPandas(_batch, schema=schema)
+
+
+def _parse_jpeg_pixels(b: bytes):
+    """(width, height, channels, HxWxC uint8 array) via the native JPEG
+    decoder (operators/jpeg.py), or None."""
+    from .jpeg import decode_jpeg
+
+    px = decode_jpeg(b)
+    if px is None:
+        return None
+    h, w, nch = px.shape
+    return w, h, nch, px
+
+
+def _encode_jpeg_q100(px) -> bytes:
+    from .jpeg import encode_jpeg
+
+    return encode_jpeg(px, quality=100)
+
+
+def synthesize_block_jpeg_payloads(
+    docs: DataFrame, n_frames: int | None = None
+) -> DataFrame:
+    """Deterministic 16×16 quality-100 baseline JPEGs whose four 8×8
+    blocks are FLAT gray levels taken from the document's first UTF-8
+    bytes (byte b mod n for block b) — the planted content class where
+    the lossy DCT path is pixel-exact: at quality 100 every quantizer is
+    1, a flat block has one integer DC coefficient and zero ACs, so
+    encode→decode reproduces the block bit-exactly (pinned over all 256
+    levels in tests/test_llm_ops.py). Four different blocks exercise the
+    DC-difference Huffman path with real per-doc magnitude variation.
+
+    With n_frames set, builds instead a length-prefixed MJPEG container
+    of n_frames such JPEGs where frame k's block values are
+    (byte_b + 7k) mod 256 — visible motion, still closed-form."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    def _one(src: np.ndarray, shift: int) -> bytes:
+        v = [(int(src[b % len(src)]) + shift) % 256 for b in range(4)]
+        px = np.zeros((16, 16, 3), np.uint8)
+        px[:8, :8] = v[0]
+        px[:8, 8:] = v[1]
+        px[8:, :8] = v[2]
+        px[8:, 8:] = v[3]
+        return encode_jpeg(px, quality=100)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                src = np.frombuffer(
+                    (text or " ").encode("utf-8"), dtype=np.uint8
+                )
+                if n_frames is None:
+                    payloads.append(_one(src, 0))
+                else:
+                    payloads.append(
+                        pack_frame_sequence(
+                            [_one(src, 7 * k) for k in range(n_frames)]
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
 
 
 def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:

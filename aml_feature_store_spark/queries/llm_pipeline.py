@@ -679,19 +679,61 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_jpeg_features", oracle=None)
+# JPEG contract (r9, VERDICT #5): the planted 16×16 images have four
+# FLAT 8×8 gray blocks, values = the doc's first 4 UTF-8 bytes (b mod n).
+# At quality 100 every Annex-K quant entry scales to 1, a flat block's
+# DCT is one integer DC + zero ACs, so the LOSSY pipeline is pixel-EXACT
+# on this content class (pinned over all 256 levels in pytest) and the
+# oracle recomputes the sums codec-free: each block value contributes
+# 64 px × 3 channels = 192 pixels.
+_PX_JPEG_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         hex(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS hx,
+         octet_length(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS n
+  FROM documents
+), px AS (
+  SELECT doc_id,
+         (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1) AS v
+  FROM b, range(0, 4) t(i)
+), s AS (
+  SELECT doc_id, CAST(192 * sum(v) AS BIGINT) AS px_sum,
+         CAST(192 * sum(v*v) AS BIGINT) AS px_sq_sum
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, 'jpeg' AS "format", 16 AS width, 16 AS height, 3 AS n_channels,
+       px_sum, px_sq_sum,
+       round(px_sum / 768.0, 6) + 0.0 AS px_mean,
+       round(sqrt(px_sq_sum / 768.0 - (px_sum / 768.0) * (px_sum / 768.0)), 6) + 0.0 AS px_std,
+       TRUE AS roundtrip_fixpoint
+FROM s
+"""
+
+
+@register("multimodal_jpeg_features", oracle=_PX_JPEG_ORACLE)
 def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSY compressed decode with zero codec libraries (X5): real
     baseline JPEGs (DCT + Annex-K Huffman entropy coding) are synthesized
     from each document's UTF-8 bytes by the native pure-Python encoder,
     then decoded natively — marker walk, canonical Huffman, dequant,
-    IDCT, YCbCr→RGB (operators/jpeg.py). Rows-only; the decoder is
-    spec-pinned in tests/test_jpeg.py by streams hand-assembled from
-    T.81 (4:4:4, 4:2:0 subsampled, restart markers, progressive
-    successive-approximation scans) so the encoder and decoder cannot
-    share a compensating bug. Only WebP remains PIL-gated."""
+    IDCT, YCbCr→RGB (operators/jpeg.py). Oracle-certified since r9 via
+    the pixel-sum contract on the flat-block/quality-100 content class
+    where the lossy pipeline is pixel-exact (see _PX_JPEG_ORACLE): DuckDB
+    recomputes the sums from the planted source bytes with zero codec
+    involvement, the four distinct blocks drive real DC-difference
+    Huffman codes, and the encode→decode fixpoint boolean must hold.
+    General lossy content stays spec-pinned in tests/test_jpeg.py by
+    streams hand-assembled from T.81 (4:4:4, 4:2:0 subsampled, restart
+    markers, progressive scans) so the encoder and decoder cannot share
+    a compensating bug. Only lossy-VP8 WebP remains PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_features(multimodal.synthesize_jpeg_payloads(docs))
+    return _px_contract_stats(
+        multimodal.decode_pixel_contract(
+            multimodal.synthesize_block_jpeg_payloads(docs), "jpeg"
+        ),
+        n_px=768.0,
+    )
 
 
 EVAL_MAX_ID = 25  # docs below this id play the held-out benchmark set
@@ -807,17 +849,59 @@ def embedding_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.pca_top_component(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("multimodal_video_features", oracle=None)
+# MJPEG contract (r9, VERDICT #5): 8 flat-block quality-100 frames per
+# doc, frame k's block values = (byte_b + 7k) mod 256 (visible motion,
+# still closed-form); sampling every 4th frame must emit exactly frames
+# {0, 4}, each decoding pixel-exactly like the still-JPEG contract.
+_PX_MJPEG_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         hex(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS hx,
+         octet_length(encode(CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END)) AS n
+  FROM documents
+), px AS (
+  SELECT doc_id, f.frame_idx,
+         ((strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1))-1)*16
+          + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1)
+          + 7 * f.frame_idx) % 256 AS v
+  FROM b, range(0, 4) t(i) CROSS JOIN (VALUES (0), (4)) f(frame_idx)
+), s AS (
+  SELECT doc_id, frame_idx, CAST(192 * sum(v) AS BIGINT) AS px_sum,
+         CAST(192 * sum(v*v) AS BIGINT) AS px_sq_sum
+  FROM px GROUP BY doc_id, frame_idx
+)
+SELECT frame_idx, doc_id, 'jpeg' AS "format",
+       16 AS width, 16 AS height, 3 AS n_channels,
+       px_sum, px_sq_sum,
+       round(px_sum / 768.0, 6) + 0.0 AS px_mean,
+       round(sqrt(px_sq_sum / 768.0 - (px_sum / 768.0) * (px_sum / 768.0)), 6) + 0.0 AS px_std,
+       TRUE AS roundtrip_fixpoint
+FROM s
+"""
+
+
+@register("multimodal_video_features", oracle=_PX_MJPEG_ORACLE)
 def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG-style video pipeline (X5): per doc, an 8-frame sequence of
     REAL baseline JPEGs; the sampler SEEKS past unsampled frames via the
     container's length prefixes (zero decode on dropped frames), then
     only every 4th frame is decoded with the native JPEG codec — the
-    sample-then-decode pattern of a real video curation pass. Rows-only;
-    frame content and sampling are pytest-pinned."""
+    sample-then-decode pattern of a real video curation pass.
+    Oracle-certified since r9 via the pixel-sum contract keyed by
+    (doc, frame_idx): the oracle pins exactly frames {0, 4} with sums
+    recomputed codec-free from the planted bytes plus the per-frame +7k
+    motion shift — a mis-seek, wrong stride, dropped/extra frame, or
+    decode defect diverges. Arbitrary-content MJPEG decoding stays
+    pytest-pinned (tests/test_llm_ops.py, tests/test_jpeg.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.video_features(
-        multimodal.synthesize_mjpeg_payloads(docs), every_k=4
+    seqs = multimodal.synthesize_block_jpeg_payloads(docs, n_frames=8)
+    sampled = multimodal.sample_frames(seqs, every_k=4)
+    return _px_contract_stats(
+        multimodal.decode_pixel_contract(
+            sampled, "jpeg", extra_key="frame_idx"
+        ),
+        n_px=768.0,
+        lead_cols=("frame_idx",),
     )
 
 

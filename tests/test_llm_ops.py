@@ -397,6 +397,25 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, tmp_path):
     assert scan_lines and any("centroid_id" in l for l in scan_lines)
 
 
+def test_jpeg_flat_block_q100_pixel_exact():
+    """The content class backing the r9 JPEG/MJPEG oracle contracts: at
+    quality 100 (all Annex-K quant entries scale to 1) a FLAT 8×8 block
+    has one integer DC coefficient and zero ACs, so the lossy DCT
+    pipeline reproduces it bit-exactly — pinned over all 256 gray levels
+    and on 4-block 16×16 composites with extreme DC deltas."""
+    import numpy as np
+
+    from aml_feature_store_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in range(256):
+        px = np.full((8, 8, 3), v, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(px, quality=100)), px)
+    for vals in ([0, 255, 0, 255], [128, 127, 129, 1], [17, 200, 3, 254]):
+        px = np.zeros((16, 16, 3), np.uint8)
+        px[:8, :8], px[:8, 8:], px[8:, :8], px[8:, 8:] = vals
+        assert np.array_equal(decode_jpeg(encode_jpeg(px, quality=100)), px)
+
+
 def test_multimodal_bmp_orientation():
     """Positive-height BMPs store rows bottom-up (spec): the decoder must
     flip so row 0 is the TOP image row; negative height means top-down
