@@ -140,6 +140,11 @@ SKEW_HEADLINE = [
     # r8 (VERDICT #5): the mutual-recursion twin on the same hot-src
     # graph — the remaining unprobed expensive graph family.
     "hits_bipartite",
+    # r9 (VERDICT #6): the last expensive 100x family without a skew
+    # cell — multi-source BFS frontier joins should be skew-robust for
+    # the same reason as pagerank/hits (the rank/landmark frame
+    # broadcasts; hot edges stay spread across partitions).
+    "landmark_closeness",
 ]
 
 # r8 (VERDICT #5): LSH dedup under adversarial duplicate structure.
@@ -542,6 +547,27 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     scale_repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
+    # r9 run-selection knobs (defaults preserve the driver's behavior):
+    # BENCH_SECTIONS="scale100" (comma list of headline,scale,scale_hot,
+    # scale_skew,scale_lsh,scale100) runs only those sections;
+    # BENCH_ONLY="q1,q2" restricts every section to the named queries.
+    # Motivation: ≥3 100x-bearing runs per round is standing policy, and
+    # a steal-instrumented single-query A/B needs a fresh session without
+    # paying for the full sweep.
+    _sect = os.environ.get("BENCH_SECTIONS")
+    sections_sel = (
+        {s.strip() for s in _sect.split(",") if s.strip()} if _sect else None
+    )
+    _only = os.environ.get("BENCH_ONLY")
+    only_sel = (
+        {s.strip() for s in _only.split(",") if s.strip()} if _only else None
+    )
+
+    def _section_on(key: str) -> bool:
+        return sections_sel is None or key in sections_sel
+
+    def _pick(ns: list) -> list:
+        return ns if only_sel is None else [n for n in ns if n in only_sel]
     from aml_feature_store_spark.catalog import queries
     from aml_feature_store_spark.session import get_spark
 
@@ -550,13 +576,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE and os.environ.get("BENCH_ALL")
     ]
+    if not _section_on("headline"):
+        names = []
+    names = _pick(names)
 
     # warm the JVM/parquet footer caches once with the cheapest plan,
     # then the Python-worker/Arrow path with the heaviest kernel query
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    _warm_section(qs, spark, sf_dir)
+    if names:
+        _warm_section(qs, spark, sf_dir)
     load_before = _loadavg()
 
     timings: dict[str, float] = {}
@@ -609,7 +639,8 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
     )
     if (
-        os.path.exists(os.path.join(scale_dir, "events.parquet"))
+        _section_on("scale")
+        and os.path.exists(os.path.join(scale_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
         _section_gc(spark)
@@ -617,7 +648,7 @@ def main() -> None:
         scale_load = _loadavg()
         scale_timings: dict[str, float] = {}
         scale_samples: dict[str, list[float]] = {}
-        names_scale = list(SCALE_HEADLINE) + list(GRAPH_SCALE_HEADLINE)
+        names_scale = _pick(list(SCALE_HEADLINE) + list(GRAPH_SCALE_HEADLINE))
         llm_rows: dict[str, int] = {}
         has_llm = os.path.exists(os.path.join(scale_dir, "documents.parquet"))
         if has_llm:
@@ -627,7 +658,7 @@ def main() -> None:
                 qs, name, spark, scale_dir, scale_repeats
             )
         if has_llm:
-            for name in LLM_SCALE_HEADLINE:
+            for name in _pick(list(LLM_SCALE_HEADLINE)):
                 try:  # result cardinality = candidate/pair growth evidence
                     llm_rows[name] = qs[name](spark, scale_dir).count()
                 except Exception:
@@ -653,7 +684,8 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "hot"),
     )
     if (
-        os.path.exists(os.path.join(hot_dir, "events.parquet"))
+        _section_on("scale_hot")
+        and os.path.exists(os.path.join(hot_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
         _section_gc(spark)
@@ -665,7 +697,7 @@ def main() -> None:
         # up past the first timed run (worker allocator growth) and this
         # box's external load swings hardest here — more samples give
         # min-of-N a better shot at a quiet window (r4 verdict #3)
-        for name in SCALE_HEADLINE:
+        for name in _pick(list(SCALE_HEADLINE)):
             if time.perf_counter() - t_start > budget_s:
                 skipped.append("scale_hot:" + name)
                 continue
@@ -692,7 +724,8 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "skew"),
     )
     if (
-        os.path.exists(os.path.join(skew_dir, "events.parquet"))
+        _section_on("scale_skew")
+        and os.path.exists(os.path.join(skew_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
         _section_gc(spark)
@@ -700,7 +733,7 @@ def main() -> None:
         skew_load = _loadavg()
         skew_timings: dict[str, float] = {}
         skew_samples: dict[str, list[float]] = {}
-        names_skew = list(SKEW_HEADLINE)
+        names_skew = _pick(list(SKEW_HEADLINE))
         skew_llm_rows: dict[str, int] = {}
         has_skew_docs = os.path.exists(
             os.path.join(skew_dir, "documents.parquet")
@@ -715,7 +748,7 @@ def main() -> None:
                 qs, name, spark, skew_dir, scale_repeats
             )
         if has_skew_docs:
-            for name in SKEW_LLM_HEADLINE:
+            for name in _pick(list(SKEW_LLM_HEADLINE)):
                 try:  # output-size evidence: the exact cluster's pairs
                     skew_llm_rows[name] = qs[name](spark, skew_dir).count()
                 except Exception:
@@ -744,7 +777,8 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "lsh"),
     )
     if (
-        os.path.exists(os.path.join(lsh_dir, "documents.parquet"))
+        _section_on("scale_lsh")
+        and os.path.exists(os.path.join(lsh_dir, "documents.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
         _section_gc(spark)
@@ -758,14 +792,14 @@ def main() -> None:
         lsh_timings: dict[str, float] = {}
         lsh_samples: dict[str, list[float]] = {}
         lsh_rows: dict[str, int] = {}
-        for name in LSH_HEADLINE:
+        for name in _pick(list(LSH_HEADLINE)):
             if time.perf_counter() - t_start > budget_s:
                 skipped.append("scale_lsh:" + name)
                 continue
             lsh_timings[name], lsh_samples[name] = _time_query(
                 qs, name, spark, lsh_dir, scale_repeats
             )
-        for name in LSH_HEADLINE:
+        for name in _pick(list(LSH_HEADLINE)):
             try:  # blowup evidence: verified output stays near-uniform
                 lsh_rows[name] = qs[name](spark, lsh_dir).count()
             except Exception:
@@ -795,7 +829,8 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf10"),
     )
     if (
-        os.environ.get("SPARK_GRAFT_SCALE100") == "1"
+        _section_on("scale100")
+        and os.environ.get("SPARK_GRAFT_SCALE100") == "1"
         and os.path.exists(os.path.join(s100_dir, "events.parquet"))
         and time.perf_counter() - t_start < budget_s
     ):
@@ -825,7 +860,7 @@ def main() -> None:
                 qs, name, spark, s100_dir, max(scale_repeats - 1, 1)
             )
         if has_llm_100:
-            for name in LLM_SCALE_HEADLINE:
+            for name in _pick(list(LLM_SCALE_HEADLINE)):
                 try:  # candidate/pair growth evidence at 100x
                     s100_llm_rows[name] = qs[name](spark, s100_dir).count()
                 except Exception:
