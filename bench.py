@@ -849,6 +849,7 @@ def main() -> None:
         if has_llm_100:  # 100x LLM anchors (VERDICT r5 #5)
             names_100 += LLM_SCALE_HEADLINE
         names_100 += list(SCALE_HEADLINE) + list(GRAPH_SCALE_HEADLINE)
+        names_100 = _pick(names_100)
         for name in names_100:
             if time.perf_counter() - t_start > budget_s * 2:
                 skipped.append("scale100:" + name)  # opt-in run: softer guard
