@@ -80,6 +80,21 @@ def test_merge_seeds_sections_missing_from_first_run(tmp_path):
     assert merged["scale100"]["seeded_from"] == "b.json"
 
 
+def test_merge_seed_attribution_with_identical_artifacts(tmp_path):
+    """r9 (ADVICE r8): byte-identical input artifacts (a rerun copied to
+    a new file) must not misattribute seeded_from — pairing is by
+    position, not dict equality."""
+    a = _artifact({"q1": 2.0})
+    b = _artifact({"q1": 3.0}, scale100={"s1": 10.0})
+    paths = []
+    for name, art in (("a", a), ("b_copy1", b), ("b_copy2", b)):
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps(art))
+        paths.append(str(p))
+    merged = bench._merge_artifacts(paths)
+    assert merged["scale100"]["seeded_from"] == "b_copy1.json"
+
+
 def test_discard_reason_rules():
     # clean sample: kept
     assert bench._discard_reason(5.0, ext=1.0, gc_ms=100, steal_cores=0.1) is None
