@@ -38,48 +38,6 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # least-certified surface. Rows-only (oracle=None) queries sort last: a
 # driver slot spent there yields no hash signal.
 CERTIFIED: dict[str, int] = {
-    # r6-certified
-    "basket_lift_pairs": 6,
-    "bloom_membership_validation": 6,
-    "bm25_index_topk": 6,
-    "chi2_drift_event_type": 6,
-    "cohort_retention_weekly": 6,
-    "countmin_frequency_validation": 6,
-    "cusum_changepoint": 6,
-    "data_quality_profile": 6,
-    "embedding_pca_component": 6,
-    "embedding_pca_scores": 6,
-    "event_type_transitions": 6,
-    "funnel_conversion": 6,
-    "heavy_hitters_topk": 6,
-    "hll_rollup_distinct_users": 6,
-    "incremental_agg_maintenance": 6,
-    "large_volume_customer_q18": 6,
-    "local_supplier_volume_q5": 6,
-    "model_calibration_bins": 6,
-    "order_priority_check_q4": 6,
-    "promo_revenue_q14": 6,
-    "psi_drift_value": 6,
-    "quality_weighted_sample": 6,
-    "quantiles_approx_by_event_type": 6,
-    "revenue_cube_by_type_dow": 6,
-    "rfm_segments": 6,
-    "robust_zscore_outliers": 6,
-    "seeded_sample": 6,
-    "sequence_packing": 6,
-    "shipping_priority_q3": 6,
-    "skew_split_join_revenue": 6,
-    "streaming_dedup_events": 6,
-    "streaming_dim_enrich": 6,
-    "streaming_hll_distinct": 6,
-    "streaming_interval_join": 6,
-    "streaming_per_event_extended": 6,
-    "streaming_tumbling_rollup": 6,
-    "supplier_part_counts_q16": 6,
-    "tdigest_quantiles_by_event_type": 6,
-    "tdigest_rollup_quantiles": 6,
-    "unique_users_approx_by_type": 6,
-    "viewers_never_purchased": 6,
     # r7-certified
     "amount_trend_per_user": 7,
     "ann_ivf_multiprobe": 7,
@@ -88,7 +46,6 @@ CERTIFIED: dict[str, int] = {
     "ann_recall_at_k": 7,
     "ann_recall_refined": 7,
     "batch_score_requests": 7,
-    "behavioral_feature_vector": 7,
     "conditional_window_counts": 7,
     "dbscan_outliers_sliced": 7,
     "dedup_exact": 7,
@@ -103,7 +60,6 @@ CERTIFIED: dict[str, int] = {
     "hits_bipartite": 7,
     "hour_entropy_per_user": 7,
     "knn_cosine_bruteforce": 7,
-    "ks_drift_value": 7,
     "language_id": 7,
     "merchant_graph_features": 7,
     "merchant_trailing_features": 7,
@@ -111,15 +67,12 @@ CERTIFIED: dict[str, int] = {
     "moments_per_user": 7,
     "pagerank_bipartite": 7,
     "pca_anomaly_scores": 7,
-    "pit_join_purchases_24h": 7,
     "population_zscore_per_user": 7,
     "props_json_extract": 7,
     "retrain_decision": 7,
     "risk_explanations": 7,
-    "risk_scores": 7,
     "risk_shapley": 7,
     "running_totals_per_user": 7,
-    "session_window_rollup": 7,
     "streaming_graph_edges": 7,
     "streaming_tdigest_quantiles": 7,
     "streaming_tumbling_complete": 7,
@@ -128,7 +81,6 @@ CERTIFIED: dict[str, int] = {
     "top_events_global": 7,
     "unique_counts_windows": 7,
     "user_graph_degrees": 7,
-    "user_sessions": 7,
     "user_shared_k_pairs": 7,
     "windowed_entropy_24h": 7,
     # r8-certified
@@ -158,9 +110,6 @@ CERTIFIED: dict[str, int] = {
     "multimodal_frame_sample": 8,
     "multimodal_image_features": 8,
     "multimodal_png_features": 8,
-    # multimodal_resize_features: r8 entry deleted in r9 — the BMP
-    # orientation fix (bottom-up flip) changed the picked source rows,
-    # so the query must re-certify under the corrected oracle
     "online_feature_view": 8,
     "pandas_udf_model_scores": 8,
     "pricing_summary": 8,
@@ -184,6 +133,57 @@ CERTIFIED: dict[str, int] = {
     "user_clustering_coeff": 8,
     "windowed_gini_24h": 8,
     "windowed_hhi_24h": 8,
+    # r9-certified
+    "basket_lift_pairs": 9,
+    "behavioral_feature_vector": 9,
+    "bloom_membership_validation": 9,
+    "bm25_index_topk": 9,
+    "chi2_drift_event_type": 9,
+    "cohort_retention_weekly": 9,
+    "countmin_frequency_validation": 9,
+    "cusum_changepoint": 9,
+    "data_quality_profile": 9,
+    "embedding_pca_component": 9,
+    "embedding_pca_scores": 9,
+    "event_type_transitions": 9,
+    "funnel_conversion": 9,
+    "heavy_hitters_topk": 9,
+    "hll_rollup_distinct_users": 9,
+    "incremental_agg_maintenance": 9,
+    "ks_drift_value": 9,
+    "large_volume_customer_q18": 9,
+    "local_supplier_volume_q5": 9,
+    "model_calibration_bins": 9,
+    "multimodal_jpeg_features": 9,
+    "multimodal_resize_features": 9,
+    "multimodal_video_features": 9,
+    "order_priority_check_q4": 9,
+    "pit_join_purchases_24h": 9,
+    "promo_revenue_q14": 9,
+    "psi_drift_value": 9,
+    "quality_weighted_sample": 9,
+    "quantiles_approx_by_event_type": 9,
+    "revenue_cube_by_type_dow": 9,
+    "rfm_segments": 9,
+    "risk_scores": 9,
+    "robust_zscore_outliers": 9,
+    "seeded_sample": 9,
+    "sequence_packing": 9,
+    "session_window_rollup": 9,
+    "shipping_priority_q3": 9,
+    "skew_split_join_revenue": 9,
+    "streaming_dedup_events": 9,
+    "streaming_dim_enrich": 9,
+    "streaming_hll_distinct": 9,
+    "streaming_interval_join": 9,
+    "streaming_per_event_extended": 9,
+    "streaming_tumbling_rollup": 9,
+    "supplier_part_counts_q16": 9,
+    "tdigest_quantiles_by_event_type": 9,
+    "tdigest_rollup_quantiles": 9,
+    "unique_users_approx_by_type": 9,
+    "user_sessions": 9,
+    "viewers_never_purchased": 9,
 }
 
 # The driver's correctness gate checks the first DRIVER_CAP registered
