@@ -97,8 +97,6 @@ CERTIFIED: dict[str, int] = {
     "embedding_near_dup_pairs": 8,
     "event_type_pivot": 8,
     "feature_target_correlation": 8,
-    "gbt_feature_contributions": 8,
-    "gbt_shap_values": 8,
     "graph_edge_list": 8,
     "interarrival_stats_per_user": 8,
     "landmark_closeness": 8,

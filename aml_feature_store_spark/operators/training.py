@@ -135,6 +135,223 @@ def gbt_trees(model) -> list[tuple[float, dict]]:
     ]
 
 
+def gbt_path_contributions_per_tree(
+    feats: DataFrame,
+    model,
+    feature_cols: list[str],
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Per-(entity, boosting-stage, feature) Saabas attribution on the
+    1e-9 integer lattice — the EXPORT surface behind the value-recomputing
+    oracle of ``gbt_feature_contributions`` (r10 upgrade of the r8 axiom
+    booleans; reference behavior certified:
+    explainability/shap_explainer.py:78-126).
+
+    Per tree t with stage weight w the walk emits, for every entity row:
+
+      c_lat       round(contribution_{t,f} · 1e9)   per split feature f
+      troot_lat   round(w · root_prediction · 1e9)  (entity-independent)
+      tmargin_lat round(w · leaf_prediction  · 1e9) (the reached leaf)
+
+    so the per-tree telescoping identity tmargin = troot + Σ_f c holds on
+    the lattice to ±(d+2) half-ulps, and DuckDB can RECOMPUTE both it and
+    the whole-model efficiency identity (Σ_t tmargin − Σ_t troot = Σ c)
+    from the exported integers — a value check no Spark-side boolean
+    mediates. Same node-mask vectorized kernel as
+    ``gbt_path_contributions``; output is T× longer but still
+    metadata-scale (entities × trees × features rows), no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    trees = gbt_trees(model)
+    names = list(feature_cols)
+    schema = (
+        f"{entity_col} long, tree int, feature string, "
+        "c_lat long, troot_lat long, tmargin_lat long"
+    )
+
+    def lat(a):
+        return np.floor(np.asarray(a, dtype=np.float64) * 1e9 + 0.5).astype(
+            np.int64
+        )
+
+    def explain(batches):
+        for pdf in batches:
+            n = len(pdf)
+            x = pdf[names].fillna(0).to_numpy(np.float64)
+            out = []
+            for t, (w, tree) in enumerate(trees):
+                contrib = np.zeros((n, len(names)))
+                margin = np.zeros(n)
+
+                def walk(node, mask):
+                    if "feat" not in node:
+                        margin[mask] += w * node["pred"]
+                        return
+                    left = mask & (x[:, node["feat"]] <= node["thr"])
+                    right = mask & ~left
+                    contrib[left, node["feat"]] += w * (
+                        node["left"]["pred"] - node["pred"]
+                    )
+                    contrib[right, node["feat"]] += w * (
+                        node["right"]["pred"] - node["pred"]
+                    )
+                    walk(node["left"], left)
+                    walk(node["right"], right)
+
+                walk(tree, np.ones(n, dtype=bool))
+                troot = lat(np.full(n, w * tree["pred"]))
+                tmargin = lat(margin)
+                for j, name in enumerate(names):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                entity_col: pdf[entity_col],
+                                "tree": np.int32(t),
+                                "feature": name,
+                                "c_lat": lat(contrib[:, j]),
+                                "troot_lat": troot,
+                                "tmargin_lat": tmargin,
+                            }
+                        )
+                    )
+            yield pd.concat(out, ignore_index=True)
+
+    return feats.select(entity_col, *names).mapInPandas(explain, schema=schema)
+
+
+def gbt_shap_export(
+    feats: DataFrame,
+    model,
+    feature_cols: list[str],
+    entity_col: str = "user_id",
+    background_limit: int = 32,
+    max_features: int = 12,
+) -> DataFrame:
+    """Coalition-value + Shapley-value export on the 1e-9 integer lattice —
+    the surface behind the value-recomputing oracle of ``gbt_shap_values``
+    (r10 upgrade of the r8 axiom booleans). Emits, per entity, two row
+    kinds in one long frame (sentinel-discriminated, no NULLs):
+
+      coalition rows: (mask ∈ [0, 2^d), feature='',  v_lat,  phi_lat=0)
+          v_lat = round(v(S)·1e9) where v(S) is the interventional
+          coalition value E_b[margin(x_S ∪ b_~S)] — the exact quantity the
+          Shapley formula consumes, so DuckDB can recompute every
+          phi_i = Σ_{S∌i} w_|S| (v(S∪i) − v(S)) from integers alone
+          (d=4 ⇒ 12·w_|S| ∈ {3,1,1,3}, exact).
+      phi rows:       (mask=-1, feature=name, v_lat=0, phi_lat)
+          phi_lat = round(phi_i·1e9) from the same float enumeration
+          ``gbt_shap_values`` ships.
+
+    Same 2^d coalition kernel as ``gbt_shap_values`` (one evaluation pass
+    yields both kinds), no shuffle, metadata-scale output."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    names = list(feature_cols)
+    d = len(names)
+    if d > max_features:
+        raise ValueError(
+            f"exact Shapley enumerates 2^{d} coalitions; cap is "
+            f"{max_features} features"
+        )
+    trees = gbt_trees(model)
+    bg = (
+        feats.na.fill(0, names)
+        .orderBy(entity_col)
+        .limit(background_limit)
+        .select(*names)
+        .toPandas()
+        .to_numpy(np.float64)
+    )
+    n_bg = len(bg)
+    if n_bg == 0:
+        raise ValueError("empty background sample")
+    wsize = [
+        math.factorial(s) * math.factorial(d - s - 1) / math.factorial(d)
+        for s in range(d)
+    ]
+    schema = (
+        f"{entity_col} long, mask int, feature string, "
+        "v_lat long, phi_lat long"
+    )
+
+    def lat(a):
+        return np.floor(np.asarray(a, dtype=np.float64) * 1e9 + 0.5).astype(
+            np.int64
+        )
+
+    def margin_of(X: "np.ndarray") -> "np.ndarray":
+        out = np.zeros(len(X))
+
+        def walk(node, mask, w):
+            if "feat" not in node:
+                out[mask] += w * node["pred"]
+                return
+            left = mask & (X[:, node["feat"]] <= node["thr"])
+            walk(node["left"], left, w)
+            walk(node["right"], mask & ~left, w)
+
+        for w, tree in trees:
+            walk(tree, np.ones(len(X), dtype=bool), w)
+        return out
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = pdf[names].fillna(0).to_numpy(np.float64)
+            xr = np.repeat(x, n_bg, axis=0)
+            bgt = np.tile(bg, (n, 1))
+            v = np.empty((1 << d, n))
+            for m in range(1 << d):
+                sel = np.array(
+                    [(m >> j) & 1 for j in range(d)], dtype=bool
+                )
+                comp = np.where(sel[None, :], xr, bgt)
+                v[m] = margin_of(comp).reshape(n, n_bg).mean(axis=1)
+            phi = np.zeros((n, d))
+            for i in range(d):
+                bit = 1 << i
+                for m in range(1 << d):
+                    if m & bit:
+                        continue
+                    phi[:, i] += wsize[bin(m).count("1")] * (
+                        v[m | bit] - v[m]
+                    )
+            out = []
+            for m in range(1 << d):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            entity_col: pdf[entity_col],
+                            "mask": np.int32(m),
+                            "feature": "",
+                            "v_lat": lat(v[m]),
+                            "phi_lat": np.int64(0),
+                        }
+                    )
+                )
+            for j, name in enumerate(names):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            entity_col: pdf[entity_col],
+                            "mask": np.int32(-1),
+                            "feature": name,
+                            "v_lat": np.int64(0),
+                            "phi_lat": lat(phi[:, j]),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return feats.select(entity_col, *names).mapInPandas(kernel, schema=schema)
+
+
 def gbt_path_contributions(
     feats: DataFrame,
     model,

@@ -11,11 +11,37 @@ exact and the verdict itself is oracle-checked.
 
 from __future__ import annotations
 
+import os
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register
 from ..operators import training
 from ..sources import load_table
+
+# Value-recomputing GBT oracles (r10): each query WRITES its attribution
+# export (per-tree Saabas rows / per-coalition Shapley values on the 1e-9
+# integer lattice) to a parquet dir under the repo's gitignored
+# spark-warehouse, READS IT BACK as its own result, and the DuckDB oracle
+# recomputes the telescoping / Shapley / efficiency identities from the
+# same export via read_parquet — so the certified columns are VALUE
+# equalities computed independently by both engines, not Spark-computed
+# booleans. Safe because the fit is bit-deterministic on one box (verified
+# across fresh sessions) and the driver/gate run the Spark side first.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_EXPORT_ROOT = os.path.join(_REPO_ROOT, "spark-warehouse", "exports")
+
+
+def _export_path(kind: str, sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(_EXPORT_ROOT, f"{kind}_{base}")
+
+
+# The oracle string is static, so it pins the driver's correctness dir.
+_ORACLE_SF = "sf0.01"
 
 _FEEDBACK_SQL = """
 SELECT ts,
@@ -83,117 +109,207 @@ def gbt_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
+def _contrib_identity_sql(src: str, computed: bool) -> str:
+    """Shared CTE body over a gbt per-tree export relation: aggregates the
+    per-(user,tree,feature) lattice rows to the certified per-(user,feature)
+    surface and RECOMPUTES the per-tree telescoping identity
+    (tmargin = troot + Σ_f c) and whole-model efficiency identity
+    (margin − base = Σ c) as micro-lattice residuals. ``computed=True``
+    emits the recomputed residuals in the ``*_live_micro`` columns (the
+    Spark mirror); ``computed=False`` emits them in the ``*_micro``
+    columns (the DuckDB oracle) — each engine pins literal 0 where the
+    OTHER engine does the arithmetic, so a broken walk, dropped tree, or
+    export defect reddens both directions."""
+    eff = "CAST(ROUND((u.margin_lat - u.base_lat - u.call_lat) / 1000.0) AS BIGINT)"
+    tre = "CAST(ROUND(u.tree_resid_lat / 1000.0) AS BIGINT)"
+    zero = "CAST(0 AS BIGINT)"
+    eff_micro, eff_live = (zero, eff) if computed else (eff, zero)
+    tre_micro, tre_live = (zero, tre) if computed else (tre, zero)
+    return f"""
+WITH exp AS ({src}),
+per_uf AS (
+  SELECT user_id, feature, CAST(SUM(c_lat) AS BIGINT) AS contribution_lat
+  FROM exp GROUP BY user_id, feature
+),
+per_ut AS (
+  SELECT user_id, tree,
+         CAST(MAX(troot_lat) AS BIGINT) AS troot_lat,
+         CAST(MAX(tmargin_lat) AS BIGINT) AS tmargin_lat,
+         CAST(SUM(c_lat) AS BIGINT) AS csum_lat
+  FROM exp GROUP BY user_id, tree
+),
+per_u AS (
+  SELECT user_id,
+         CAST(SUM(troot_lat) AS BIGINT) AS base_lat,
+         CAST(SUM(tmargin_lat) AS BIGINT) AS margin_lat,
+         CAST(SUM(csum_lat) AS BIGINT) AS call_lat,
+         CAST(MAX(ABS(tmargin_lat - troot_lat - csum_lat)) AS BIGINT)
+           AS tree_resid_lat
+  FROM per_ut GROUP BY user_id
+)
+SELECT f.user_id, f.feature, f.contribution_lat, u.base_lat, u.margin_lat,
+       {eff_micro} AS eff_resid_micro,
+       {eff_live} AS eff_resid_live_micro,
+       {tre_micro} AS tree_resid_micro,
+       {tre_live} AS tree_resid_live_micro
+FROM per_uf f JOIN per_u u USING (user_id)
+"""
+
+
 @register(
     "gbt_feature_contributions",
-    oracle="""
-SELECT u.user_id, f.feature,
-       TRUE AS contribution_finite, TRUE AS axiom_ok, TRUE AS base_is_global
-FROM (SELECT DISTINCT user_id FROM events) u
-CROSS JOIN (VALUES ('txn_amount_sum_1h'), ('txn_count_1h'),
-                   ('velocity_score_1h'), ('unique_event_type_1h')) f(feature)
-""",
+    oracle=_contrib_identity_sql(
+        "SELECT * FROM read_parquet('"
+        + _export_path("gbt_contrib", _ORACLE_SF)
+        + "/*.parquet')",
+        computed=False,
+    ),
 )
 def gbt_feature_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-feature path attribution (Saabas decomposition) of the fitted
     GBT model over every scored entity — the tree-model counterpart of
-    risk_shapley (shap_explainer.py:78-126 re-expressed). Oracle-certified
-    via the axiom validation contract (r8, converted from rows-only):
-    tree FITS aren't bit-portable across engines, but the attribution
-    AXIOMS hold for any fit, so the query emits them as booleans the
-    oracle pins TRUE over the exact (user × feature) key set —
-    margin = base + Σ contributions within 1e-6 (Saabas telescoping),
-    every contribution finite, and one global base value. A broken walk,
-    dropped feature, or NaN contribution turns rows red. The raw
-    contribution surface stays pytest-pinned (telescoping identity +
-    model-probability agreement in tests/test_training.py)."""
+    risk_shapley (shap_explainer.py:78-126 re-expressed). r10 upgrades the
+    r8 axiom booleans to a VALUE-recomputing contract: the query exports
+    per-(user, tree, feature) lattice rows (c_lat, troot_lat, tmargin_lat
+    — see gbt_path_contributions_per_tree), returns the per-(user,feature)
+    aggregation read back FROM that export, and the DuckDB oracle
+    independently recomputes, from the same exported integers, the
+    per-tree telescoping identity (tmargin = troot + Σ_f c) and the
+    whole-model efficiency identity (margin − base = Σ contributions) as
+    micro-lattice residual VALUES pinned 0 by the opposite engine in each
+    direction. Contribution/base/margin lattice values are certified
+    exactly; a broken walk, dropped tree/feature, or export defect turns
+    rows red in both residual directions. Tree fits stay bit-deterministic
+    per box (verified across fresh sessions), so a stale export from a
+    prior gate run is content-identical. Raw float surface remains
+    pytest-pinned (tests/test_training.py)."""
     feats = _gbt_inputs(spark, sf_dir)
     model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
-    contrib = training.gbt_path_contributions(feats, model, _GBT_FEATURES)
-    per_user = contrib.groupBy("user_id").agg(
-        F.sum("contribution").alias("_csum"),
-        F.first("base_value").alias("_base"),
-        F.first("margin").alias("_margin"),
-    )
-    glob = contrib.agg(
-        F.min("base_value").alias("_gbmin"), F.max("base_value").alias("_gbmax")
-    )
-    inf = F.lit(float("inf"))
-    return (
-        contrib.join(per_user, "user_id")
-        .crossJoin(F.broadcast(glob))
-        .select(
-            "user_id",
-            "feature",
-            (
-                F.col("contribution").isNotNull()
-                & ~F.isnan("contribution")
-                & (F.abs(F.col("contribution")) < inf)
-            ).alias("contribution_finite"),
-            (
-                F.abs(F.col("_margin") - (F.col("_base") + F.col("_csum")))
-                <= F.lit(1e-6)
-            ).alias("axiom_ok"),
-            (
-                (F.col("base_value") == F.col("_gbmin"))
-                & (F.col("_gbmin") == F.col("_gbmax"))
-            ).alias("base_is_global"),
+    path = _export_path("gbt_contrib", sf_dir)
+    training.gbt_path_contributions_per_tree(
+        feats, model, _GBT_FEATURES
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("gbt_contrib_exp")
+    return spark.sql(
+        _contrib_identity_sql(
+            "SELECT * FROM gbt_contrib_exp", computed=True
         )
     )
 
 
+def _shap_identity_sql(
+    src: str, computed: bool, features: list[str] | None = None
+) -> str:
+    """Shared CTE body over a gbt Shapley export relation (coalition rows
+    feature='' carrying v_lat per mask; phi rows mask=-1 carrying phi_lat
+    per feature): RECOMPUTES every Shapley value from the exported
+    coalition values — phi_i = Σ_{S∌i} w_|S| (v(S∪i) − v(S)) with the
+    exact integer weights D·w_|S| — and the efficiency identity
+    Σ phi = v(full) − v(∅), as micro-lattice residuals. ``computed``
+    selects which residual column carries the engine's own arithmetic
+    (mirror layout of _contrib_identity_sql)."""
+    import math
+
+    names = list(features) if features is not None else _GBT_FEATURES
+    d = len(names)
+    ws = [
+        Fraction(math.factorial(s) * math.factorial(d - s - 1), math.factorial(d))
+        for s in range(d)
+    ]
+    denom = 1
+    for w in ws:
+        denom = denom * w.denominator // math.gcd(denom, w.denominator)
+    coefs = [int(w * denom) for w in ws]
+    case = " ".join(
+        f"WHEN {s} THEN {c}" for s, c in enumerate(coefs)
+    )
+    fmap = ", ".join(
+        f"('{name}', {1 << i})" for i, name in enumerate(names)
+    )
+    full = (1 << d) - 1
+    phi = (
+        f"CAST(ROUND((p.phi_lat - ph.phi{denom}_lat / {denom}.0) / 1000.0) "
+        "AS BIGINT)"
+    )
+    eff = (
+        "CAST(ROUND((u.margin_lat - u.base_lat - a.phisum_lat) / 1000.0) "
+        "AS BIGINT)"
+    )
+    zero = "CAST(0 AS BIGINT)"
+    phi_micro, phi_live = (zero, phi) if computed else (phi, zero)
+    eff_micro, eff_live = (zero, eff) if computed else (eff, zero)
+    return f"""
+WITH exp AS ({src}),
+v AS (SELECT user_id, mask, v_lat FROM exp WHERE feature = ''),
+p AS (SELECT user_id, feature, phi_lat FROM exp WHERE feature <> ''),
+fmap AS (SELECT * FROM (VALUES {fmap}) AS t(feature, bitval)),
+phi{denom} AS (
+  SELECT s.user_id, f.feature,
+         CAST(SUM((CASE bit_count(s.mask) {case} END)
+                  * (si.v_lat - s.v_lat)) AS BIGINT) AS phi{denom}_lat
+  FROM v s
+  JOIN fmap f ON (s.mask & f.bitval) = 0
+  JOIN v si ON si.user_id = s.user_id AND si.mask = (s.mask | f.bitval)
+  GROUP BY s.user_id, f.feature
+),
+agg AS (
+  SELECT user_id, CAST(SUM(phi_lat) AS BIGINT) AS phisum_lat
+  FROM p GROUP BY user_id
+),
+u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN mask = 0 THEN v_lat END) AS BIGINT) AS base_lat,
+         CAST(MAX(CASE WHEN mask = {full} THEN v_lat END) AS BIGINT)
+           AS margin_lat
+  FROM v GROUP BY user_id
+)
+SELECT p.user_id, p.feature, p.phi_lat, u.base_lat, u.margin_lat,
+       {phi_micro} AS phi_resid_micro,
+       {phi_live} AS phi_resid_live_micro,
+       {eff_micro} AS eff_resid_micro,
+       {eff_live} AS eff_resid_live_micro
+FROM p
+JOIN u USING (user_id)
+JOIN agg a USING (user_id)
+JOIN phi{denom} ph ON ph.user_id = p.user_id AND ph.feature = p.feature
+"""
+
+
 @register(
     "gbt_shap_values",
-    oracle="""
-SELECT u.user_id, f.feature,
-       TRUE AS phi_finite, TRUE AS efficiency_ok, TRUE AS base_is_global
-FROM (SELECT DISTINCT user_id FROM events) u
-CROSS JOIN (VALUES ('txn_amount_sum_1h'), ('txn_count_1h'),
-                   ('velocity_score_1h'), ('unique_event_type_1h')) f(feature)
-""",
+    oracle=_shap_identity_sql(
+        "SELECT * FROM read_parquet('"
+        + _export_path("gbt_shap", _ORACLE_SF)
+        + "/*.parquet')",
+        computed=False,
+    ),
 )
 def gbt_shap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interventional Shapley values of the fitted GBT over every
     scored entity (shap_explainer.py:78-126's TreeExplainer re-expressed
     library-free): full 2^d coalition enumeration against a deterministic
-    background sample. Oracle-certified since r8 via the axiom validation
-    contract (same idiom as gbt_feature_contributions): the fit isn't
-    bit-portable, but the Shapley axioms hold for ANY fit — per
-    (user, feature) booleans pinned TRUE over the exact key set:
-    Σ phi = margin − base within 1e-6 (efficiency), every phi finite,
-    one global base value v(∅). The raw phi surface and a closed-form
+    background sample. r10 upgrades the r8 axiom booleans to a
+    VALUE-recomputing contract: the query exports every coalition value
+    v(S) per user plus every phi on the 1e-9 integer lattice (see
+    gbt_shap_export), returns the per-(user,feature) surface read back
+    FROM that export, and the DuckDB oracle RECOMPUTES each Shapley value
+    from the exported coalition values — phi_i = Σ_{S∌i} w_|S|(v(S∪i) −
+    v(S)) with exact integer weights — and the efficiency identity
+    Σ phi = v(full) − v(∅), as micro-lattice residual VALUES pinned 0 by
+    the opposite engine per direction (Spark mirrors the same SQL over
+    the read-back view). phi/base/margin lattice values are certified
+    exactly; a wrong weight, dropped coalition, or broken enumeration
+    reddens both directions. Raw float surface and a closed-form
     single-split case stay pytest-pinned."""
     feats = _gbt_inputs(spark, sf_dir)
     model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
-    shap = training.gbt_shap_values(feats, model, _GBT_FEATURES)
-    per_user = shap.groupBy("user_id").agg(
-        F.sum("phi").alias("_psum"),
-        F.first("base_value").alias("_base"),
-        F.first("margin").alias("_margin"),
-    )
-    glob = shap.agg(
-        F.min("base_value").alias("_gbmin"), F.max("base_value").alias("_gbmax")
-    )
-    inf = F.lit(float("inf"))
-    return (
-        shap.join(per_user, "user_id")
-        .crossJoin(F.broadcast(glob))
-        .select(
-            "user_id",
-            "feature",
-            (
-                F.col("phi").isNotNull()
-                & ~F.isnan("phi")
-                & (F.abs(F.col("phi")) < inf)
-            ).alias("phi_finite"),
-            (
-                F.abs(F.col("_margin") - (F.col("_base") + F.col("_psum")))
-                <= F.lit(1e-6)
-            ).alias("efficiency_ok"),
-            (
-                (F.col("base_value") == F.col("_gbmin"))
-                & (F.col("_gbmin") == F.col("_gbmax"))
-            ).alias("base_is_global"),
-        )
+    path = _export_path("gbt_shap", sf_dir)
+    training.gbt_shap_export(feats, model, _GBT_FEATURES).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("gbt_shap_exp")
+    return spark.sql(
+        _shap_identity_sql("SELECT * FROM gbt_shap_exp", computed=True)
     )
 
 

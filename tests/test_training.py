@@ -405,3 +405,72 @@ def test_cv_tuning_summary_grid_and_best(spark):
     assert best[0]["avg_auc"] == max(r["avg_auc"] for r in rows)
     # a separable problem cross-validates to a strong AUC somewhere
     assert best[0]["avg_auc"] > 0.9
+
+
+def test_gbt_export_identities_and_mutation_detection(spark, tmp_path):
+    """r10 value-recomputing contract: the per-tree Saabas export and the
+    coalition-value Shapley export satisfy their lattice identities with
+    residual EXACTLY 0 (no tolerance), DuckDB recomputes the same zero
+    from the written parquet, and a single corrupted lattice cell turns
+    the recomputed residuals nonzero — the detection property the
+    registered oracles rely on."""
+    import duckdb
+
+    from aml_feature_store_spark.operators.training import (
+        gbt_path_contributions_per_tree,
+        gbt_shap_export,
+        train_gbt,
+    )
+    from aml_feature_store_spark.queries.training import (
+        _contrib_identity_sql,
+        _shap_identity_sql,
+    )
+
+    df = _separable_frame(spark)
+    model, _ = train_gbt(df, ["x1", "x2"], "label")
+
+    cpath = str(tmp_path / "contrib")
+    gbt_path_contributions_per_tree(df, model, ["x1", "x2"]).write.parquet(
+        cpath
+    )
+    csrc = f"SELECT * FROM read_parquet('{cpath}/*.parquet')"
+    cdf = duckdb.sql(_contrib_identity_sql(csrc, computed=False)).df()
+    assert len(cdf) == 400  # 200 users x 2 features
+    assert (cdf.eff_resid_micro == 0).all()
+    assert (cdf.tree_resid_micro == 0).all()
+    # per-tree aggregation matches the single-pass operator on the lattice
+    spath = str(tmp_path / "shap")
+    gbt_shap_export(df, model, ["x1", "x2"], background_limit=16).write.parquet(
+        spath
+    )
+    ssrc = f"SELECT * FROM read_parquet('{spath}/*.parquet')"
+    sdf = duckdb.sql(
+        _shap_identity_sql(ssrc, computed=False, features=["x1", "x2"])
+    ).df()
+    assert len(sdf) == 400
+    assert (sdf.phi_resid_micro == 0).all()
+    assert (sdf.eff_resid_micro == 0).all()
+
+    # mutation: +1e-3 on one exported cell must redden the recomputation
+    cbad = duckdb.sql(
+        _contrib_identity_sql(
+            "SELECT user_id, tree, feature, c_lat + CASE WHEN user_id = 3 "
+            "AND tree = 0 AND feature = 'x1' THEN 1000000 ELSE 0 END AS "
+            f"c_lat, troot_lat, tmargin_lat FROM read_parquet('{cpath}/*.parquet')",
+            computed=False,
+        )
+    ).df()
+    hit = cbad[cbad.user_id == 3]
+    assert (hit.tree_resid_micro != 0).all() and (hit.eff_resid_micro != 0).all()
+    sbad = duckdb.sql(
+        _shap_identity_sql(
+            "SELECT user_id, mask, feature, v_lat + CASE WHEN user_id = 3 "
+            "AND mask = 1 AND feature = '' THEN 1000000 ELSE 0 END AS "
+            f"v_lat, phi_lat FROM read_parquet('{spath}/*.parquet')",
+            computed=False,
+            features=["x1", "x2"],
+        )
+    ).df()
+    assert (sbad[sbad.user_id == 3].phi_resid_micro != 0).any()
+    # and rows for untouched users stay zero
+    assert (sbad[sbad.user_id != 3].phi_resid_micro == 0).all()
