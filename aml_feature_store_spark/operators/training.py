@@ -917,6 +917,28 @@ FROM verdict
 """
 
 
+def asha_config_space(n_configs: int = 6, seed: int = 7) -> list[dict]:
+    """The seeded PCG64 configuration sample behind ``asha_tuning_summary``
+    — exposed so the registered query's DuckDB oracle can embed the exact
+    config space as a VALUES literal (it is import-time metadata, a pure
+    function of (n_configs, seed); the oracle independently recomputes the
+    LADDER — membership, budgets, promotions — from this space plus the
+    exported per-(rung, config) AUCs)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return [
+        {
+            "config_id": i,
+            "max_depth": int(rng.integers(2, 7)),
+            "step_size": round(float(rng.uniform(0.05, 0.3)), 4),
+            "subsample": round(float(rng.uniform(0.6, 1.0)), 4),
+            "min_instances": int(rng.integers(1, 9)),
+        }
+        for i in range(n_configs)
+    ]
+
+
 def asha_tuning_summary(
     df: DataFrame,
     feature_cols: list[str],
@@ -953,22 +975,11 @@ def asha_tuning_summary(
     Rows-only surface (GBT split selection is engine-specific); ladder
     structure, budget growth, promotion ordering, and determinism are
     pytest-pinned (test_automl.py)."""
-    import numpy as np
     from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
-    rng = np.random.Generator(np.random.PCG64(seed))
-    configs = [
-        {
-            "config_id": i,
-            "max_depth": int(rng.integers(2, 7)),
-            "step_size": round(float(rng.uniform(0.05, 0.3)), 4),
-            "subsample": round(float(rng.uniform(0.6, 1.0)), 4),
-            "min_instances": int(rng.integers(1, 9)),
-        }
-        for i in range(n_configs)
-    ]
+    configs = asha_config_space(n_configs, seed)
 
     def fit(cfg: dict, budget: int, train):
         if estimator == "logreg":

@@ -594,25 +594,107 @@ def automl_tuning_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("automl_asha_summary", oracle=None)
+_ASHA_N_CONFIGS, _ASHA_ETA, _ASHA_MIN_ITER, _ASHA_N_RUNGS = 4, 2, 2, 3
+
+
+def _asha_ladder_sql() -> str:
+    """Unrolled-CTE DuckDB oracle for the ASHA ladder (r10 conversion from
+    rows-only, the pagerank idiom applied to successive halving): the only
+    fit-dependent inputs are the per-(rung, config) held-out AUCs, which
+    the query EXPORTS; the config space is import-time metadata (seeded
+    PCG64, embedded as a VALUES literal via asha_config_space). DuckDB then
+    independently RECOMPUTES the whole ladder — rung-0 membership from the
+    config space (a dropped config leaves a NULL-AUC oracle row Spark
+    can't match), budgets min_iter·eta^rung, promotion = top-1/eta by
+    (−auc, config_id) via ROW_NUMBER, and rung r>0 membership = rung r−1
+    promotions. A wrong promotion rule, ladder short-circuit, or budget
+    drift reddens the hash; only the AUC numbers themselves pass through
+    (the L-BFGS fits stay engine-specific but are bit-deterministic per
+    box, session-verified)."""
+    cfgs = training.asha_config_space(_ASHA_N_CONFIGS)
+    values = ", ".join(
+        f"({c['config_id']}, {c['max_depth']}, {c['step_size']}, "
+        f"{c['subsample']}, {c['min_instances']})"
+        for c in cfgs
+    )
+    path = _export_path("asha_auc", _ORACLE_SF)
+    cols = (
+        "rung, config_id, budget_iters, max_depth, step_size, subsample, "
+        "min_instances, val_auc, promoted"
+    )
+    rungs = []
+    alive = _ASHA_N_CONFIGS
+    for r in range(_ASHA_N_RUNGS):
+        budget = _ASHA_MIN_ITER * _ASHA_ETA**r
+        keep = max(alive // _ASHA_ETA, 1)
+        last = r == _ASHA_N_RUNGS - 1
+        member = (
+            "cfg c"
+            if r == 0
+            else f"(SELECT * FROM r{r - 1} WHERE promoted) c"
+        )
+        promoted = (
+            "FALSE AS promoted"
+            if last
+            else (
+                "ROW_NUMBER() OVER (ORDER BY a.val_auc DESC, c.config_id) "
+                f"<= {keep} AS promoted"
+            )
+        )
+        rungs.append(
+            f"""r{r} AS (
+  SELECT {r} AS rung, c.config_id, {budget} AS budget_iters, c.max_depth,
+         c.step_size, c.subsample, c.min_instances, a.val_auc,
+         {promoted}
+  FROM {member} LEFT JOIN auc a
+    ON a.rung = {r} AND a.config_id = c.config_id
+)"""
+        )
+        alive = keep
+    union = "\nUNION ALL ".join(
+        f"SELECT {cols} FROM r{r}" for r in range(_ASHA_N_RUNGS)
+    )
+    return f"""
+WITH cfg AS (
+  SELECT * FROM (VALUES {values})
+    AS t(config_id, max_depth, step_size, subsample, min_instances)
+),
+auc AS (
+  SELECT rung, config_id, val_auc
+  FROM read_parquet('{path}/*.parquet')
+),
+{",".join(rungs)}
+{union}
+"""
+
+
+@register("automl_asha_summary", oracle=_asha_ladder_sql())
 def automl_asha_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AutoML beyond grid search (VERDICT r5 missing #3) — seeded random
-    GBT configurations pruned by successive halving
+    configurations pruned by successive halving
     (models/advanced_models.py:309-362 Optuna analog): rung budgets grow
     eta× while the field shrinks 1/eta, so compute concentrates on
     survivors. Deterministic hash hold-out split and 8-dp promotion
-    ordering. Rows-only; ladder structure and determinism pytest-pinned
-    (test_automl.py)."""
-    return training.asha_tuning_summary(
+    ordering. Oracle-exact since r10: the query exports the per-(rung,
+    config) held-out AUCs — the only fit-dependent values — and the
+    DuckDB oracle independently recomputes the ENTIRE ladder from the
+    import-time config space + those exports (see _asha_ladder_sql).
+    Ladder structure and determinism also pytest-pinned (test_automl.py)."""
+    summary = training.asha_tuning_summary(
         _gbt_inputs(spark, sf_dir),
         _GBT_FEATURES,
         "label",
         id_col="user_id",
-        n_configs=4,
-        eta=2,
-        min_iter=2,
+        n_configs=_ASHA_N_CONFIGS,
+        eta=_ASHA_ETA,
+        min_iter=_ASHA_MIN_ITER,
+        n_rungs=_ASHA_N_RUNGS,
         estimator="logreg",
     )
+    summary.select("rung", "config_id", "val_auc").write.mode(
+        "overwrite"
+    ).parquet(_export_path("asha_auc", sf_dir))
+    return summary
 
 
 @register("model_training_summary", oracle=None)

@@ -73,3 +73,49 @@ def test_asha_winner_is_reasonable(toy):
     final = [r for r in rows if r["rung"] == 1]
     # the data is separable-ish; the surviving configs should rank well
     assert all(r["val_auc"] > 0.6 for r in final)
+
+
+def test_asha_oracle_recomputes_ladder_from_aucs():
+    """r10 oracle contract: _asha_ladder_sql rebuilds the ENTIRE ladder
+    (membership, budgets, promotions) in DuckDB from only the exported
+    per-(rung, config) AUCs — pinned here on a synthetic AUC table with a
+    known promotion order, plus the detection property: permuting two
+    rung-0 AUCs flips the recomputed promotions/membership."""
+    import re
+
+    import duckdb
+
+    from aml_feature_store_spark.queries.training import _asha_ladder_sql
+
+    sql = _asha_ladder_sql()
+    synth = (
+        "(VALUES (0, 0, 0.9), (0, 1, 0.8), (0, 2, 0.7), (0, 3, 0.6), "
+        "(1, 0, 0.95), (1, 1, 0.85), (2, 0, 0.99)) "
+        "AS t(rung, config_id, val_auc)"
+    )
+    patched = re.sub(r"read_parquet\('[^']*'\)", synth, sql)
+    assert patched != sql
+    df = (
+        duckdb.sql(patched)
+        .df()
+        .sort_values(["rung", "config_id"])
+        .reset_index(drop=True)
+    )
+    assert len(df) == 7
+    assert df.budget_iters.tolist() == [2, 2, 2, 2, 4, 4, 8]
+    promoted = {
+        (int(r.rung), int(r.config_id)): bool(r.promoted)
+        for r in df.itertuples()
+    }
+    assert promoted == {
+        (0, 0): True, (0, 1): True, (0, 2): False, (0, 3): False,
+        (1, 0): True, (1, 1): False, (2, 0): False,
+    }
+    # mutation: swap configs 1 and 2 at rung 0 -> oracle expects rung-1
+    # membership {0, 2}, so the exported rung-1 AUC for config 1 orphans
+    # (NULL val_auc) and config 2 appears instead — a red hash either way
+    mut = synth.replace("(0, 1, 0.8), (0, 2, 0.7)", "(0, 1, 0.7), (0, 2, 0.8)")
+    df2 = duckdb.sql(re.sub(r"read_parquet\('[^']*'\)", mut, sql)).df()
+    r1 = df2[df2.rung == 1]
+    assert set(r1.config_id) == {0, 2}
+    assert r1[r1.config_id == 2].val_auc.isna().all()
