@@ -152,7 +152,6 @@ CERTIFIED: dict[str, int] = {
     "large_volume_customer_q18": 9,
     "local_supplier_volume_q5": 9,
     "model_calibration_bins": 9,
-    "multimodal_jpeg_features": 9,
     "multimodal_resize_features": 9,
     "multimodal_video_features": 9,
     "order_priority_check_q4": 9,

@@ -219,7 +219,8 @@ def _shingled_reps(reps: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      has_exact_dups: bool | None = None) -> DataFrame:
     """LSH candidate pairs (any identical band) verified with exact Jaccard.
 
     Returns (d1, d2, est_sim, jaccard) for verified pairs ≥ threshold.
@@ -237,8 +238,19 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     the collapse entirely — one cheap guard aggregate (_has_exact_dups)
     routes straight to the banding pipeline, where every doc is its own
     representative, the intra branch is vacuously empty, and the member
-    expansion is the identity. Equivalence is pytest-pinned both ways."""
-    if not _has_exact_dups(docs, id_col):
+    expansion is the identity. Equivalence is pytest-pinned both ways.
+
+    NOTE — this function is EAGER when ``has_exact_dups`` is None: the
+    guard aggregate runs a Spark job (one O(rows) scan, bounded driver
+    result) at plan-BUILD time, and the path choice is frozen into the
+    returned plan. Callers that already know the corpus (or want a lazy
+    plan) pass ``has_exact_dups`` explicitly and skip the guard scan;
+    True is always safe (the collapse is lossless), False is only
+    correct for a corpus with no two identical non-NULL texts and at
+    most one NULL text."""
+    if has_exact_dups is None:
+        has_exact_dups = _has_exact_dups(docs, id_col)
+    if not has_exact_dups:
         return _rep_lsh_pairs(docs, threshold, id_col)
     members, reps = _exact_collapse(docs, id_col)
     members = members.cache()
@@ -274,7 +286,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
 
 def minhash_dedup_labels(docs: DataFrame, threshold: float = 0.5,
                          id_col: str = "doc_id",
-                         max_rounds: int = 12) -> DataFrame:
+                         max_rounds: int = 12,
+                         has_exact_dups: bool | None = None) -> DataFrame:
     """Corpus dedup labels (component = min reachable id, is_canonical)
     over the COLLAPSED exact-dup graph (r8): star-contraction components
     run on representative pairs only, then every member inherits its
@@ -288,8 +301,13 @@ def minhash_dedup_labels(docs: DataFrame, threshold: float = 0.5,
     As in minhash_lsh_pairs, a corpus with no exact duplicates skips the
     collapse via the _has_exact_dups guard and runs star contraction
     over the full doc set directly (identical output: every doc is its
-    own exact group)."""
-    if not _has_exact_dups(docs, id_col):
+    own exact group). Like that function this one is EAGER when
+    ``has_exact_dups`` is None — the guard aggregate runs a Spark job at
+    plan-build time (the downstream star contraction runs driver-paced
+    jobs anyway); pass the flag to skip the scan (True always safe)."""
+    if has_exact_dups is None:
+        has_exact_dups = _has_exact_dups(docs, id_col)
+    if not has_exact_dups:
         return near_dup_components_star(
             docs, _rep_lsh_pairs(docs, threshold, id_col), id_col, max_rounds
         )

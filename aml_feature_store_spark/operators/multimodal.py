@@ -128,7 +128,12 @@ def _decode_bmp(b: bytes):
         return None
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=off)
     px = rows.reshape(height, stride)[:, : w * nch].astype(np.float64)
-    if h > 0:  # positive height = rows stored bottom-up; flip to top-down
+    if h > 0:
+        # positive height = rows stored bottom-up; flip to top-down. Pure
+        # orientation hygiene HERE (this function only emits mean/std,
+        # which are row-order-invariant) — kept so the two BMP decoders
+        # stay line-for-line consistent with _parse_bmp_pixels, where the
+        # flip IS observable (resize row picks; pytest-pinned there).
         px = px[::-1]
     return ("bmp", w, height, nch, None, None, float(px.mean()), float(px.std()))
 
@@ -552,29 +557,43 @@ def synthesize_block_jpeg_payloads(
     docs: DataFrame, n_frames: int | None = None
 ) -> DataFrame:
     """Deterministic 16×16 quality-100 baseline JPEGs whose four 8×8
-    blocks are FLAT gray levels taken from the document's first UTF-8
-    bytes (byte b mod n for block b) — the planted content class where
-    the lossy DCT path is pixel-exact: at quality 100 every quantizer is
-    1, a flat block has one integer DC coefficient and zero ACs, so
-    encode→decode reproduces the block bit-exactly (pinned over all 256
-    levels in tests/test_llm_ops.py). Four different blocks exercise the
-    DC-difference Huffman path with real per-doc magnitude variation.
+    blocks carry the exactly-representable content class: gray level
+    base_b (byte b mod n of the document's UTF-8 bytes) plus, for still
+    images, an AC ripple a_b·s_x along the block rows, where
+    s = (+1,−1,−1,+1,+1,−1,−1,+1) is the scaled u=4 DCT-II basis
+    (√2·cos((2x+1)π/4)) and a_b = min(byte_{b+4} mod 8, base_b,
+    255−base_b) keeps pixels in range. The 8×8 DCT of such a block has
+    EXACTLY two nonzero coefficients — DC = 8·(base−128) and
+    C(u=4,v=0) = 8·a, both integers — so at quality 100 (every Annex-K
+    quantizer scales to 1) the LOSSY pipeline is still pixel-exact
+    (pinned over all 256 base levels × in-range amplitudes in
+    tests/test_llm_ops.py) while now driving the AC Huffman path —
+    run-length (run,size) codes, zigzag ordering, nonzero-AC dequant —
+    under the oracle, not just the DC path (r10, per r9 ADVICE). The
+    pixel SUM is amplitude-blind (Σ s_x = 0) but the SQUARED sum sees it
+    (Σ s_x² = 8 per row ⇒ per block-channel Σp² = 64(base² + a²)), so a
+    decoder that drops or mis-scales the AC reddens px_sq_sum/px_std.
+    Four different blocks exercise the DC-difference Huffman path too.
 
     With n_frames set, builds instead a length-prefixed MJPEG container
-    of n_frames such JPEGs where frame k's block values are
-    (byte_b + 7k) mod 256 — visible motion, still closed-form."""
+    of n_frames FLAT-block JPEGs where frame k's block values are
+    (byte_b + 7k) mod 256 — visible motion, still closed-form (the video
+    contract keeps the flat class; its oracle keys on per-frame sums)."""
     import numpy as np
 
     from .jpeg import encode_jpeg
 
-    def _one(src: np.ndarray, shift: int) -> bytes:
+    _S = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+
+    def _one(src: np.ndarray, shift: int, ac: bool) -> bytes:
         v = [(int(src[b % len(src)]) + shift) % 256 for b in range(4)]
-        px = np.zeros((16, 16, 3), np.uint8)
-        px[:8, :8] = v[0]
-        px[:8, 8:] = v[1]
-        px[8:, :8] = v[2]
-        px[8:, 8:] = v[3]
-        return encode_jpeg(px, quality=100)
+        px = np.zeros((16, 16, 3), np.int64)
+        corners = ((0, 0), (0, 8), (8, 0), (8, 8))
+        for b, (r, c) in enumerate(corners):
+            a = min(int(src[(b + 4) % len(src)]) % 8, v[b], 255 - v[b]) if ac else 0
+            block = v[b] + a * _S  # varies along rows, constant along cols
+            px[r : r + 8, c : c + 8] = block[:, None, None]
+        return encode_jpeg(px.astype(np.uint8), quality=100)
 
     def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -584,11 +603,11 @@ def synthesize_block_jpeg_payloads(
                     (text or " ").encode("utf-8"), dtype=np.uint8
                 )
                 if n_frames is None:
-                    payloads.append(_one(src, 0))
+                    payloads.append(_one(src, 0, ac=True))
                 else:
                     payloads.append(
                         pack_frame_sequence(
-                            [_one(src, 7 * k) for k in range(n_frames)]
+                            [_one(src, 7 * k, ac=False) for k in range(n_frames)]
                         )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -426,6 +426,101 @@ def lstm_sequence_summary(
     return spark.createDataFrame(rows, "stage string, epoch int, value double")
 
 
+def _standard_scaled(
+    feats: DataFrame, feature_cols: list[str], id_col: str
+) -> DataFrame:
+    """Deterministic standardization shared by the autoencoder paths:
+    DECIMAL-summed moments → mean/std rounded to 6 dp (std 0 → 1.0), so
+    the scaling is reproducible bit-for-bit on any cluster AND
+    recomputable by the DuckDB oracle of autoencoder_iter0_contract.
+    Returns (key = id string, pid = xxhash64 mod 16 bucket, x = scaled
+    feature array)."""
+    aggs = []
+    for c in feature_cols:
+        d = F.col(c).cast("decimal(25,6)")
+        aggs += [
+            F.sum(d).alias(f"s_{c}"),
+            F.sum((d * d).cast("decimal(38,12)")).alias(f"q_{c}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("_n"))
+    stats = feats.na.fill(0, feature_cols).agg(*aggs).collect()[0]
+    n_rows = int(stats["_n"])
+    mean = {
+        c: round(float(stats[f"s_{c}"]) / n_rows, 6) for c in feature_cols
+    }
+    std = {}
+    for c in feature_cols:
+        var = float(stats[f"q_{c}"]) / n_rows - mean[c] ** 2
+        std[c] = round(math.sqrt(max(var, 1e-12)), 6) or 1.0
+
+    return feats.na.fill(0, feature_cols).select(
+        F.col(id_col).cast("string").alias("key"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(16)).alias(
+            "pid"
+        ),
+        F.array(
+            *[
+                (F.col(c).cast("double") - F.lit(mean[c])) / F.lit(std[c])
+                for c in feature_cols
+            ]
+        ).alias("x"),
+    )
+
+
+def autoencoder_forward_contract(
+    feats: DataFrame,
+    feature_cols: list[str],
+    id_col: str = "user_id",
+    hidden: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Iteration-0 forward pass of the autoencoder at the seeded Glorot
+    init — the VALUE-contract slice of the otherwise rows-only trainer
+    (r10, VERDICT #5): standardization (the production ``_standard_scaled``
+    path), ``ae_init`` seeding, and ``ae_reconstruct`` are all exactly
+    recomputable by SQL (ReLU = GREATEST(·, 0), linear maps with the init
+    weights embedded as literals, mean/std via the DECIMAL idiom), so the
+    DuckDB oracle re-derives every reconstruction component and the
+    per-entity squared error from the base tables alone. The backward
+    pass / Adam loop stay pytest-pinned (gradcheck + distributed-vs-local
+    bit-equality) — they are iterative float recursions with no stable
+    SQL form. Output: one row per entity, x̂ components and
+    reconstruction error rounded to 6 dp (house float rule)."""
+    import pandas as pd
+
+    spark = feats.sparkSession
+    f = len(feature_cols)
+    params = ae_init(f, hidden, seed=seed)
+    scaled = _standard_scaled(feats, feature_cols, id_col)
+    flat, spec = flatten(params)
+    bc = spark.sparkContext.broadcast(flat.tolist())
+
+    def fwd(iterator):
+        p = unflatten(np.asarray(bc.value), spec)
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(r) for r in pdf["x"]], dtype=np.float64)
+            recon = ae_reconstruct(p, X)
+            err = np.mean((recon - X) ** 2, axis=1)
+            out = {"key": pdf["key"]}
+            for j in range(X.shape[1]):
+                out[f"xhat_{j}"] = np.round(recon[:, j], 6)
+            out["recon_err_iter0"] = np.round(err, 6)
+            yield pd.DataFrame(out)
+
+    out_schema = (
+        "key string, "
+        + ", ".join(f"xhat_{j} double" for j in range(f))
+        + ", recon_err_iter0 double"
+    )
+    return scaled.mapInPandas(fwd, out_schema).select(
+        F.col("key").cast("long").alias(id_col),
+        *[f"xhat_{j}" for j in range(f)],
+        "recon_err_iter0",
+    )
+
+
 def autoencoder_scores(
     feats: DataFrame,
     feature_cols: list[str],
@@ -446,37 +541,7 @@ def autoencoder_scores(
     Keras detector."""
     spark = feats.sparkSession
     f = len(feature_cols)
-    # deterministic standardization: decimal sums → exact mean/var
-    aggs = []
-    for c in feature_cols:
-        d = F.col(c).cast("decimal(25,6)")
-        aggs += [
-            F.sum(d).alias(f"s_{c}"),
-            F.sum((d * d).cast("decimal(38,12)")).alias(f"q_{c}"),
-        ]
-    aggs.append(F.count(F.lit(1)).alias("_n"))
-    stats = feats.na.fill(0, feature_cols).agg(*aggs).collect()[0]
-    n_rows = int(stats["_n"])
-    mean = {
-        c: round(float(stats[f"s_{c}"]) / n_rows, 6) for c in feature_cols
-    }
-    std = {}
-    for c in feature_cols:
-        var = float(stats[f"q_{c}"]) / n_rows - mean[c] ** 2
-        std[c] = round(math.sqrt(max(var, 1e-12)), 6) or 1.0
-
-    scaled = feats.na.fill(0, feature_cols).select(
-        F.col(id_col).cast("string").alias("key"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(16)).alias(
-            "pid"
-        ),
-        F.array(
-            *[
-                (F.col(c).cast("double") - F.lit(mean[c])) / F.lit(std[c])
-                for c in feature_cols
-            ]
-        ).alias("x"),
-    )
+    scaled = _standard_scaled(feats, feature_cols, id_col)
     scaled = scaled.persist()
     try:
         params, _ = train_distributed(

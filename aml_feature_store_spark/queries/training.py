@@ -796,6 +796,96 @@ def lstm_sequence_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ae_iter0_sql() -> str:
+    """DuckDB oracle for autoencoder_iter0_contract: re-derives the
+    iteration-0 forward pass ENTIRELY from the base tables — the online
+    feature view (the production _ONLINE_FEATURES_SQL), NULL→0 fill,
+    DECIMAL-moment standardization with the production rounding (mean/std
+    6 dp, std 0 → 1.0), then hidden = GREATEST(W1ᵀx + b1, 0) and
+    x̂ = W2ᵀh + b2 with the seeded Glorot init embedded as full-precision
+    literals (import-time metadata from ae_init, the same sharing rule as
+    the ASHA config space), and per-entity squared error /F. Exact-half
+    rounding never bites: no double can sit exactly on the 1e-6 grid's
+    midpoint (0.5e-6 is not dyadic), so Python/Spark/DuckDB rounding
+    agree."""
+    from ..operators.seqmodels import ae_init
+
+    from .joins_scoring import _ONLINE_FEATURES_SQL
+
+    f = len(_GBT_FEATURES)
+    hidden = 4
+    p = ae_init(f, hidden, seed=11)
+    w1, b1, w2, b2 = p["W1"], p["b1"], p["W2"], p["b2"]
+
+    feat_sel = ", ".join(
+        f"COALESCE({c}, 0) AS f{j}" for j, c in enumerate(_GBT_FEATURES)
+    )
+    st = ", ".join(
+        f"ROUND(CAST(SUM(CAST(f{j} AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / COUNT(*), 6) AS m{j}, "
+        f"CAST(SUM(CAST(CAST(f{j} AS DECIMAL(25,6)) * CAST(f{j} AS "
+        f"DECIMAL(25,6)) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS q{j}"
+        for j in range(f)
+    )
+    sd = ", ".join(
+        f"CASE WHEN ROUND(SQRT(GREATEST(q{j} - m{j}*m{j}, 1e-12)), 6) = 0 "
+        f"THEN 1.0 ELSE ROUND(SQRT(GREATEST(q{j} - m{j}*m{j}, 1e-12)), 6) "
+        f"END AS s{j}"
+        for j in range(f)
+    )
+    xs = ", ".join(
+        f"(ft.f{j} - sd.m{j}) / sd.s{j} AS x{j}" for j in range(f)
+    )
+    hs = ", ".join(
+        f"GREATEST({float(b1[h])!r} + "
+        + " + ".join(f"({float(w1[i][h])!r}) * x{i}" for i in range(f))
+        + f", 0.0) AS h{h}"
+        for h in range(hidden)
+    )
+    rs = ", ".join(
+        f"({float(b2[j])!r} + "
+        + " + ".join(f"({float(w2[h][j])!r}) * h{h}" for h in range(hidden))
+        + f") AS r{j}"
+        for j in range(f)
+    )
+    err = " + ".join(f"(r{j} - x{j}) * (r{j} - x{j})" for j in range(f))
+    out = ", ".join(f"ROUND(r{j}, 6) + 0.0 AS xhat_{j}" for j in range(f))
+    return f"""
+WITH ft AS (
+  SELECT user_id, {feat_sel} FROM ({_ONLINE_FEATURES_SQL.strip()})
+),
+st AS (SELECT {st} FROM ft),
+sd AS (SELECT *, {sd} FROM st),
+x AS (SELECT ft.user_id, {xs} FROM ft CROSS JOIN sd),
+h AS (SELECT *, {hs} FROM x),
+r AS (SELECT *, {rs} FROM h)
+SELECT user_id, {out},
+       ROUND(({err}) / {float(f)!r}, 6) + 0.0 AS recon_err_iter0
+FROM r
+"""
+
+
+@register("autoencoder_iter0_contract", oracle=_ae_iter0_sql())
+def autoencoder_iter0_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial VALUE contract for the numpy autoencoder trainer (r10,
+    VERDICT #5): the iteration-0 forward pass at the seeded Glorot init —
+    production standardization (_standard_scaled), ae_init, and
+    ae_reconstruct running through the same broadcast mapInPandas scoring
+    shape the trainer uses — emitted per entity as reconstruction
+    components + squared error, all of which the DuckDB oracle re-derives
+    from the base tables alone (see _ae_iter0_sql). This certifies the
+    data plumbing, scaling arithmetic, seeding, and forward kernel with
+    real value equalities; the Adam/backprop LOOP remains honestly
+    rows-only in autoencoder_anomaly_scores (iterative float recursion —
+    no stable SQL form; gradcheck + distributed-vs-local bit-equality
+    stay pytest-pinned)."""
+    from ..operators import seqmodels
+
+    return seqmodels.autoencoder_forward_contract(
+        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, id_col="user_id"
+    )
+
+
 @register("autoencoder_anomaly_scores", oracle=None)
 def autoencoder_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NONLINEAR autoencoder anomaly detector

@@ -130,6 +130,28 @@ def test_exact_dup_guard_skips_collapse_when_uniform(spark, monkeypatch):
     assert fast_pairs == slow_pairs and (0, 1) in fast_pairs
     assert fast_labels == slow_labels
     assert fast_labels[3] == (3, True)  # shingle-less doc labels itself
+    # r10 (per r9 ADVICE): the explicit hint skips the eager guard scan
+    # entirely — monkeypatch would raise if consulted — and both hint
+    # values reproduce the guard-routed outputs exactly
+    def _boom(*a, **k):
+        raise AssertionError("guard must not run when hint is passed")
+
+    monkeypatch.setattr(dedup, "_has_exact_dups", _boom)
+    for hint in (False, True):
+        hint_pairs = {
+            (r["d1"], r["d2"]): (r["est_sim"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(
+                d, threshold=0.5, has_exact_dups=hint
+            ).collect()
+        }
+        hint_labels = {
+            r["doc_id"]: (r["component"], r["is_canonical"])
+            for r in dedup.minhash_dedup_labels(
+                d, threshold=0.5, has_exact_dups=hint
+            ).collect()
+        }
+        assert hint_pairs == fast_pairs
+        assert hint_labels == fast_labels
 
 
 def test_simhash_identical_zero_hamming(spark):
@@ -414,6 +436,50 @@ def test_jpeg_flat_block_q100_pixel_exact():
         px = np.zeros((16, 16, 3), np.uint8)
         px[:8, :8], px[:8, 8:], px[8:, :8], px[8:, 8:] = vals
         assert np.array_equal(decode_jpeg(encode_jpeg(px, quality=100)), px)
+
+
+def test_jpeg_ac_ripple_q100_pixel_exact():
+    """The r10 AC extension of the oracle content class: base + a·s_x
+    with s = (+1,−1,−1,+1,+1,−1,−1,+1) (the scaled u=4 DCT-II basis) has
+    EXACTLY two integer DCT coefficients — DC = 8(base−128) and
+    C(4,0) = 8a — so the quality-100 round trip stays bit-exact while
+    genuinely exercising zigzag ordering, (run,size) AC Huffman codes,
+    and nonzero-AC dequant. Pinned over all 256 bases at the clamped
+    max amplitude, all amplitudes 0-7 at mid/extreme bases, and a
+    4-block composite mixing amplitudes; plus the squared-sum identity
+    Σp² = 192·Σ_blocks(base² + a²) the SQL oracle relies on."""
+    import numpy as np
+
+    from aml_feature_store_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    S = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+
+    def block_img(pairs):
+        px = np.zeros((16, 16, 3), np.int64)
+        for b, (r, c) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+            base, a = pairs[b % len(pairs)]
+            px[r : r + 8, c : c + 8] = (base + a * S)[:, None, None]
+        return px.astype(np.uint8)
+
+    for base in range(256):
+        a = min(7, base, 255 - base)
+        img = block_img([(base, a)])
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
+    for base in (7, 128, 248):
+        for a in range(8):
+            aa = min(a, base, 255 - base)
+            img = block_img([(base, aa)])
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(img, quality=100)), img
+            )
+    pairs = [(17, 5), (200, 7), (3, 3), (254, 1)]
+    img = block_img(pairs)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.array_equal(dec, img)
+    assert (dec.astype(np.int64) ** 2).sum() == 192 * sum(
+        b * b + a * a for b, a in pairs
+    )
+    assert dec.astype(np.int64).sum() == 192 * sum(b for b, _ in pairs)
 
 
 def test_multimodal_bmp_orientation():
