@@ -223,8 +223,16 @@ def _shap_identity_sql(
     case = " ".join(
         f"WHEN {s} THEN {c}" for s, c in enumerate(coefs)
     )
-    fmap = ", ".join(
-        f"('{name}', {1 << i})" for i, name in enumerate(names)
+    # every (coalition S, feature i∉S) pair with its S∪{i} mask, as an
+    # explicit VALUES list (d·2^(d-1) rows) so BOTH engines join on pure
+    # equi-keys — a (mask & bitval) = 0 predicate would force Spark into
+    # a BroadcastNestedLoopJoin (flagged by plan_audit even though the
+    # broadcast side is 4 rows)
+    pairs = ", ".join(
+        f"({m}, '{name}', {m | (1 << i)})"
+        for i, name in enumerate(names)
+        for m in range(1 << d)
+        if not m & (1 << i)
     )
     full = (1 << d) - 1
     phi = (
@@ -242,15 +250,15 @@ def _shap_identity_sql(
 WITH exp AS ({src}),
 v AS (SELECT user_id, mask, v_lat FROM exp WHERE feature = ''),
 p AS (SELECT user_id, feature, phi_lat FROM exp WHERE feature <> ''),
-fmap AS (SELECT * FROM (VALUES {fmap}) AS t(feature, bitval)),
+pairs AS (SELECT * FROM (VALUES {pairs}) AS t(mask, feature, simask)),
 phi{denom} AS (
-  SELECT s.user_id, f.feature,
+  SELECT s.user_id, t.feature,
          CAST(SUM((CASE bit_count(s.mask) {case} END)
                   * (si.v_lat - s.v_lat)) AS BIGINT) AS phi{denom}_lat
-  FROM v s
-  JOIN fmap f ON (s.mask & f.bitval) = 0
-  JOIN v si ON si.user_id = s.user_id AND si.mask = (s.mask | f.bitval)
-  GROUP BY s.user_id, f.feature
+  FROM pairs t
+  JOIN v s ON s.mask = t.mask
+  JOIN v si ON si.user_id = s.user_id AND si.mask = t.simask
+  GROUP BY s.user_id, t.feature
 ),
 agg AS (
   SELECT user_id, CAST(SUM(phi_lat) AS BIGINT) AS phisum_lat
