@@ -584,3 +584,71 @@ def autoencoder_scores(
         )
     finally:
         scaled.unpersist()
+
+
+def lstm_forward_contract(
+    events: DataFrame,
+    seq_len: int = 8,
+    hidden: int = 8,
+    seed: int = 7,
+    keep_mod: int = 7,
+    keep_rem: int = 3,
+) -> DataFrame:
+    """Iteration-0 forward pass of the LSTM classifier at the seeded
+    Glorot init — the VALUE-contract slice of the otherwise rows-only
+    trainer (r10, VERDICT #5 second half): the PRODUCTION sequence
+    builder (``event_sequences`` — the same one-window-pass LAG encoding
+    the trainer consumes), ``lstm_init`` seeding, the faithful gate
+    recurrence of ``lstm_forward``, and the per-row BCE are all exactly
+    recomputable by SQL — the DuckDB oracle unrolls the eight timesteps
+    (32 gate pre-activations, 8 cell and 8 hidden states per step) as
+    chained CTEs with the init weights embedded as full-precision
+    literals and re-derives every final hidden component, the purchase
+    probability, and the per-event loss from the base events table
+    alone. The BPTT/Adam LOOP stays pytest-pinned (finite-difference
+    gradcheck + distributed-vs-local bit-equality) — an iterative float
+    recursion with no stable SQL form. Output: one row per sampled
+    event (``event_id % keep_mod == keep_rem`` — a deterministic,
+    engine-agnostic subsample), final hidden state, probability and BCE
+    rounded to 6 dp (house float rule; ``+ 0.0`` normalizes -0.0)."""
+    import pandas as pd
+
+    spark = events.sparkSession
+    params = lstm_init(3, hidden, seed=seed)
+    seqs = event_sequences(events, seq_len=seq_len, sample_mod=None).where(
+        F.pmod(F.col("key"), F.lit(keep_mod)) == keep_rem
+    )
+    flat, spec = flatten(params)
+    bc = spark.sparkContext.broadcast(flat.tolist())
+
+    def fwd(iterator):
+        p = unflatten(np.asarray(bc.value), spec)
+        eps = 1e-12
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.stack(r) for r in pdf["x"]], dtype=np.float64)
+            prob, (_, hs, _, _, _) = lstm_forward(p, X)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            bce = -(
+                y * np.log(prob + eps) + (1.0 - y) * np.log(1.0 - prob + eps)
+            )
+            out = {"key": pdf["key"], "y": y}
+            for m in range(hidden):
+                out[f"h_{m}"] = np.round(hs[seq_len][:, m], 6) + 0.0
+            out["prob_iter0"] = np.round(prob, 6) + 0.0
+            out["bce_iter0"] = np.round(bce, 6) + 0.0
+            yield pd.DataFrame(out)
+
+    out_schema = (
+        "key bigint, y double, "
+        + ", ".join(f"h_{m} double" for m in range(hidden))
+        + ", prob_iter0 double, bce_iter0 double"
+    )
+    return seqs.mapInPandas(fwd, out_schema).select(
+        F.col("key").alias("event_id"),
+        F.col("y").alias("label"),
+        *[f"h_{m}" for m in range(hidden)],
+        "prob_iter0",
+        "bce_iter0",
+    )

@@ -937,3 +937,145 @@ def sequence_mlp_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     _, summary = training.train_mlp(df, cols, "label", hidden_layers=[16, 8])
     return summary
+
+
+def _lstm_iter0_sql(
+    seq_len: int = 8,
+    hidden: int = 8,
+    keep_mod: int = 7,
+    keep_rem: int = 3,
+) -> str:
+    """DuckDB oracle for lstm_iter0_contract: re-derives the iteration-0
+    LSTM forward pass ENTIRELY from the events table — the production
+    sequence encoding (seq_len LAGs over one user_id/ts window:
+    [log1p(amount), log1p(gap_s), present], oldest first, zero-padded),
+    the deterministic event_id-mod subsample, then the faithful gate
+    recurrence unrolled timestep by timestep as chained CTEs:
+    z_t = x_t·Wx + h_{t-1}·Wh + b (init weights embedded as
+    full-precision literals from lstm_init — the same import-time
+    metadata sharing rule as the ASHA/autoencoder contracts),
+    i/f/o = numerically-stable sigmoid (the same >=0 branch split the
+    numpy kernel uses), g = tanh, c_t = f·c_{t-1} + i·g,
+    h_t = o·tanh(c_t), logit = h_T·Wy + by, prob = sigmoid(logit),
+    per-row BCE with the kernel's 1e-12 floor. 6-dp rounding absorbs
+    libm/numpy ULP differences (exact-half never bites: 0.5e-6 is not
+    dyadic); `+ 0.0` normalizes -0.0 on both sides."""
+    from ..operators.seqmodels import lstm_init
+
+    T, H = seq_len, hidden
+    p = lstm_init(3, H, seed=7)
+    Wx, Wh, b = p["Wx"], p["Wh"], p["b"]
+    Wy, by = p["Wy"], p["by"]
+
+    def sig(col: str) -> str:
+        return (
+            f"CASE WHEN {col} >= 0 THEN 1.0/(1.0+EXP(-({col}))) "
+            f"ELSE EXP({col})/(1.0+EXP({col})) END"
+        )
+
+    def tanh(col: str) -> str:
+        # this DuckDB build ships no tanh(); the exp identity is safe
+        # here — |z|,|c| stay well under the exp(2x) overflow bound and
+        # the ~1e-15 identity error is absorbed by the 6-dp rounding
+        return f"((EXP(2.0*{col}) - 1.0) / (EXP(2.0*{col}) + 1.0))"
+
+    # -- sequence encoding: step t (0-indexed, oldest first) = lag T-t
+    seq_cols = []
+    for t in range(T):
+        i = T - t
+        lag_v = f"LAG(value, {i}) OVER w"
+        lag_ms = f"epoch_ms(ts) - LAG(epoch_ms(ts), {i}) OVER w"
+        seq_cols += [
+            f"LN(1.0 + COALESCE({lag_v}, 0.0)) AS a{t}",
+            f"LN(1.0 + COALESCE(CAST({lag_ms} AS DOUBLE) / 1000.0, 0.0))"
+            f" AS g{t}",
+            f"CASE WHEN {lag_v} IS NULL THEN 0.0 ELSE 1.0 END AS p{t}",
+        ]
+    seq_sql = (
+        "SELECT event_id, "
+        "CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y, "
+        + ", ".join(seq_cols)
+        + " FROM events WINDOW w AS "
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"
+    )
+
+    ctes = [f"seq AS ({seq_sql})"]
+    ctes.append(
+        f"f AS (SELECT * FROM seq WHERE event_id % {keep_mod} = {keep_rem})"
+    )
+    prev = "f"
+    for t in range(T):
+        zs = []
+        for k in range(4 * H):
+            terms = [
+                f"({float(Wx[0][k])!r}) * a{t}",
+                f"({float(Wx[1][k])!r}) * g{t}",
+                f"({float(Wx[2][k])!r}) * p{t}",
+            ]
+            if t > 0:
+                terms += [
+                    f"({float(Wh[m][k])!r}) * h{t - 1}_{m}" for m in range(H)
+                ]
+            zs.append(
+                "(" + " + ".join(terms) + f") + ({float(b[k])!r}) AS z{t}_{k}"
+            )
+        ctes.append(f"z{t}t AS (SELECT *, {', '.join(zs)} FROM {prev})")
+        cs = []
+        for m in range(H):
+            ig = f"{sig(f'z{t}_{m}')} * {tanh(f'z{t}_{2 * H + m}')}"
+            if t == 0:
+                cs.append(f"{ig} AS c{t}_{m}")
+            else:
+                cs.append(
+                    f"{sig(f'z{t}_{H + m}')} * c{t - 1}_{m} + {ig}"
+                    f" AS c{t}_{m}"
+                )
+        ctes.append(f"c{t}t AS (SELECT *, {', '.join(cs)} FROM z{t}t)")
+        hs = ", ".join(
+            f"{sig(f'z{t}_{3 * H + m}')} * {tanh(f'c{t}_{m}')} AS h{t}_{m}"
+            for m in range(H)
+        )
+        ctes.append(f"h{t}t AS (SELECT *, {hs} FROM c{t}t)")
+        prev = f"h{t}t"
+    logit = (
+        "("
+        + " + ".join(f"({float(Wy[m][0])!r}) * h{T - 1}_{m}" for m in range(H))
+        + f") + ({float(by[0])!r})"
+    )
+    ctes.append(f"lg AS (SELECT *, {logit} AS logit FROM {prev})")
+    ctes.append(f"pr AS (SELECT *, {sig('logit')} AS prob FROM lg)")
+    outs = ", ".join(
+        f"ROUND(h{T - 1}_{m}, 6) + 0.0 AS h_{m}" for m in range(H)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT event_id, y AS label, {outs},
+       ROUND(prob, 6) + 0.0 AS prob_iter0,
+       ROUND(-(y * LN(prob + 1e-12) + (1.0 - y) * LN(1.0 - prob + 1e-12)),
+             6) + 0.0 AS bce_iter0
+FROM pr
+"""
+    )
+
+
+@register("lstm_iter0_contract", oracle=_lstm_iter0_sql())
+def lstm_iter0_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial VALUE contract for the numpy LSTM trainer (r10, VERDICT #5
+    second half — the lstm twin of autoencoder_iter0_contract): the
+    iteration-0 forward pass at the seeded Glorot init, running the
+    PRODUCTION sequence builder (event_sequences — one window pass, the
+    exact arrays the trainer consumes), lstm_init, lstm_forward and the
+    per-row BCE through the same broadcast mapInPandas shape the trainer
+    uses — emitted per sampled event as the final hidden state, purchase
+    probability, and loss, all of which the DuckDB oracle re-derives from
+    the events table alone by unrolling the eight gate-recurrence
+    timesteps as chained CTEs (see _lstm_iter0_sql). This certifies the
+    sequence encoding (LAG windows, log1p/gap/padding semantics), the
+    seeding, and the full forward kernel (sigmoid/tanh gates, cell
+    recurrence, readout) with real value equalities; the BPTT/Adam LOOP
+    remains honestly rows-only in lstm_sequence_summary (gradcheck +
+    distributed-vs-local bit-equality stay pytest-pinned)."""
+    from ..operators import seqmodels
+
+    ev = load_table(spark, sf_dir, "events")
+    return seqmodels.lstm_forward_contract(ev, seq_len=8, hidden=8, seed=7)

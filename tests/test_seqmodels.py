@@ -150,3 +150,59 @@ def test_autoencoder_flags_planted_outlier(spark):
         df, ["a", "b", "c"], hidden=2, epochs=20, top_n=5
     ).collect()
     assert out == again
+
+
+def test_lstm_forward_contract_matches_local_replay(spark):
+    """The iter0 contract rows equal a from-scratch local replay: build
+    each sampled event's (8,3) sequence in pure pandas/numpy straight
+    from the raw events (independent of event_sequences), run
+    lstm_forward locally, and compare every exported value bit-for-bit
+    after the house 6-dp rounding."""
+    from aml_feature_store_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = {
+        r["event_id"]: r
+        for r in sm.lstm_forward_contract(ev, seq_len=8, hidden=8).collect()
+    }
+    assert got, "contract returned no rows"
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    params = sm.lstm_init(3, 8, seed=7)
+    checked = 0
+    for _, grp in pdf.groupby("user_id"):
+        vals = grp["value"].to_numpy()
+        ms = grp["ts"].astype("int64").to_numpy() // 1_000_000
+        ids = grp["event_id"].to_numpy()
+        types = grp["event_type"].to_numpy()
+        for j in range(len(grp)):
+            if int(ids[j]) % 7 != 3:
+                continue
+            steps = []
+            for i in range(8, 0, -1):  # oldest first, lag i
+                if j - i >= 0:
+                    steps.append(
+                        [
+                            np.log1p(vals[j - i]),
+                            np.log1p((ms[j] - ms[j - i]) / 1000.0),
+                            1.0,
+                        ]
+                    )
+                else:
+                    steps.append([0.0, 0.0, 0.0])
+            X = np.asarray([steps])
+            prob, (_, hs, _, _, _) = sm.lstm_forward(params, X)
+            y = 1.0 if types[j] == "purchase" else 0.0
+            eps = 1e-12
+            bce = -(
+                y * np.log(prob[0] + eps)
+                + (1.0 - y) * np.log(1.0 - prob[0] + eps)
+            )
+            row = got[int(ids[j])]
+            assert row["label"] == y
+            for m in range(8):
+                assert row[f"h_{m}"] == np.round(hs[8][0, m], 6) + 0.0
+            assert row["prob_iter0"] == np.round(prob[0], 6) + 0.0
+            assert row["bce_iter0"] == np.round(bce, 6) + 0.0
+            checked += 1
+    assert checked == len(got)
