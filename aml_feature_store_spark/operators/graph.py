@@ -229,6 +229,79 @@ def multi_source_bfs(
     return reduce(DataFrame.union, frames)
 
 
+def multi_source_bfs_masked(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Bitmask variant of :func:`multi_source_bfs` for SMALL source sets
+    (K ≤ 62, r10): the K BFS waves share ONE per-node int64 bitmask
+    instead of K·V (root, node) rows. Per round the frontier is at most V
+    (node, mask) rows — small enough to BROADCAST, so the edge list never
+    shuffles — and the row-BFS's ``distinct`` over up-to-K·|edges| joined
+    rows becomes a ``bit_or`` aggregate over |edges| rows; the
+    visited-set anti-join becomes one V-row full-outer mask merge. Same
+    exact (root, node, dist) output (BFS distances are integers — any
+    correct frontier expansion yields identical rows), pinned equal to
+    the row variant in tests/test_centralities.py. Falls back to the row
+    variant when K > 62. The ``sources`` collect is K bounded rows — the
+    same driver budget as the per-round isEmpty check."""
+    from functools import reduce
+
+    spark = edges.sparkSession
+    roots = sorted(int(r["node"]) for r in sources.select("node").collect())
+    if len(roots) > 62:
+        return multi_source_bfs(edges, sources, max_depth=max_depth)
+    if not roots:
+        return spark.createDataFrame([], "root bigint, node bigint, dist int")
+    e = edges.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    ).localCheckpoint(eager=True)
+    init = spark.createDataFrame(
+        [(n, 1 << j) for j, n in enumerate(roots)], "node bigint, mask bigint"
+    ).localCheckpoint(eager=True)
+    frames = [init.withColumn("dist", F.lit(0))]
+    visited = init.withColumnRenamed("mask", "vmask")
+    frontier = init
+    for d in range(1, max_depth + 1):
+        msgs = (
+            e.join(F.broadcast(frontier), e["_s"] == frontier["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.bit_or("mask").alias("_m"))
+        )
+        merged = (
+            visited.join(msgs, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce("vmask", F.lit(0)).alias("_v"),
+                F.coalesce("_m", F.lit(0)).alias("_mm"),
+            )
+            .select(
+                "node",
+                F.col("_v").bitwiseOR(F.col("_mm")).alias("vmask"),
+                F.col("_mm")
+                .bitwiseAND(F.col("_v").bitwiseXOR(F.lit(-1)))
+                .alias("new"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(F.col("new") != 0).select(
+            "node", F.col("new").alias("mask")
+        )
+        if frontier.isEmpty():
+            break
+        visited = merged.select("node", "vmask")
+        frames.append(frontier.withColumn("dist", F.lit(d)))
+    allm = reduce(DataFrame.union, frames)
+    return reduce(
+        DataFrame.union,
+        (
+            allm.filter(
+                F.col("mask").bitwiseAND(F.lit(1 << j)) != 0
+            ).select(F.lit(n).cast("bigint").alias("root"), "node", "dist")
+            for j, n in enumerate(roots)
+        ),
+    )
+
+
 def landmark_closeness(
     edges: DataFrame, k_landmarks: int = 4, max_depth: int = 8
 ) -> DataFrame:
@@ -240,7 +313,13 @@ def landmark_closeness(
 
     Reference semantic: explainability-grade closeness from
     advanced_features.py's networkx closeness_centrality, restricted to
-    landmark nodes so the computation is K·V, not V² (A28 at scale)."""
+    landmark nodes so the computation is K·V, not V² (A28 at scale).
+
+    r10: the edge list is materialized ONCE here — deg, n_nodes, and the
+    BFS previously each re-ran the caller's upstream lineage (a
+    10M-event parse + distinct at the 100× anchor, three times over) —
+    and the BFS runs the bitmask variant (K ≤ 62 always holds here)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = (
         edges.filter(F.col("src") >= 0)
         .groupBy("src")
@@ -250,7 +329,7 @@ def landmark_closeness(
         .select(F.col("src").alias("node"))
     )
     nn = edges.select("src").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
-    dist = multi_source_bfs(edges, deg, max_depth=max_depth)
+    dist = multi_source_bfs_masked(edges, deg, max_depth=max_depth)
     cnt = F.count(F.lit(1)).cast("double")
     sd = F.sum("dist").cast("double")
     return (

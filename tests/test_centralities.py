@@ -234,3 +234,41 @@ def test_bounded_exact_includes_directed_sink_nodes(spark):
     # others at distances 1 and 2 -> (2/2) * (2/3) ... = (k-1)/sum_d * (k-1)/(n-1)
     # with k=3 reachable incl. self: ((3-1)/3) * ((3-1)/(3-1)) = 2/3
     assert rows[0]["closeness_centrality"] == pytest.approx(2 / 3, abs=2e-6)
+
+
+def test_masked_bfs_equals_row_bfs_random_graph(spark):
+    """multi_source_bfs_masked returns the exact same (root, node, dist)
+    set as the row-based BFS on a seeded random directed graph (including
+    multi-root same-round discoveries and the max_depth cap), plus the
+    empty-sources and capped cases."""
+    import numpy as np
+
+    from aml_feature_store_spark.operators.graph import (
+        multi_source_bfs,
+        multi_source_bfs_masked,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    n = 60
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(240, 2))
+        if a != b
+    }
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    sources = spark.createDataFrame([(0,), (7,), (13,), (41,)], "node long")
+    for depth in (2, 8):
+        row = {
+            (r["root"], r["node"], r["dist"])
+            for r in multi_source_bfs(edges, sources, depth).collect()
+        }
+        masked = {
+            (r["root"], r["node"], r["dist"])
+            for r in multi_source_bfs_masked(edges, sources, depth).collect()
+        }
+        assert masked == row and row
+    empty = multi_source_bfs_masked(
+        edges, spark.createDataFrame([], "node long"), 8
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["root", "node", "dist"]
