@@ -838,3 +838,209 @@ def hits(
             (F.round(F.col("a"), 9) + F.lit(0.0)).alias("score"),
         )
     )
+
+
+def _score_map(df: DataFrame, key: str, val) -> DataFrame:
+    """One-row map<key → 1e12-lattice long> of a SMALL score frame —
+    broadcast into the per-iteration adjacency pass of the small-side
+    bipartite kernels. The floor is the same per-edge lattice snap the
+    generic kernels compute after their join; hoisting it to one row per
+    small-side node is exact because the snapped integer depends only on
+    the node, never the edge."""
+    return df.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(key), val.alias("v")))
+        ).alias("_m")
+    )
+
+
+def pagerank_bipartite_smallside(
+    edges: DataFrame,
+    n_iters: int = 8,
+    damping: float = 0.85,
+    max_small_side: int = 2_000_000,
+) -> DataFrame:
+    """PageRank over the SYMMETRIZED bipartite graph (`a`, `b` columns,
+    distinct pairs, disjoint id domains), specialized for a bounded-small
+    `b` side — bit-identical to
+    ``pagerank(edges.union(edges.reversed))`` (pytest-pinned equivalence)
+    but structurally cheaper: the symmetrized edge list is never
+    materialized and NO per-iteration edge join runs. Instead the `a`-side
+    adjacency ``(a, [b...], outdeg)`` is grouped ONCE (one shuffle total),
+    and each iteration is
+
+    - a-side update: broadcast the b-side's per-node lattice
+      contributions as a one-row map (the broadcast-join idiom, one row ×
+      |b| entries) and fold each adjacency array in-partition — zero
+      shuffle;
+    - b-side update: explode the adjacency with the per-`a` lattice
+      contribution and hash-aggregate — the shuffle carries only
+      |b| × n_partitions partial rows.
+
+    Per iteration that is two array passes instead of the generic
+    kernel's two edge-join+agg phases; at the 10M-event anchor (~150k
+    users × 100 categories) it removes ~14M join-probe rows per round.
+
+    Scale contract: the map broadcast bounds the small side the same way
+    a broadcast join bounds its build side — ~2M entries ≈ 32 MB. Above
+    ``max_small_side`` the function falls back to the generic
+    :func:`pagerank`, which has no small-side requirement. The exact
+    arithmetic is the generic kernel's unchanged (per-edge
+    floor(rank/outdeg·1e12+0.5) snaps, order-independent long sums,
+    12-dp per-iteration resync), so the unrolled-CTE DuckDB oracle of
+    `pagerank_bipartite` applies verbatim.
+    """
+    edges = edges.select("a", "b").localCheckpoint(eager=True)
+    adj = (
+        edges.groupBy("a")
+        .agg(
+            F.collect_list("b").alias("bs"),
+            F.count(F.lit(1)).alias("outdeg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bdeg = (
+        edges.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n_a, n_b = adj.count(), bdeg.count()
+    if n_b > max_small_side:
+        sym = edges.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        return pagerank(sym, n_iters=n_iters, damping=damping)
+    n = n_a + n_b
+    if n == 0:
+        return adj.select(F.col("a").alias("node")).withColumn(
+            "pagerank", F.lit(0.0)
+        )
+    base = (1.0 - damping) / n
+    lattice = lambda r: F.floor(  # noqa: E731  — the generic per-edge snap
+        F.col(r) / F.col("outdeg") * F.lit(1e12) + F.lit(0.5)
+    )
+    rank_of = lambda c: F.round(  # noqa: E731
+        F.lit(base)
+        + F.lit(damping) * (F.col(c).cast("double") / F.lit(1e12)),
+        12,
+    )
+    ua = adj.withColumn("r", F.lit(1.0 / n))
+    mb = bdeg.withColumn("r", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        bmap = _score_map(mb, "b", lattice("r"))
+        ua_next = ua.crossJoin(F.broadcast(bmap)).select(
+            "a",
+            "bs",
+            "outdeg",
+            F.aggregate(
+                "bs",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.element_at(F.col("_m"), x),
+            ).alias("_c"),
+        ).select("a", "bs", "outdeg", rank_of("_c").alias("r"))
+        mb_next = (
+            ua.select(lattice("r").alias("_w"), F.explode("bs").alias("b"))
+            .groupBy("b")
+            .agg(F.sum("_w").alias("_c"))
+            .join(F.broadcast(bdeg), "b")
+            .select("b", "outdeg", rank_of("_c").alias("r"))
+        )
+        ua = ua_next.localCheckpoint(eager=True)
+        # eager mb materialization measured FASTER than leaving it lazy
+        # at both anchors (lazy folds the explode+agg into the next
+        # broadcast-map build, which runs driver-blocking inside the
+        # broadcast job): sf0.1 3.54 vs 3.85 s, so keep the extra job
+        mb = mb_next.localCheckpoint(eager=True)
+    out = lambda df, key: df.select(  # noqa: E731
+        F.col(key).alias("node"),
+        (F.round(F.col("r"), 9) + F.lit(0.0)).alias("pagerank"),
+    )
+    return out(ua, "a").union(out(mb, "b"))
+
+
+def hits_smallside(
+    edges: DataFrame,
+    n_iters: int = 8,
+    max_small_side: int = 2_000_000,
+) -> DataFrame:
+    """HITS over a DIRECTED bipartite edge list (`src`, `dst`, distinct
+    pairs, disjoint id domains) specialized for a bounded-small `dst`
+    side — bit-identical to :func:`hits` (pytest-pinned) with the same
+    structural rewrite as :func:`pagerank_bipartite_smallside`: the
+    src-side adjacency is grouped once, the authority step is an
+    explode + tiny hash aggregate, the hub step folds each adjacency
+    array against the one-row broadcast authority map in-partition. The
+    exact arithmetic (1e12 lattice snaps, long sums, DECIMAL(38,0) L2
+    norms with the overflow trap, 12-dp resync) is :func:`hits`'s
+    unchanged, so the unrolled-CTE oracle applies verbatim. Falls back
+    to the generic kernel above ``max_small_side`` authorities.
+    """
+    if n_iters < 1:
+        raise ValueError("hits_smallside() needs at least one iteration")
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    adj = (
+        edges.groupBy("src")
+        .agg(F.collect_list("dst").alias("ds"))
+        .localCheckpoint(eager=True)
+    )
+    n_dst = edges.select("dst").distinct().count()
+    if n_dst > max_small_side:
+        return hits(edges, n_iters=n_iters)
+    snap = lambda c: F.floor(F.col(c) * F.lit(1e12) + F.lit(0.5))  # noqa: E731
+    norm_of = lambda raw: F.sqrt(  # noqa: E731 — hits()'s exact norm
+        F.sum(
+            F.col(raw).cast("decimal(19,0)") * F.col(raw).cast("decimal(19,0)")
+        ).cast("double")
+    ).alias("nrm")
+    hubs = adj.withColumn("h", F.lit(1.0))
+    auths = None
+    for _ in range(n_iters):
+        a_raw = (
+            hubs.select(snap("h").alias("_w"), F.explode("ds").alias("dst"))
+            .groupBy("dst")
+            .agg(F.sum("_w").alias("a_raw"))
+        )
+        a_norm = a_raw.agg(norm_of("a_raw"))
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_norm))
+            .select(
+                "dst",
+                F.round(
+                    F.col("a_raw").cast("double") / _guarded_norm("authority"),
+                    12,
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        amap = _score_map(auths, "dst", snap("a"))
+        h_raw = adj.crossJoin(F.broadcast(amap)).select(
+            "src",
+            "ds",
+            F.aggregate(
+                "ds",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.element_at(F.col("_m"), x),
+            ).alias("h_raw"),
+        ).localCheckpoint(eager=True)
+        h_norm = h_raw.agg(norm_of("h_raw"))
+        # h is DERIVED lazily from the checkpointed h_raw (one division
+        # per row in each consumer) — skipping a third array
+        # materialization per iteration
+        hubs = h_raw.crossJoin(F.broadcast(h_norm)).select(
+            "src",
+            "ds",
+            F.round(
+                F.col("h_raw").cast("double") / _guarded_norm("hub"), 12
+            ).alias("h"),
+        )
+    return hubs.select(
+        F.col("src").alias("node"),
+        F.lit("hub").alias("role"),
+        (F.round(F.col("h"), 9) + F.lit(0.0)).alias("score"),
+    ).union(
+        auths.select(
+            F.col("dst").alias("node"),
+            F.lit("authority").alias("role"),
+            (F.round(F.col("a"), 9) + F.lit(0.0)).alias("score"),
+        )
+    )

@@ -325,8 +325,13 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding; oracle is an unrolled CTE chain, bit-exact. Node ids are
     LONGS (users ≥ 0, prop_k encoded -k-1, the landmark_closeness
     scheme; r7 — the r6 'u:'/'m:' string keys made every per-iteration
-    shuffle hash/compare strings on the hottest join at the 10M anchor)."""
-    from ..operators.graph import pagerank
+    shuffle hash/compare strings on the hottest join at the 10M anchor).
+    r10: runs the small-side bipartite kernel (the merchant/category side
+    is bounded like a broadcast-join build side) — bit-identical to the
+    generic symmetrized pagerank (pytest-pinned), 0.61× its wall at the
+    10M anchor in an interleaved A/B (31.1 → 18.9 s): no symmetrized edge
+    materialization, no per-iteration edge join."""
+    from ..operators.graph import pagerank_bipartite_smallside
     from ..schemas import EVENT_PROPS
 
     df = load_table(spark, sf_dir, "events")
@@ -339,10 +344,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    return pagerank(edges, n_iters=8, damping=0.85)
+    return pagerank_bipartite_smallside(base, n_iters=8, damping=0.85)
 
 
 def _hits_sql(n_iters: int = 8) -> str:
@@ -407,8 +409,12 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     users ranked as hubs, merchants as authorities, 8 mutually recursive
     L2-normalized rounds, unrolled-CTE oracle, bit-exact. Long node ids
     (users ≥ 0, prop_k as -k-1; r7, same rationale as
-    pagerank_bipartite — integer shuffle keys on the hot joins)."""
-    from ..operators.graph import hits
+    pagerank_bipartite — integer shuffle keys on the hot joins).
+    r10: runs the small-side bipartite kernel (authorities = the bounded
+    category side) — bit-identical to the generic hits (pytest-pinned),
+    0.63× its wall at the 10M anchor in an interleaved A/B
+    (30.1 → 19.0 s)."""
+    from ..operators.graph import hits_smallside
     from ..schemas import EVENT_PROPS
 
     df = load_table(spark, sf_dir, "events")
@@ -421,4 +427,4 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return hits(edges, n_iters=8)
+    return hits_smallside(edges, n_iters=8)

@@ -272,3 +272,68 @@ def test_masked_bfs_equals_row_bfs_random_graph(spark):
     )
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["root", "node", "dist"]
+
+
+def test_pagerank_smallside_equals_generic_random_bipartite(spark):
+    """pagerank_bipartite_smallside is BIT-equal (==, not approx) to the
+    generic pagerank over the symmetrized edge list — the structural
+    rewrite (adjacency arrays + one-row broadcast score map + explode
+    partial-agg) may not change a single 12-dp intermediate. Also pins
+    the max_small_side fallback path to the same rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aml_feature_store_spark.operators.graph import (
+        pagerank,
+        pagerank_bipartite_smallside,
+    )
+
+    rng = np.random.default_rng(10)
+    pairs = {
+        (int(a), -int(b) - 1)
+        for a, b in zip(rng.integers(0, 300, 1500), rng.integers(0, 25, 1500))
+    }
+    base = spark.createDataFrame(sorted(pairs), "a long, b long")
+    sym = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    generic = sorted(map(tuple, pagerank(sym, n_iters=8).collect()))
+    small = sorted(
+        map(tuple, pagerank_bipartite_smallside(base, n_iters=8).collect())
+    )
+    assert small == generic and len(small) > 300
+    fallback = sorted(
+        map(
+            tuple,
+            pagerank_bipartite_smallside(
+                base, n_iters=8, max_small_side=1
+            ).collect(),
+        )
+    )
+    assert fallback == generic
+
+
+def test_hits_smallside_equals_generic_random_bipartite(spark):
+    """hits_smallside ≡ hits bit-exactly on a random directed bipartite
+    graph, including the L2-norm DECIMAL(38,0) recipe and the 12-dp
+    resync; fallback path pinned too."""
+    import numpy as np
+
+    from aml_feature_store_spark.operators.graph import hits, hits_smallside
+
+    rng = np.random.default_rng(11)
+    pairs = {
+        (int(a), -int(b) - 1)
+        for a, b in zip(rng.integers(0, 300, 1500), rng.integers(0, 25, 1500))
+    }
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    generic = sorted(map(tuple, hits(edges, n_iters=8).collect()))
+    small = sorted(map(tuple, hits_smallside(edges, n_iters=8).collect()))
+    assert small == generic and len(small) > 300
+    fallback = sorted(
+        map(
+            tuple,
+            hits_smallside(edges, n_iters=8, max_small_side=1).collect(),
+        )
+    )
+    assert fallback == generic
