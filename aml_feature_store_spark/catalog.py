@@ -57,7 +57,7 @@ CERTIFIED: dict[str, int] = {
     "gini_per_user": 7,
     "graph_global_centralities": 7,
     "hhi_per_user": 7,
-    "hits_bipartite": 7,
+    # "hits_bipartite" invalidated r10 s3: small-side kernel rewrite (bit-equal pinned) — re-certify
     "hour_entropy_per_user": 7,
     "knn_cosine_bruteforce": 7,
     "language_id": 7,
@@ -65,7 +65,7 @@ CERTIFIED: dict[str, int] = {
     "merchant_trailing_features": 7,
     "min_balance_supplier_q2": 7,
     "moments_per_user": 7,
-    "pagerank_bipartite": 7,
+    # "pagerank_bipartite" invalidated r10 s3: small-side kernel rewrite (bit-equal pinned) — re-certify
     "pca_anomaly_scores": 7,
     "population_zscore_per_user": 7,
     "props_json_extract": 7,
@@ -85,7 +85,7 @@ CERTIFIED: dict[str, int] = {
     "windowed_entropy_24h": 7,
     # r8-certified
     "ann_ivf_index_topk": 8,
-    "audio_spectral_features": 8,
+    # "audio_spectral_features" invalidated r10 s3: zcr_per_s boolean→exact-value contract — re-certify
     "benchmark_decontamination": 8,
     "bm25_rank": 8,
     "curate_training_docs": 8,

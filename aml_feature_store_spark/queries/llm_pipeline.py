@@ -636,7 +636,8 @@ SELECT doc_id, 8000 AS sample_rate, CAST(2000 AS BIGINT) AS n_samples,
        0.25 AS duration_s,
        CAST(252 + 48*(doc_id % 32) AS DOUBLE) AS dominant_freq_hz,
        CAST(252 + 48*(doc_id % 32) AS DOUBLE) AS rolloff85_hz,
-       TRUE AS rms_ok, TRUE AS zcr_ok, TRUE AS centroid_ok,
+       CAST(2*(252 + 48*(doc_id % 32)) - 4 AS DOUBLE) AS zcr_per_s,
+       TRUE AS rms_ok, TRUE AS centroid_ok,
        TRUE AS bandwidth_ok
 FROM documents
 """,
@@ -653,13 +654,19 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin 63+12m at rate/n = 4 Hz), so dominant_freq_hz and rolloff85_hz
     equal f0 EXACTLY (measured err 0.0 across the corpus) and the oracle
     recomputes them analytically — certifying the WAV parse + rFFT +
-    argmax/rolloff path end-to-end. The rounding-sensitive features ship
-    as booleans with measured-headroom bounds (probe at sf0.01: rms err
-    ≤1.2e-5 → bound 1e-3; zcr err = −4.0 exactly (one fewer crossing
-    than 2·f0·dur from the endpoints) → bound 8; centroid err ≤0.77 Hz →
-    bound 2; bandwidth ≤43.9 Hz → bound 100). All raw features stay
-    pinned against closed-form tone/silence/stereo expectations in
-    tests/test_audio.py."""
+    argmax/rolloff path end-to-end. r10: zcr is ALSO an exact value now —
+    zero crossings are integer-side (signbit flips of the int16 samples,
+    immune to quantization noise), and a bin-aligned tone of f0/2 whole
+    half-cycles over 0.25 s crosses exactly f0/2 − 1 times (the t=0
+    endpoint crossing is not a sample-to-sample flip), so
+    zcr_per_s = 2·f0 − 4 analytically; verified exact over ALL 32 tone
+    classes in pure numpy and pinned per-class in tests/test_audio.py.
+    The genuinely rounding-sensitive features ship as booleans with
+    measured-headroom bounds (probe at sf0.01: rms err ≤1.2e-5 → bound
+    1e-3; centroid err ≤0.77 Hz → bound 2; bandwidth ≤43.9 Hz →
+    bound 100 — quantization noise spreads across FFT bins, no closed
+    form). All raw features stay pinned against closed-form
+    tone/silence/stereo expectations in tests/test_audio.py."""
     docs = load_table(spark, sf_dir, "documents")
     feat = audio.spectral_features(audio.synthesize_wav_payloads(docs))
     f0 = F.lit(252.0) + F.lit(48.0) * (F.col("doc_id") % 32).cast("double")
@@ -670,8 +677,8 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_s",
         "dominant_freq_hz",
         "rolloff85_hz",
+        "zcr_per_s",
         (F.abs(F.col("rms") - F.lit(0.5 / 2.0**0.5)) <= 1e-3).alias("rms_ok"),
-        (F.abs(F.col("zcr_per_s") - 2.0 * f0) <= 8.0).alias("zcr_ok"),
         (F.abs(F.col("spectral_centroid_hz") - f0) <= 2.0).alias(
             "centroid_ok"
         ),

@@ -134,3 +134,19 @@ def test_analyze_handles_odd_lengths_and_extremes():
     feat = audio._analyze(audio.encode_wav(sq, 8000))
     assert abs(feat[3] - 1.0) < 1e-3
     assert abs(feat[5] - 4000.0) < 4.1  # +-1/-1 alternation = Nyquist
+
+
+def test_zcr_closed_form_all_query_tone_classes():
+    """The audio_spectral_features oracle pins zcr_per_s = 2·f0 − 4
+    exactly: crossings are integer-side (signbit flips of the int16
+    samples), and a bin-aligned tone of f0/2 whole half-cycles over
+    0.25 s flips f0/2 − 1 times (the t=0 endpoint is not a
+    sample-to-sample flip). Verify the law over ALL 32 tone classes the
+    query synthesizes — any change to the synthesis or the crossing
+    count that would redden the driver's oracle check reddens here
+    first."""
+    for m in range(32):
+        f0 = 252.0 + 48.0 * m
+        feat = audio._analyze(audio.encode_wav(_tone(f0), RATE))
+        zcr = feat[4]
+        assert zcr == 2.0 * f0 - 4.0, (m, f0, zcr)
