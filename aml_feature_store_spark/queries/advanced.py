@@ -339,11 +339,11 @@ def user_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph via triangle counting with edge self-joins (A28 — the
     decomposable part of the reference's networkx centralities; global
     betweenness/closeness stay out of scope by design)."""
-    from ..schemas import EVENT_PROPS
+    from ..schemas import prop_k_fast
 
     ev = load_table(spark, sf_dir, "events")
     uk = ev.select(
-        "user_id", F.from_json("props", EVENT_PROPS)["k"].alias("k")
+        "user_id", prop_k_fast().alias("k")
     ).distinct()
     a = uk.select(F.col("user_id").alias("u"), "k")
     b = uk.select(F.col("user_id").alias("v"), "k")

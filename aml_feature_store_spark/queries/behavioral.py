@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import register
-from ..schemas import EVENT_PROPS
+from ..schemas import EVENT_PROPS, prop_k_fast
 from ..sources import load_table
 
 _NIGHT = "(hour(ts) < 6 OR hour(ts) > 22)"
@@ -509,11 +509,9 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (squared within the basket, never across baskets), the
     classic a-priori support shape; item supports and the basket count
     ride broadcasts."""
-    from ..schemas import EVENT_PROPS
-
     ev = load_table(spark, sf_dir, "events")
     items = (
-        ev.withColumn("item", F.from_json("props", EVENT_PROPS)["k"].cast("long"))
+        ev.withColumn("item", prop_k_fast())
         # events without an item key are not basket members (mirrors the
         # oracle's empty-match guard — ADVICE r5)
         .filter(F.col("item").isNotNull())

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register
 from ..operators.graph import edge_list, node_degrees, shared_neighbor_pairs
-from ..schemas import EVENT_PROPS
+from ..schemas import prop_k_fast
 from ..sources import load_table
 
 _EDGES_SQL = r"""
@@ -26,7 +26,7 @@ GROUP BY user_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "events")
-    parsed = df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
+    parsed = df.withColumn("prop_k", prop_k_fast())
     return edge_list(parsed, src_col="user_id", dst_col="prop_k")
 
 
@@ -135,7 +135,7 @@ def landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             F.col("user_id").alias("u"),
-            F.from_json("props", EVENT_PROPS)["k"].cast("long").alias("k"),
+            prop_k_fast().alias("k"),
         )
         .distinct()
     )
@@ -240,7 +240,7 @@ def graph_global_centralities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 50 == 0)
         .select(
             F.col("user_id").alias("u"),
-            F.from_json("props", EVENT_PROPS)["k"].cast("long").alias("k"),
+            prop_k_fast().alias("k"),
         )
         .filter(F.col("k").isNotNull())
         .distinct()
@@ -332,11 +332,10 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     10M anchor in an interleaved A/B (31.1 → 18.9 s): no symmetrized edge
     materialization, no per-iteration edge join."""
     from ..operators.graph import pagerank_bipartite_smallside
-    from ..schemas import EVENT_PROPS
 
     df = load_table(spark, sf_dir, "events")
     base = (
-        df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
+        df.withColumn("prop_k", prop_k_fast())
         .filter(F.col("prop_k").isNotNull())
         .select(
             F.col("user_id").alias("a"),
@@ -415,11 +414,10 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.63× its wall at the 10M anchor in an interleaved A/B
     (30.1 → 19.0 s)."""
     from ..operators.graph import hits_smallside
-    from ..schemas import EVENT_PROPS
 
     df = load_table(spark, sf_dir, "events")
     edges = (
-        df.withColumn("prop_k", F.from_json("props", EVENT_PROPS)["k"])
+        df.withColumn("prop_k", prop_k_fast())
         .filter(F.col("prop_k").isNotNull())
         .select(
             F.col("user_id").alias("src"),

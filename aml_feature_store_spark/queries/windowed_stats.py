@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from ..catalog import register
 from ..streaming.per_event import _run_tmpdir
-from ..schemas import EVENT_PROPS
+from ..schemas import prop_k_fast
 from ..sources import load_table
 from ..sources.tables import isolate_events_files
 
@@ -505,7 +505,7 @@ def streaming_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = stream_events(spark, src)
     edges = (
-        raw.withColumn("dst", F.from_json("props", EVENT_PROPS)["k"])
+        raw.withColumn("dst", prop_k_fast())
         .groupBy(F.col("user_id").alias("src"), "dst")
         .agg(
             F.count(F.lit(1)).alias("n_txn"),
