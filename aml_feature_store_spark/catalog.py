@@ -55,13 +55,13 @@ CERTIFIED: dict[str, int] = {
     "doc_fingerprints": 7,
     "dominant_part_suppliers_q20": 7,
     "gini_per_user": 7,
-    "graph_global_centralities": 7,
+    # "graph_global_centralities" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "hhi_per_user": 7,
     # "hits_bipartite" invalidated r10 s3: small-side kernel rewrite (bit-equal pinned) — re-certify
     "hour_entropy_per_user": 7,
     "knn_cosine_bruteforce": 7,
     "language_id": 7,
-    "merchant_graph_features": 7,
+    # "merchant_graph_features" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "merchant_trailing_features": 7,
     "min_balance_supplier_q2": 7,
     "moments_per_user": 7,
@@ -73,15 +73,15 @@ CERTIFIED: dict[str, int] = {
     "risk_explanations": 7,
     "risk_shapley": 7,
     "running_totals_per_user": 7,
-    "streaming_graph_edges": 7,
+    # "streaming_graph_edges" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "streaming_tdigest_quantiles": 7,
     "streaming_tumbling_complete": 7,
     "suppliers_kept_waiting_q21": 7,
     "text_stats": 7,
     "top_events_global": 7,
     "unique_counts_windows": 7,
-    "user_graph_degrees": 7,
-    "user_shared_k_pairs": 7,
+    # "user_graph_degrees" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
+    # "user_shared_k_pairs" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "windowed_entropy_24h": 7,
     # r8-certified
     "ann_ivf_index_topk": 8,
@@ -97,9 +97,9 @@ CERTIFIED: dict[str, int] = {
     "embedding_near_dup_pairs": 8,
     "event_type_pivot": 8,
     "feature_target_correlation": 8,
-    "graph_edge_list": 8,
+    # "graph_edge_list" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "interarrival_stats_per_user": 8,
-    "landmark_closeness": 8,
+    # "landmark_closeness" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "mktsegment_acctbal_summary": 8,
     "model_auc": 8,
     "model_eval_metrics": 8,
@@ -128,11 +128,11 @@ CERTIFIED: dict[str, int] = {
     "trailing_multiwindow_features": 8,
     "trailing_sums_cumsum_strategy": 8,
     "unigram_logprob_quality": 8,
-    "user_clustering_coeff": 8,
+    # "user_clustering_coeff" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "windowed_gini_24h": 8,
     "windowed_hhi_24h": 8,
     # r9-certified
-    "basket_lift_pairs": 9,
+    # "basket_lift_pairs" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "behavioral_feature_vector": 9,
     "bloom_membership_validation": 9,
     "bm25_index_topk": 9,
