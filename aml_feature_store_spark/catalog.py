@@ -173,7 +173,7 @@ CERTIFIED: dict[str, int] = {
     "streaming_dim_enrich": 9,
     "streaming_hll_distinct": 9,
     "streaming_interval_join": 9,
-    "streaming_per_event_extended": 9,
+    # "streaming_per_event_extended" invalidated r10 s4: prop_k_fast parse swap in the extended stateful path (bit-equal pinned) — re-certify
     "streaming_tumbling_rollup": 9,
     "supplier_part_counts_q16": 9,
     "tdigest_quantiles_by_event_type": 9,

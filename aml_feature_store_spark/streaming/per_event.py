@@ -559,12 +559,16 @@ def per_event_features(
             f"segment width 2^{_TS_BITS} ms (~199 days); windows must be "
             "under ~99 days"
         )
-    from ..schemas import EVENT_PROPS
+    from ..schemas import prop_k_fast
 
     # the category key feeds only the extended vector's unique_k — basic
-    # mode skips the JSON parse and ships a constant through the shuffle
+    # mode skips the props parse and ships a constant through the shuffle.
+    # prop_k_fast is bit-equal to from_json(...)["k"] on the closed props
+    # contract (tests/test_prop_k.py) and ~6x cheaper at the 10M anchor,
+    # where the general JSON parse was a visible slice of this query's
+    # scan (same swap as the graph family, r10 session 3).
     cat = (
-        F.coalesce(F.from_json("props", EVENT_PROPS)["k"], F.lit(-1))
+        F.coalesce(prop_k_fast(), F.lit(-1))
         if extended and "props" in stream.columns
         else F.lit(-1).cast("long")
     )
