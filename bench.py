@@ -402,7 +402,10 @@ def _merge_artifacts(paths: list[str]) -> dict:
     arts = []
     for p in paths:
         with open(p) as f:
-            arts.append(json.load(f))
+            # an artifact file may carry extra stdout lines after the
+            # full-artifact object (e.g. a captured slim+final tail);
+            # parse the FIRST object and ignore the rest
+            arts.append(json.JSONDecoder().raw_decode(f.read())[0])
     merged = json.loads(json.dumps(arts[0]))  # deep copy of the first
     # Union section keys across ALL inputs: a section only one later run
     # carries (e.g. scale100 succeeded only in run 2) is seeded from the
@@ -455,11 +458,7 @@ def render_markdown(artifact_path: str) -> str:
     the per-query min of several (space-separated paths — see
     _merge_artifacts for why multiple runs are merged)."""
     paths = artifact_path.split()
-    if len(paths) > 1:
-        data = _merge_artifacts(paths)
-    else:
-        with open(artifact_path) as f:
-            data = json.load(f)
+    data = _merge_artifacts(paths)
     hdr = f"| query | sf{data.get('sf')} (s, min of {data.get('repeats', 1)}) |"
     sep = "|---|---|"
     if "scale" in data:
