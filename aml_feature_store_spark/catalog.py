@@ -62,7 +62,7 @@ CERTIFIED: dict[str, int] = {
     "knn_cosine_bruteforce": 7,
     "language_id": 7,
     # "merchant_graph_features" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
-    "merchant_trailing_features": 7,
+    # "merchant_trailing_features" invalidated r10 s5: hot-entity bucketized trailing scan (bit-equal pinned) — re-certify
     "min_balance_supplier_q2": 7,
     "moments_per_user": 7,
     # "pagerank_bipartite" invalidated r10 s3: small-side kernel rewrite (bit-equal pinned) — re-certify
@@ -79,7 +79,7 @@ CERTIFIED: dict[str, int] = {
     "suppliers_kept_waiting_q21": 7,
     "text_stats": 7,
     "top_events_global": 7,
-    "unique_counts_windows": 7,
+    # "unique_counts_windows" invalidated r10 s5: hot-entity bucketized trailing scan (bit-equal pinned) — re-certify
     # "user_graph_degrees" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     # "user_shared_k_pairs" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "windowed_entropy_24h": 7,
@@ -125,7 +125,7 @@ CERTIFIED: dict[str, int] = {
     "timestamp_functions": 8,
     "top_orders_per_customer": 8,
     "trailing_1h_features": 8,
-    "trailing_multiwindow_features": 8,
+    # "trailing_multiwindow_features" invalidated r10 s5: hot-entity bucketized trailing scan (bit-equal pinned) — re-certify
     "trailing_sums_cumsum_strategy": 8,
     "unigram_logprob_quality": 8,
     # "user_clustering_coeff" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify

@@ -34,6 +34,7 @@ counts use collect_set (memory ∝ distinct per frame) — switch
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -63,6 +64,24 @@ class TrailingWindowSpec:
     distinct_cols: tuple[str, ...] = ()  # e.g. ("event_type",) → unique_* feats
     distinct_exact: bool = True
     velocity_unit_s: int = 3600  # denominator unit for velocity (per hour)
+
+
+@dataclass
+class HotBucketSpec:
+    """Time-bucketization plan for hot entities (see
+    :func:`hot_entity_cuts`): each listed entity's rows are split into
+    ``buckets`` fixed-width epoch-ms segments so the scalable trailing
+    plan can parallelize a key that would otherwise serialize one task.
+
+    ``ents`` maps entity value → (lo_ms, width_ms). Bucket id is
+    ``clamp((ms - lo) div width, 0, buckets-1)`` — a deterministic
+    monotone function of the row's order key, so equal timestamps always
+    share a bucket (range-frame peers are never split) and every row of
+    an earlier bucket sorts strictly below every row of a later one.
+    Entities not listed ride bucket 0 and are untouched."""
+
+    buckets: int
+    ents: dict
 
 
 def _ms(ts_col: str) -> Column:
@@ -219,7 +238,309 @@ def trailing_sums_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame
     return out.select(*keep)
 
 
-def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
+def _bucket_expr(hb: HotBucketSpec) -> Column:
+    """``_b`` column: ``clamp((_ms - lo) div width, 0, buckets-1)`` per
+    hot entity, 0 for everything else — deterministic and monotone in
+    the order key, so equal timestamps always co-bucket."""
+    nb = hb.buckets
+    return reduce(
+        lambda acc, item: F.when(
+            F.col("_ent") == F.lit(item[0]),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(nb - 1),
+                    F.expr(f"(_ms - {item[1][0]}L) div {item[1][1]}L"),
+                ),
+            ).cast("int"),
+        ).otherwise(acc),
+        hb.ents.items(),
+        F.lit(0),
+    )
+
+
+_HOT_CARRY_CACHE: dict[tuple, dict] = {}
+
+
+def _hot_carry_literals(
+    df: DataFrame, spec: TrailingWindowSpec, hb: HotBucketSpec
+) -> dict:
+    """Cross-bucket carry state of the bucketized scalable plan, folded
+    on the driver from ONE hot-filtered aggregate (plus one marker
+    aggregate when the spec has distinct columns) and memoized per input
+    files. Bounded by construction: per hot entity, ``buckets`` running
+    sums plus, per window, the extrema of the single chunk crossing each
+    bucket edge (a chunk is an interval, so exactly one chunk contains
+    any given edge). The collect is ≤ (hot entities × buckets × chunks
+    of the narrowest window intersected per bucket) rows — at warehouse
+    scale cap the span/window ratio or raise ``buckets`` width, never
+    unbounded in the table size.
+
+    Exactness: DECIMAL sums are folded with ``decimal.Decimal`` (exact,
+    associative — bit-equal to any grouping); counts/markers are ints;
+    extrema are IEEE doubles compared with Python ``max``/``min``
+    (NaN-free domain — the operator's amount column contract).
+
+    Returns ``{ent: {"s"/"n"/"s2": exclusive-prefix arrays[buckets],
+    "mk": {tag: arrays}, "ext": {window: (ck_lo, ck_hi, px, pn, sx, sn)
+    arrays — the edge-chunk ids and the carry extrema that apply iff the
+    row's chunk equals that edge chunk}}}``."""
+    from decimal import Decimal
+
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    hb_key = (
+        hb.buckets,
+        tuple(sorted((str(k), v) for k, v in hb.ents.items())),
+    )
+    key = (
+        (
+            files,
+            spec.entity_col,
+            spec.ts_col,
+            spec.amount_col,
+            tuple(spec.windows.items()),
+            tuple(spec.distinct_cols),
+            hb_key,
+        )
+        if files
+        else None
+    )
+    if key is not None and key in _HOT_CARRY_CACHE:
+        return _HOT_CARRY_CACHE[key]
+    nb = hb.buckets
+    hot_ids = list(hb.ents)
+    ms = _ms(spec.ts_col)
+    base = (
+        df.filter(F.col(spec.entity_col).isin(hot_ids))
+        .select(
+            F.col(spec.entity_col).alias("_ent"),
+            F.col("event_id"),
+            ms.alias("_ms"),
+            F.col(spec.amount_col).alias("_amt"),
+            *[F.col(d).alias(f"_v_{d}") for d in spec.distinct_cols],
+        )
+        .withColumn("_b", _bucket_expr(hb))
+    )
+    ck_cols = [
+        F.expr(f"_ms div {wsecs * 1000}").alias(f"_ck_{wname}")
+        for wname, wsecs in spec.windows.items()
+    ]
+    grouped = (
+        base.groupBy("_ent", "_b", *ck_cols)
+        .agg(
+            F.sum(F.col("_amt").cast(DEC)).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum((F.col("_amt") * F.col("_amt")).cast(DEC4)).alias("_s2"),
+            F.max("_amt").alias("_mx"),
+            F.min("_amt").alias("_mn"),
+        )
+        .collect()
+    )
+    mrows = []
+    if spec.distinct_cols:
+        legs = []
+        for d in spec.distinct_cols:
+            prev = F.lag("_ms").over(
+                Window.partitionBy("_ent", f"_v_{d}").orderBy("_ms", "event_id")
+            )
+            pc = base.withColumn("_prev", prev).filter(
+                F.col(f"_v_{d}").isNotNull()
+            )
+            structs = []
+            for wname, wsecs in spec.windows.items():
+                wms_ = wsecs * 1000
+                start = F.when(
+                    F.col("_prev").isNull(), F.col("_ms")
+                ).otherwise(
+                    F.greatest(F.col("_ms"), F.col("_prev") + F.lit(wms_ + 1))
+                )
+                tag = F.lit(f"{wname}::{d}")
+                structs.append(
+                    F.struct(start.alias("m"), tag.alias("t"), F.lit(1).alias("v"))
+                )
+                structs.append(
+                    F.struct(
+                        (F.col("_ms") + F.lit(wms_ + 1)).alias("m"),
+                        tag.alias("t"),
+                        F.lit(-1).alias("v"),
+                    )
+                )
+            legs.append(
+                pc.select("_ent", F.explode(F.array(*structs)).alias("_m"))
+                .select(
+                    "_ent",
+                    F.col("_m.m").alias("_ms"),
+                    F.col("_m.t").alias("_mtag"),
+                    F.col("_m.v").alias("_mval"),
+                )
+            )
+        mall = reduce(lambda a, b: a.unionByName(b), legs)
+        mrows = (
+            mall.withColumn("_b", _bucket_expr(hb))
+            .groupBy("_ent", "_b", "_mtag")
+            .agg(F.sum("_mval").alias("_mv"))
+            .collect()
+        )
+    out = {}
+    for ent, (lo, width) in hb.ents.items():
+        rows = [r for r in grouped if r["_ent"] == ent]
+        sums: dict[int, list] = {}
+        for r in rows:
+            acc = sums.setdefault(r["_b"], [Decimal(0), 0, Decimal(0)])
+            if r["_s"] is not None:
+                acc[0] += r["_s"]
+            acc[1] += r["_n"]
+            if r["_s2"] is not None:
+                acc[2] += r["_s2"]
+        s_arr: list = []
+        n_arr: list = []
+        s2_arr: list = []
+        rs, rn, r2 = Decimal(0), 0, Decimal(0)
+        for b in range(nb):
+            s_arr.append(rs)
+            n_arr.append(rn)
+            s2_arr.append(r2)
+            if b in sums:
+                rs += sums[b][0]
+                rn += sums[b][1]
+                r2 += sums[b][2]
+        ext = {}
+        for wname, wsecs in spec.windows.items():
+            wms_ = wsecs * 1000
+            by_ck: dict[int, list] = {}
+            for r in rows:
+                if r["_mx"] is None:
+                    continue
+                by_ck.setdefault(r[f"_ck_{wname}"], []).append(
+                    (r["_b"], r["_mx"], r["_mn"])
+                )
+            ck_lo = [(lo + b * width) // wms_ for b in range(nb)]
+            ck_hi = [(lo + (b + 1) * width) // wms_ for b in range(nb)]
+            px: list = [None] * nb
+            pn: list = [None] * nb
+            sx: list = [None] * nb
+            sn: list = [None] * nb
+            for b in range(nb):
+                prev_e = [e for e in by_ck.get(ck_lo[b], []) if e[0] < b]
+                if prev_e:
+                    px[b] = max(e[1] for e in prev_e)
+                    pn[b] = min(e[2] for e in prev_e)
+                post_e = [e for e in by_ck.get(ck_hi[b], []) if e[0] > b]
+                if post_e:
+                    sx[b] = max(e[1] for e in post_e)
+                    sn[b] = min(e[2] for e in post_e)
+            ext[wname] = (ck_lo, ck_hi, px, pn, sx, sn)
+        mk: dict[str, list] = {}
+        for wname in spec.windows:
+            for d in spec.distinct_cols:
+                tag = f"{wname}::{d}"
+                per_b = {
+                    r["_b"]: r["_mv"]
+                    for r in mrows
+                    if r["_ent"] == ent and r["_mtag"] == tag
+                }
+                arr: list = []
+                run = 0
+                for b in range(nb):
+                    arr.append(run)
+                    run += per_b.get(b, 0) or 0
+                mk[tag] = arr
+        out[ent] = {"s": s_arr, "n": n_arr, "s2": s2_arr, "ext": ext, "mk": mk}
+    if key is not None:
+        _HOT_CARRY_CACHE[key] = out
+    return out
+
+
+# stitched-sum literal types: one sum-aggregate step above DEC/DEC4
+_SUM_T = "decimal(35,2)"
+_SUM2_T = "decimal(38,4)"
+
+
+def _stitch_exprs(
+    spec: TrailingWindowSpec,
+    hb: HotBucketSpec,
+    carry: dict,
+    tags: list[tuple[str, str]],
+) -> dict[str, Column]:
+    """Global-stitch expressions for the bucketized plan: sums add their
+    exclusive bucket-prefix (literal array lookup by ``_b``; 0 for
+    non-hot rows — every downstream read of these columns already
+    coalesces empty frames to 0, so the null→0 degrade is
+    value-identical); extrema take the null-skipping ``greatest/least``
+    of (local, carry), where the carry applies only when the row's chunk
+    is the bucket-edge chunk."""
+    ents = list(hb.ents)
+    bidx = F.col("_b") + 1
+
+    def case_over(builder, default):
+        return reduce(
+            lambda acc, e: F.when(F.col("_ent") == F.lit(e), builder(e)).otherwise(
+                acc
+            ),
+            ents,
+            default,
+        )
+
+    def dec_arr(vals, t):
+        return F.array(*[F.lit(str(v)).cast(t) for v in vals])
+
+    def num_arr(vals, t):
+        return F.array(*[F.lit(v).cast(t) for v in vals])
+
+    zs = F.lit(0).cast(_SUM_T)
+    z2 = F.lit(0).cast(_SUM2_T)
+    cy_s = case_over(
+        lambda e: F.element_at(dec_arr(carry[e]["s"], _SUM_T), bidx), zs
+    )
+    cy_n = case_over(
+        lambda e: F.element_at(num_arr(carry[e]["n"], "long"), bidx),
+        F.lit(0).cast("long"),
+    )
+    cy_s2 = case_over(
+        lambda e: F.element_at(dec_arr(carry[e]["s2"], _SUM2_T), bidx), z2
+    )
+    glob = {
+        "_cs_i": F.coalesce(F.col("_cs_i"), zs) + cy_s,
+        "_cn_i": F.col("_cn_i") + cy_n,
+        "_c2_i": F.coalesce(F.col("_c2_i"), z2) + cy_s2,
+        "_cs_e": F.coalesce(F.col("_cs_e"), zs) + cy_s,
+        "_cn_e": F.col("_cn_e") + cy_n,
+        "_c2_e": F.coalesce(F.col("_c2_e"), z2) + cy_s2,
+    }
+    for wname, d in tags:
+        tag = f"{wname}::{d}"
+        glob[f"_cd_{wname}_{d}"] = F.col(f"_cd_{wname}_{d}") + case_over(
+            lambda e, t=tag: F.element_at(num_arr(carry[e]["mk"][t], "long"), bidx),
+            F.lit(0).cast("long"),
+        )
+    for wname, wsecs in spec.windows.items():
+        ckw = F.expr(f"_ms div {wsecs * 1000}")
+
+        def ext_case(iv, ic, w=wname):
+            return case_over(
+                lambda e, w=w, iv=iv, ic=ic: F.when(
+                    ckw
+                    == F.element_at(num_arr(carry[e]["ext"][w][ic], "long"), bidx),
+                    F.element_at(num_arr(carry[e]["ext"][w][iv], "double"), bidx),
+                ),
+                F.lit(None).cast("double"),
+            )
+
+        glob[f"_pmx_{wname}"] = F.greatest(F.col(f"_pmx_{wname}"), ext_case(2, 0))
+        glob[f"_pmn_{wname}"] = F.least(F.col(f"_pmn_{wname}"), ext_case(3, 0))
+        glob[f"_smx_{wname}"] = F.greatest(F.col(f"_smx_{wname}"), ext_case(4, 1))
+        glob[f"_smn_{wname}"] = F.least(F.col(f"_smn_{wname}"), ext_case(5, 1))
+    return glob
+
+
+def trailing_features_scalable(
+    df: DataFrame,
+    spec: TrailingWindowSpec,
+    hot_buckets: HotBucketSpec | None = None,
+) -> DataFrame:
     """Full-metric big-frame strategy: every ``trailing_features`` metric
     except windowed distincts in O(rows), independent of frame width.
 
@@ -255,6 +576,41 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
     expression trees) — property-tested. Only ``distinct_exact=True`` is
     supported here (per-frame HLL sketches are not decomposable; the
     approx path stays on WindowExec).
+
+    ``hot_buckets`` (r10): even the O(rows) plan serializes each entity
+    in ONE task — a key owning 25% of a 100-TB log would put 25 TB
+    through a single sort/scan. With a :class:`HotBucketSpec`, the hot
+    entities' rows are range-split by time into ``buckets`` segments and
+    every window partitions by ``(entity, bucket)`` (and chunk), so the
+    hot key's sorts/scans parallelize across the cluster. The
+    cross-bucket state is bounded — ≤ buckets running sums per entity,
+    plus per window the one chunk that crosses each bucket edge — so it
+    is computed ONCE at plan build by a driver-side fold over one
+    hot-filtered aggregate (memoized per input files, like the routing
+    stats) and stitched back as LITERAL array lookups keyed by the
+    bucket id:
+
+    - cumulative sums/counts/markers: ``local + exclusive_prefix[b]``
+      (exact ``decimal.Decimal``/int addition on the driver — DECIMAL
+      addition is associative, so the stitched sums are bit-equal to
+      the single-task ones);
+    - chunk extrema: a carry applies only when the row's chunk is the
+      one containing the bucket's lower (asc) / upper (desc) edge —
+      ``greatest/least(local, carry[b])`` with null-skipping semantics,
+      so empty carries degrade to the local value.
+
+    An earlier variant delivered carries as broadcast JOINS; that
+    dragged ~19 extra columns through all seven window sorts and blew
+    the fused stage's codegen (A/B: 23-316 s vs this design's ~5 s at
+    the skew anchor). Literal stitching keeps the sort payload at one
+    extra int and adds no joins, no extra scans at execution time.
+
+    Bucket boundaries cut only between distinct timestamps (bucket id is
+    a monotone function of ``_ms``), so range-frame peers are never
+    split and "all earlier buckets" is exactly "all strictly-preceding
+    rows". Non-hot entities ride bucket 0 with empty carries — their
+    values come out of the identical expression tree with the carry legs
+    defaulted away. Bit-equivalence incl. ties/markers is pytest-pinned.
     """
     if spec.distinct_cols and not spec.distinct_exact:
         raise ValueError(
@@ -340,14 +696,25 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
             )
         )
         u = u.unionByName(markers.select(*shape))
-    u = u.repartition("_ent")
-
     amt_dec = F.when(F.col("_win").isNull(), F.col("_amt")).cast(DEC)
     amt2_dec = F.when(
         F.col("_win").isNull(), F.col("_amt") * F.col("_amt")
     ).cast(DEC4)
     cnt_flag = F.when(F.col("_win").isNull(), 1).otherwise(0)
-    wcum = Window.partitionBy("_ent").orderBy("_ms")
+    tags = [
+        (wname, d) for wname in spec.windows for d in spec.distinct_cols
+    ]
+    bucketized = hot_buckets is not None and bool(hot_buckets.ents)
+    if bucketized:
+        carry = _hot_carry_literals(df, spec, hot_buckets)
+        u = u.withColumn("_b", _bucket_expr(hot_buckets))
+        u = u.repartition("_ent", "_b")
+        part = ["_ent", "_b"]
+    else:
+        u = u.repartition("_ent")
+        part = ["_ent"]
+
+    wcum = Window.partitionBy(*part).orderBy("_ms")
     incl = wcum.rangeBetween(Window.unboundedPreceding, 0)
     excl = wcum.rangeBetween(Window.unboundedPreceding, -1)
     cols = {
@@ -366,12 +733,12 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
     for wname, wsecs in spec.windows.items():
         ck = F.expr(f"_ms div {wsecs * 1000}")
         asc = (
-            Window.partitionBy("_ent", ck)
+            Window.partitionBy(*part, ck)
             .orderBy("_ms")
             .rangeBetween(Window.unboundedPreceding, 0)
         )
         desc = (
-            Window.partitionBy("_ent", ck)
+            Window.partitionBy(*part, ck)
             .orderBy(F.col("_ms").desc())
             .rangeBetween(Window.unboundedPreceding, 0)
         )
@@ -379,9 +746,10 @@ def trailing_features_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataF
         cols[f"_pmn_{wname}"] = F.min("_amt").over(asc)
         cols[f"_smx_{wname}"] = F.max("_amt").over(desc)
         cols[f"_smn_{wname}"] = F.min("_amt").over(desc)
-    cum = u.withColumns(cols).filter(
-        F.col("_win").isNull() | (F.col("_win") != "__mk")
-    )
+    cum = u.withColumns(cols)
+    if bucketized:
+        cum = cum.withColumns(_stitch_exprs(spec, hot_buckets, carry, tags))
+    cum = cum.filter(F.col("_win").isNull() | (F.col("_win") != "__mk"))
 
     isreal = F.col("_win").isNull()
     agg_exprs = [
@@ -526,7 +894,72 @@ def trailing_flag_counts_scalable(
 # ~220-row frames; cold anchor: 2.2 s vs 3.5 s at ~2-row frames)
 AUTO_FRAME_ROWS_THRESHOLD = 32
 
+# per-entity row count above which even the O(rows) scalable plan's
+# single-task-per-entity execution dominates the query and the hot
+# entity gets time-bucketized (the skew anchor's hot key owns 250k of
+# 1M events; uniform corpora never cross this)
+HOT_TASK_ROWS_THRESHOLD = 100_000
+HOT_BUCKETS = 64
+
 _FRAME_EST_CACHE: dict[tuple, float] = {}
+_HOT_CUTS_CACHE: dict[tuple, "HotBucketSpec | None"] = {}
+
+
+def hot_entity_cuts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_max_s: int,
+    min_rows: int = HOT_TASK_ROWS_THRESHOLD,
+    buckets: int = HOT_BUCKETS,
+    cap: int = 32,
+) -> HotBucketSpec | None:
+    """Detect entities whose row count would serialize a single task and
+    compute their fixed-width time cuts (one groupBy job, memoized per
+    input files like :func:`estimate_frame_rows`; driver result bounded
+    by ``cap``). The span is padded by the widest window so shadow
+    probes (ms − W) and interval markers (ms + W + 1) land inside the
+    cut range; the bucket expression clamps anyway, which only affects
+    balance, never correctness (bucket id stays monotone in ms).
+    Returns None when no entity crosses ``min_rows``."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    key = (
+        (files, entity_col, ts_col, window_max_s, min_rows, buckets, cap)
+        if files
+        else None
+    )
+    if key is not None and key in _HOT_CUTS_CACHE:
+        return _HOT_CUTS_CACHE[key]
+    ms_col = F.unix_millis(F.col(ts_col))
+    rows = (
+        df.groupBy(entity_col)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(ms_col).alias("mn"),
+            F.max(ms_col).alias("mx"),
+        )
+        .filter(F.col("c") >= min_rows)
+        .orderBy(F.col("c").desc())
+        .limit(cap)
+        .collect()
+    )
+    if not rows:
+        spec = None
+    else:
+        pad = window_max_s * 1000 + 1
+        ents = {}
+        for r in rows:
+            lo = int(r["mn"]) - pad
+            hi = int(r["mx"]) + pad + 1
+            width = max(1, (hi - lo + buckets - 1) // buckets)
+            ents[r[entity_col]] = (lo, width)
+        spec = HotBucketSpec(buckets=buckets, ents=ents)
+    if key is not None:
+        _HOT_CUTS_CACHE[key] = spec
+    return spec
 
 
 def estimate_frame_rows(df: DataFrame, entity_col: str, ts_col: str, window_s: int) -> float:
@@ -577,6 +1010,7 @@ def trailing_features_auto(
     df: DataFrame,
     spec: TrailingWindowSpec,
     frame_rows_threshold: int = AUTO_FRAME_ROWS_THRESHOLD,
+    hot_rows_threshold: int = HOT_TASK_ROWS_THRESHOLD,
 ) -> DataFrame:
     """Adaptive physical strategy for the trailing-window operator: one
     cheap stats pass estimates the widest window's expected frame size
@@ -590,6 +1024,12 @@ def trailing_features_auto(
     Falls back to :func:`trailing_features` only for approximate
     windowed distincts (per-frame HLL is not marker-decomposable); exact
     distincts ride the scalable plan's interval markers.
+
+    On the scalable path a second memoized stats pass
+    (:func:`hot_entity_cuts`) checks for entities big enough to
+    serialize one task (``hot_rows_threshold``); those are
+    time-bucketized so their windows parallelize across the cluster —
+    see ``trailing_features_scalable(hot_buckets=...)``.
     """
     if spec.distinct_cols and not spec.distinct_exact:
         return trailing_features(df, spec)
@@ -598,7 +1038,14 @@ def trailing_features_auto(
     )
     if est <= frame_rows_threshold:
         return trailing_features(df, spec)
-    return trailing_features_scalable(df, spec)
+    hb = hot_entity_cuts(
+        df,
+        spec.entity_col,
+        spec.ts_col,
+        max(spec.windows.values()),
+        min_rows=hot_rows_threshold,
+    )
+    return trailing_features_scalable(df, spec, hot_buckets=hb)
 
 
 def trailing_sums_scalable_oracle(

@@ -190,6 +190,142 @@ def test_flag_counts_scalable_bit_identical(spark):
         assert (got[eid]["cnt"], got[eid]["night"]) == (rw["cnt"], rw["night"])
 
 
+def test_bucketized_bit_identical(spark):
+    """Hot-entity time-bucketization (literal carry stitching) must
+    reproduce trailing_features bit-for-bit on every metric — forced on
+    for EVERY entity with a tiny bucket count so cross-bucket carries,
+    bucket-edge chunks, and empty buckets all exercise."""
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        hot_entity_cuts,
+        trailing_features,
+        trailing_features_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    spec = TrailingWindowSpec(windows={"5m": 300, "1h": 3600, "24h": 86400})
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    hb = hot_entity_cuts(df, "user_id", "ts", 86400, min_rows=1, buckets=4,
+                         cap=1000)
+    assert hb is not None and len(hb.ents) > 1
+    cols = ["event_id"] + [
+        f"{m}_{w}"
+        for w in spec.windows
+        for m in (
+            "txn_count", "txn_amount_sum", "avg_txn_amount",
+            "max_txn_amount", "min_txn_amount", "std_txn_amount",
+            "velocity_score",
+        )
+    ]
+    a = {r["event_id"]: r for r in
+         trailing_features(df, spec).select(*cols).collect()}
+    b = {r["event_id"]: r for r in
+         trailing_features_scalable(df, spec, hot_buckets=hb)
+         .select(*cols).collect()}
+    assert set(a) == set(b) and len(a) == 1000
+    for eid, ra in a.items():
+        for c in cols:
+            assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
+
+
+def test_bucketized_ties_and_markers(spark):
+    """Bucketized equality on the adversarial shapes: (a) heavy
+    timestamp ties around bucket edges (range-frame peers must never
+    split); (b) exact windowed distincts (interval markers carry across
+    buckets)."""
+    import datetime as dt
+    import random
+
+    from aml_feature_store_spark.operators.windows import (
+        HotBucketSpec,
+        TrailingWindowSpec,
+        hot_entity_cuts,
+        trailing_features,
+        trailing_features_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    T0 = dt.datetime(2024, 1, 1)
+    random.seed(7)
+    rows = []
+    for i in range(2000):
+        s = random.choice([0, 100, 100, 3600, 3600, 3600, 7200, 86400,
+                           86400, 90000, 90000, 180000])
+        rows.append((i, T0 + dt.timedelta(seconds=s), 1,
+                     float(random.choice([5, 10, 20]))))
+    for i in range(2000, 2100):
+        rows.append((i, T0 + dt.timedelta(seconds=random.randint(0, 180000)),
+                     2, float(random.randint(1, 50))))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    spec = TrailingWindowSpec(windows={"5m": 300, "1h": 3600, "24h": 86400})
+    # hand-pinned cuts so a tie group and a 24h chunk both straddle edges
+    hb = HotBucketSpec(
+        buckets=5,
+        ents={1: (1704067200000 - 86400001, (180001000 + 2 * 86400002) // 5)},
+    )
+    cols = ["event_id"] + [
+        f"{m}_{w}"
+        for w in spec.windows
+        for m in ("txn_count", "txn_amount_sum", "avg_txn_amount",
+                  "max_txn_amount", "min_txn_amount", "std_txn_amount")
+    ]
+    a = {r["event_id"]: r for r in
+         trailing_features(df, spec).select(*cols).collect()}
+    b = {r["event_id"]: r for r in
+         trailing_features_scalable(df, spec, hot_buckets=hb)
+         .select(*cols).collect()}
+    assert set(a) == set(b) and len(a) == 2100
+    for eid, ra in a.items():
+        for c in cols:
+            assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
+
+    tdf = load_table(spark, "/root/testdata/sf0.001", "events")
+    mspec = TrailingWindowSpec(
+        entity_col="event_type",
+        windows={"1h": 3600, "24h": 86400},
+        distinct_cols=("user_id",),
+    )
+    mhb = hot_entity_cuts(tdf, "event_type", "ts", 86400, min_rows=1,
+                          buckets=8, cap=100)
+    mcols = ["event_id", "txn_count_1h", "unique_user_id_1h",
+             "txn_count_24h", "unique_user_id_24h", "max_txn_amount_24h",
+             "std_txn_amount_24h", "min_txn_amount_1h"]
+    ma = {r["event_id"]: r for r in
+          trailing_features(tdf, mspec).select(*mcols).collect()}
+    mb = {r["event_id"]: r for r in
+          trailing_features_scalable(tdf, mspec, hot_buckets=mhb)
+          .select(*mcols).collect()}
+    assert set(ma) == set(mb) and len(ma) == 1000
+    for eid, ra in ma.items():
+        for c in mcols:
+            assert ra[c] == mb[eid][c], (eid, c, ra[c], mb[eid][c])
+
+
+def test_auto_routes_hot_entities_to_buckets(spark):
+    """trailing_features_auto engages bucketization below a forced hot
+    threshold and the values stay identical to the WindowExec plan."""
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        trailing_features,
+        trailing_features_auto,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    spec = TrailingWindowSpec(windows={"24h": 86400})
+    routed = trailing_features_auto(
+        df, spec, frame_rows_threshold=0, hot_rows_threshold=1
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan  # literal-carry stitch engaged
+    a = {r["event_id"]: r["txn_count_24h"]
+         for r in trailing_features(df, spec).collect()}
+    b = {r["event_id"]: r["txn_count_24h"] for r in routed.collect()}
+    assert a == b
+
+
 def test_scalable_distinct_markers_bit_identical(spark):
     """Interval-marker exact distincts == collect_set frame distincts,
     across multiple windows and two distinct columns."""
