@@ -126,7 +126,7 @@ CERTIFIED: dict[str, int] = {
     "top_orders_per_customer": 8,
     "trailing_1h_features": 8,
     # "trailing_multiwindow_features" invalidated r10 s5: hot-entity bucketized trailing scan (bit-equal pinned) — re-certify
-    "trailing_sums_cumsum_strategy": 8,
+    # "trailing_sums_cumsum_strategy" invalidated r10 s5: hot-entity bucketized cum+probe (bit-equal pinned) — re-certify
     "unigram_logprob_quality": 8,
     # "user_clustering_coeff" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "windowed_gini_24h": 8,

@@ -131,7 +131,11 @@ def trailing_features(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
     return out.drop("_ts_ms")
 
 
-def trailing_sums_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
+def trailing_sums_scalable(
+    df: DataFrame,
+    spec: TrailingWindowSpec,
+    hot_buckets: HotBucketSpec | None = None,
+) -> DataFrame:
     """Big-frame strategy for the invertible window aggregates
     (count/sum/avg/velocity): cumulative sums + shadow probes.
 
@@ -151,6 +155,13 @@ def trailing_sums_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame
     frame-based operator).
     Reference semantics: same per-event trailing windows
     (flink_job/real_time_processor.py:153-210).
+
+    ``hot_buckets``: same hot-entity time-bucketization as
+    :func:`trailing_features_scalable` — the cumulative sums partition
+    by (entity, bucket) and add their literal bucket-prefix carry, so a
+    key owning a large share of the log no longer serializes one task.
+    Only the sums carry applies here (no extrema machinery);
+    bit-equivalence is pytest-pinned.
     """
     ms = _ms(spec.ts_col)
     base = df.select(
@@ -173,19 +184,37 @@ def trailing_sums_scalable(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame
         )
         shadows = s if shadows is None else shadows.unionByName(s)
     u = real.unionByName(shadows)
-    w = (
-        Window.partitionBy("_ent")
-        .orderBy("_ms")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
+    bucketized = hot_buckets is not None and bool(hot_buckets.ents)
+    if bucketized:
+        carry = _hot_carry_literals(df, spec, hot_buckets)
+        u = u.withColumn("_b", _bucket_expr(hot_buckets))
+        w = (
+            Window.partitionBy("_ent", "_b")
+            .orderBy("_ms")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("_ent")
+            .orderBy("_ms")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
     amt_dec = F.when(F.col("_win").isNull(), F.col("_amt")).cast(DEC)
     cnt_flag = F.when(F.col("_win").isNull(), 1).otherwise(0)
+    cs: Column = F.sum(amt_dec).over(w)
+    cn: Column = F.sum(cnt_flag).over(w)
+    if bucketized:
+        # stitch the bucket-prefix carry (coalesced — every downstream
+        # read of _cum_s already coalesces empty frames to 0)
+        cy_s, cy_n, _ = _carry_sum_exprs(hot_buckets, carry)
+        cs = F.coalesce(cs, F.lit(0).cast(_SUM_T)) + cy_s
+        cn = cn + cy_n
     cum = u.select(
         "_ent",
         "event_id",
         "_win",
-        F.sum(amt_dec).over(w).alias("_cum_s"),
-        F.sum(cnt_flag).over(w).alias("_cum_n"),
+        cs.alias("_cum_s"),
+        cn.alias("_cum_n"),
     )
     # reattach each event's probe values by PIVOTING the (1 real + W probe)
     # rows of each event into one row with a grouped aggregation on
@@ -459,6 +488,45 @@ _SUM_T = "decimal(35,2)"
 _SUM2_T = "decimal(38,4)"
 
 
+def _carry_case(hb: HotBucketSpec, builder, default) -> Column:
+    """CASE over the hot entities: ``builder(ent)`` for each, else
+    ``default`` (what every non-hot row gets)."""
+    return reduce(
+        lambda acc, e: F.when(F.col("_ent") == F.lit(e), builder(e)).otherwise(acc),
+        list(hb.ents),
+        default,
+    )
+
+
+def _carry_sum_exprs(hb: HotBucketSpec, carry: dict) -> tuple[Column, Column, Column]:
+    """The (sum, count, sum-of-squares) bucket-prefix carries as literal
+    array lookups by ``_b`` — shared by both cum+probe strategies."""
+    bidx = F.col("_b") + 1
+
+    def dec_arr(vals, t):
+        return F.array(*[F.lit(str(v)).cast(t) for v in vals])
+
+    def num_arr(vals, t):
+        return F.array(*[F.lit(v).cast(t) for v in vals])
+
+    cy_s = _carry_case(
+        hb,
+        lambda e: F.element_at(dec_arr(carry[e]["s"], _SUM_T), bidx),
+        F.lit(0).cast(_SUM_T),
+    )
+    cy_n = _carry_case(
+        hb,
+        lambda e: F.element_at(num_arr(carry[e]["n"], "long"), bidx),
+        F.lit(0).cast("long"),
+    )
+    cy_s2 = _carry_case(
+        hb,
+        lambda e: F.element_at(dec_arr(carry[e]["s2"], _SUM2_T), bidx),
+        F.lit(0).cast(_SUM2_T),
+    )
+    return cy_s, cy_n, cy_s2
+
+
 def _stitch_exprs(
     spec: TrailingWindowSpec,
     hb: HotBucketSpec,
@@ -472,36 +540,17 @@ def _stitch_exprs(
     value-identical); extrema take the null-skipping ``greatest/least``
     of (local, carry), where the carry applies only when the row's chunk
     is the bucket-edge chunk."""
-    ents = list(hb.ents)
     bidx = F.col("_b") + 1
 
     def case_over(builder, default):
-        return reduce(
-            lambda acc, e: F.when(F.col("_ent") == F.lit(e), builder(e)).otherwise(
-                acc
-            ),
-            ents,
-            default,
-        )
-
-    def dec_arr(vals, t):
-        return F.array(*[F.lit(str(v)).cast(t) for v in vals])
+        return _carry_case(hb, builder, default)
 
     def num_arr(vals, t):
         return F.array(*[F.lit(v).cast(t) for v in vals])
 
     zs = F.lit(0).cast(_SUM_T)
     z2 = F.lit(0).cast(_SUM2_T)
-    cy_s = case_over(
-        lambda e: F.element_at(dec_arr(carry[e]["s"], _SUM_T), bidx), zs
-    )
-    cy_n = case_over(
-        lambda e: F.element_at(num_arr(carry[e]["n"], "long"), bidx),
-        F.lit(0).cast("long"),
-    )
-    cy_s2 = case_over(
-        lambda e: F.element_at(dec_arr(carry[e]["s2"], _SUM2_T), bidx), z2
-    )
+    cy_s, cy_n, cy_s2 = _carry_sum_exprs(hb, carry)
     glob = {
         "_cs_i": F.coalesce(F.col("_cs_i"), zs) + cy_s,
         "_cn_i": F.col("_cn_i") + cy_n,

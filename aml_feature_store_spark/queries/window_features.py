@@ -74,9 +74,17 @@ def trailing_sums_cumsum_strategy(spark: SparkSession, sf_dir: str) -> DataFrame
     aggregates: cumulative sums + shadow probes, O(rows) independent of
     frame width (vs WindowExec's O(rows × frame)). Same semantics, same
     oracle family as trailing_multiwindow_features — two physical plans,
-    one logical operator."""
+    one logical operator. Hot entities (r10 s5) additionally
+    time-bucketize so one key can't serialize a task — see
+    trailing_features_scalable(hot_buckets=...)."""
+    from ..operators.windows import hot_entity_cuts
+
     df = load_table(spark, sf_dir, "events")
-    return trailing_sums_scalable(df, SPEC_MULTI)
+    hb = hot_entity_cuts(
+        df, SPEC_MULTI.entity_col, SPEC_MULTI.ts_col,
+        max(SPEC_MULTI.windows.values()),
+    )
+    return trailing_sums_scalable(df, SPEC_MULTI, hot_buckets=hb)
 
 
 @register(

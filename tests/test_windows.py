@@ -303,6 +303,37 @@ def test_bucketized_ties_and_markers(spark):
             assert ra[c] == mb[eid][c], (eid, c, ra[c], mb[eid][c])
 
 
+def test_sums_cumsum_bucketized_bit_identical(spark):
+    """The cum+probe sums strategy with hot-entity bucketization must
+    equal its unbucketized self (and thus the frame-based operator)."""
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        hot_entity_cuts,
+        trailing_sums_scalable,
+    )
+    from aml_feature_store_spark.sources import load_table
+
+    spec = TrailingWindowSpec(windows={"5m": 300, "1h": 3600, "24h": 86400})
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    hb = hot_entity_cuts(df, "user_id", "ts", 86400, min_rows=1, buckets=4,
+                         cap=1000)
+    cols = ["event_id"] + [
+        f"{m}_{w}"
+        for w in spec.windows
+        for m in ("txn_count", "txn_amount_sum", "avg_txn_amount",
+                  "velocity_score")
+    ]
+    a = {r["event_id"]: r for r in
+         trailing_sums_scalable(df, spec).select(*cols).collect()}
+    b = {r["event_id"]: r for r in
+         trailing_sums_scalable(df, spec, hot_buckets=hb)
+         .select(*cols).collect()}
+    assert set(a) == set(b) and len(a) == 1000
+    for eid, ra in a.items():
+        for c in cols:
+            assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
+
+
 def test_auto_routes_hot_entities_to_buckets(spark):
     """trailing_features_auto engages bucketization below a forced hot
     threshold and the values stay identical to the WindowExec plan."""
