@@ -186,7 +186,8 @@ def trailing_sums_scalable(
     u = real.unionByName(shadows)
     bucketized = hot_buckets is not None and bool(hot_buckets.ents)
     if bucketized:
-        carry = _hot_carry_literals(df, spec, hot_buckets)
+        skey = _hot_cache_key(df, spec, hot_buckets)
+        carry = _hot_carry_literals(df, spec, hot_buckets, key=skey)
         u = u.withColumn("_b", _bucket_expr(hot_buckets))
         w = (
             Window.partitionBy("_ent", "_b")
@@ -206,7 +207,12 @@ def trailing_sums_scalable(
     if bucketized:
         # stitch the bucket-prefix carry (coalesced — every downstream
         # read of _cum_s already coalesces empty frames to 0)
-        cy_s, cy_n, _ = _carry_sum_exprs(hot_buckets, carry)
+        sums = _STITCH_CACHE.get(("sums", skey)) if skey is not None else None
+        if sums is None:
+            sums = _carry_sum_exprs(hot_buckets, carry)
+            if skey is not None:
+                _STITCH_CACHE[("sums", skey)] = sums
+        cy_s, cy_n, _ = sums
         cs = F.coalesce(cs, F.lit(0).cast(_SUM_T)) + cy_s
         cn = cn + cy_n
     cum = u.select(
@@ -289,10 +295,39 @@ def _bucket_expr(hb: HotBucketSpec) -> Column:
 
 
 _HOT_CARRY_CACHE: dict[tuple, dict] = {}
+_STITCH_CACHE: dict[tuple, object] = {}
+
+
+def _hot_cache_key(
+    df: DataFrame, spec: TrailingWindowSpec, hb: HotBucketSpec
+) -> tuple | None:
+    """Shared memoization key for the carry fold AND the stitch Column
+    trees (building ~30 literal-array Columns costs >1 s of py4j per
+    plan build — Columns are immutable expression trees, safe to reuse
+    across plans)."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    if not files:
+        return None
+    return (
+        files,
+        spec.entity_col,
+        spec.ts_col,
+        spec.amount_col,
+        tuple(spec.windows.items()),
+        tuple(spec.distinct_cols),
+        hb.buckets,
+        tuple(sorted((str(k), v) for k, v in hb.ents.items())),
+    )
 
 
 def _hot_carry_literals(
-    df: DataFrame, spec: TrailingWindowSpec, hb: HotBucketSpec
+    df: DataFrame,
+    spec: TrailingWindowSpec,
+    hb: HotBucketSpec,
+    key: tuple | None = None,
 ) -> dict:
     """Cross-bucket carry state of the bucketized scalable plan, folded
     on the driver from ONE hot-filtered aggregate (plus one marker
@@ -316,27 +351,8 @@ def _hot_carry_literals(
     row's chunk equals that edge chunk}}}``."""
     from decimal import Decimal
 
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
-        files = ()
-    hb_key = (
-        hb.buckets,
-        tuple(sorted((str(k), v) for k, v in hb.ents.items())),
-    )
-    key = (
-        (
-            files,
-            spec.entity_col,
-            spec.ts_col,
-            spec.amount_col,
-            tuple(spec.windows.items()),
-            tuple(spec.distinct_cols),
-            hb_key,
-        )
-        if files
-        else None
-    )
+    if key is None:
+        key = _hot_cache_key(df, spec, hb)
     if key is not None and key in _HOT_CARRY_CACHE:
         return _HOT_CARRY_CACHE[key]
     nb = hb.buckets
@@ -498,16 +514,31 @@ def _carry_case(hb: HotBucketSpec, builder, default) -> Column:
     )
 
 
+def _dec_arr(vals, t) -> Column:
+    """One ARRAY literal of exact decimals (single Literal node — an
+    F.array of N lit().cast() children costs real Catalyst time per
+    plan build at N=buckets × ~15 arrays). Values are ≤2/4 dp, so the
+    inferred decimal(38,18) literal casts to the sum type exactly."""
+    from decimal import Decimal
+
+    return F.lit([Decimal(str(v)) for v in vals]).cast(f"array<{t}>")
+
+
+def _num_arr(vals, t) -> Column:
+    """One ARRAY literal of ints/doubles; an all-None extrema carry
+    column degrades to a NULL array (element_at(null, i) is null — the
+    same no-carry semantics)."""
+    vals = list(vals)
+    if all(v is None for v in vals):
+        return F.lit(None).cast(f"array<{t}>")
+    return F.lit(vals).cast(f"array<{t}>")
+
+
 def _carry_sum_exprs(hb: HotBucketSpec, carry: dict) -> tuple[Column, Column, Column]:
     """The (sum, count, sum-of-squares) bucket-prefix carries as literal
     array lookups by ``_b`` — shared by both cum+probe strategies."""
     bidx = F.col("_b") + 1
-
-    def dec_arr(vals, t):
-        return F.array(*[F.lit(str(v)).cast(t) for v in vals])
-
-    def num_arr(vals, t):
-        return F.array(*[F.lit(v).cast(t) for v in vals])
+    dec_arr, num_arr = _dec_arr, _num_arr
 
     cy_s = _carry_case(
         hb,
@@ -545,9 +576,7 @@ def _stitch_exprs(
     def case_over(builder, default):
         return _carry_case(hb, builder, default)
 
-    def num_arr(vals, t):
-        return F.array(*[F.lit(v).cast(t) for v in vals])
-
+    num_arr = _num_arr
     zs = F.lit(0).cast(_SUM_T)
     z2 = F.lit(0).cast(_SUM2_T)
     cy_s, cy_n, cy_s2 = _carry_sum_exprs(hb, carry)
@@ -755,7 +784,8 @@ def trailing_features_scalable(
     ]
     bucketized = hot_buckets is not None and bool(hot_buckets.ents)
     if bucketized:
-        carry = _hot_carry_literals(df, spec, hot_buckets)
+        skey = _hot_cache_key(df, spec, hot_buckets)
+        carry = _hot_carry_literals(df, spec, hot_buckets, key=skey)
         u = u.withColumn("_b", _bucket_expr(hot_buckets))
         u = u.repartition("_ent", "_b")
         part = ["_ent", "_b"]
@@ -797,7 +827,12 @@ def trailing_features_scalable(
         cols[f"_smn_{wname}"] = F.min("_amt").over(desc)
     cum = u.withColumns(cols)
     if bucketized:
-        cum = cum.withColumns(_stitch_exprs(spec, hot_buckets, carry, tags))
+        glob = _STITCH_CACHE.get(("full", skey)) if skey is not None else None
+        if glob is None:
+            glob = _stitch_exprs(spec, hot_buckets, carry, tags)
+            if skey is not None:
+                _STITCH_CACHE[("full", skey)] = glob
+        cum = cum.withColumns(glob)
     cum = cum.filter(F.col("_win").isNull() | (F.col("_win") != "__mk"))
 
     isreal = F.col("_win").isNull()
