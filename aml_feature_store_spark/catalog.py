@@ -40,52 +40,15 @@ QUERIES: dict[str, RegisteredQuery] = {}
 CERTIFIED: dict[str, int] = {
     # r7-certified
     "amount_trend_per_user": 7,
-    "ann_ivf_multiprobe": 7,
-    "ann_ivf_topk": 7,
-    "ann_ivf_topk_refined": 7,
-    "ann_recall_at_k": 7,
-    "ann_recall_refined": 7,
-    "batch_score_requests": 7,
-    "conditional_window_counts": 7,
-    "dbscan_outliers_sliced": 7,
-    "dedup_exact": 7,
-    "dedup_ngram_jaccard": 7,
-    "dedup_simhash": 7,
-    "derived_time_flags": 7,
-    "doc_fingerprints": 7,
-    "dominant_part_suppliers_q20": 7,
-    "gini_per_user": 7,
-    # "graph_global_centralities" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
-    "hhi_per_user": 7,
-    # "hits_bipartite" invalidated r10 s3: small-side kernel rewrite (bit-equal pinned) — re-certify
-    "hour_entropy_per_user": 7,
-    "knn_cosine_bruteforce": 7,
-    "language_id": 7,
-    # "merchant_graph_features" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
-    # "merchant_trailing_features" invalidated r10 s5: hot-entity bucketized trailing scan (bit-equal pinned) — re-certify
-    "min_balance_supplier_q2": 7,
     "moments_per_user": 7,
-    # "pagerank_bipartite" invalidated r10 s3: small-side kernel rewrite (bit-equal pinned) — re-certify
     "pca_anomaly_scores": 7,
     "population_zscore_per_user": 7,
-    "props_json_extract": 7,
     "retrain_decision": 7,
-    "risk_explanations": 7,
-    "risk_shapley": 7,
-    "running_totals_per_user": 7,
-    # "streaming_graph_edges" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "streaming_tdigest_quantiles": 7,
     "streaming_tumbling_complete": 7,
-    "suppliers_kept_waiting_q21": 7,
-    "text_stats": 7,
-    "top_events_global": 7,
-    # "unique_counts_windows" invalidated r10 s5: hot-entity bucketized trailing scan (bit-equal pinned) — re-certify
-    # "user_graph_degrees" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
-    # "user_shared_k_pairs" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "windowed_entropy_24h": 7,
     # r8-certified
     "ann_ivf_index_topk": 8,
-    # "audio_spectral_features" invalidated r10 s3: zcr_per_s boolean→exact-value contract — re-certify
     "benchmark_decontamination": 8,
     "bm25_rank": 8,
     "curate_training_docs": 8,
@@ -97,9 +60,7 @@ CERTIFIED: dict[str, int] = {
     "embedding_near_dup_pairs": 8,
     "event_type_pivot": 8,
     "feature_target_correlation": 8,
-    # "graph_edge_list" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "interarrival_stats_per_user": 8,
-    # "landmark_closeness" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "mktsegment_acctbal_summary": 8,
     "model_auc": 8,
     "model_eval_metrics": 8,
@@ -125,14 +86,10 @@ CERTIFIED: dict[str, int] = {
     "timestamp_functions": 8,
     "top_orders_per_customer": 8,
     "trailing_1h_features": 8,
-    # "trailing_multiwindow_features" invalidated r10 s5: hot-entity bucketized trailing scan (bit-equal pinned) — re-certify
-    # "trailing_sums_cumsum_strategy" invalidated r10 s5: hot-entity bucketized cum+probe (bit-equal pinned) — re-certify
     "unigram_logprob_quality": 8,
-    # "user_clustering_coeff" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "windowed_gini_24h": 8,
     "windowed_hhi_24h": 8,
     # r9-certified
-    # "basket_lift_pairs" invalidated r10 s3: prop_k_fast parse swap (bit-equal pinned) — re-certify
     "behavioral_feature_vector": 9,
     "bloom_membership_validation": 9,
     "bm25_index_topk": 9,
@@ -173,7 +130,6 @@ CERTIFIED: dict[str, int] = {
     "streaming_dim_enrich": 9,
     "streaming_hll_distinct": 9,
     "streaming_interval_join": 9,
-    # "streaming_per_event_extended" invalidated r10 s4: prop_k_fast parse swap in the extended stateful path (bit-equal pinned) — re-certify
     "streaming_tumbling_rollup": 9,
     "supplier_part_counts_q16": 9,
     "tdigest_quantiles_by_event_type": 9,
@@ -181,6 +137,57 @@ CERTIFIED: dict[str, int] = {
     "unique_users_approx_by_type": 9,
     "user_sessions": 9,
     "viewers_never_purchased": 9,
+    # r10-certified
+    "ann_ivf_multiprobe": 10,
+    "ann_ivf_topk": 10,
+    "ann_ivf_topk_refined": 10,
+    "ann_recall_at_k": 10,
+    "ann_recall_refined": 10,
+    "audio_spectral_features": 10,
+    "autoencoder_iter0_contract": 10,
+    "automl_asha_summary": 10,
+    "basket_lift_pairs": 10,
+    "batch_score_requests": 10,
+    "conditional_window_counts": 10,
+    "dbscan_outliers_sliced": 10,
+    "dedup_exact": 10,
+    "dedup_ngram_jaccard": 10,
+    "dedup_simhash": 10,
+    "derived_time_flags": 10,
+    "doc_fingerprints": 10,
+    "dominant_part_suppliers_q20": 10,
+    "gbt_feature_contributions": 10,
+    "gbt_shap_values": 10,
+    "gini_per_user": 10,
+    "graph_edge_list": 10,
+    "graph_global_centralities": 10,
+    "hhi_per_user": 10,
+    "hits_bipartite": 10,
+    "hour_entropy_per_user": 10,
+    "knn_cosine_bruteforce": 10,
+    "landmark_closeness": 10,
+    "language_id": 10,
+    "lstm_iter0_contract": 10,
+    "merchant_graph_features": 10,
+    "merchant_trailing_features": 10,
+    "min_balance_supplier_q2": 10,
+    "multimodal_jpeg_features": 10,
+    "pagerank_bipartite": 10,
+    "props_json_extract": 10,
+    "risk_explanations": 10,
+    "risk_shapley": 10,
+    "running_totals_per_user": 10,
+    "streaming_graph_edges": 10,
+    "streaming_per_event_extended": 10,
+    "suppliers_kept_waiting_q21": 10,
+    "text_stats": 10,
+    "top_events_global": 10,
+    "trailing_multiwindow_features": 10,
+    "trailing_sums_cumsum_strategy": 10,
+    "unique_counts_windows": 10,
+    "user_clustering_coeff": 10,
+    "user_graph_degrees": 10,
+    "user_shared_k_pairs": 10,
 }
 
 # The driver's correctness gate checks the first DRIVER_CAP registered
