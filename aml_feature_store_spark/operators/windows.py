@@ -33,8 +33,10 @@ counts use collect_set (memory ∝ distinct per frame) — switch
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import reduce
+from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -173,13 +175,17 @@ def trailing_sums_scalable(
     real = base.select(
         "_ent", "event_id", "_ms", "_amt", F.lit(None).cast("string").alias("_win")
     )
+    # probe _amt nulls carry the amount column's own type: a hardcoded
+    # double here would coerce the whole union (and so every extremum /
+    # sum input) to double for decimal amounts
+    amt_t = dict(base.dtypes)["_amt"]
     shadows = None
     for wname, wsecs in spec.windows.items():
         s = base.select(
             "_ent",
             "event_id",
             (F.col("_ms") - F.lit(wsecs * 1000 + 1)).alias("_ms"),
-            F.lit(None).cast("double").alias("_amt"),
+            F.lit(None).cast(amt_t).alias("_amt"),
             F.lit(wname).alias("_win"),
         )
         shadows = s if shadows is None else shadows.unionByName(s)
@@ -211,7 +217,7 @@ def trailing_sums_scalable(
         if sums is None:
             sums = _carry_sum_exprs(hot_buckets, carry)
             if skey is not None:
-                _STITCH_CACHE[("sums", skey)] = sums
+                _cache_put(_STITCH_CACHE, ("sums", skey), sums, _CARRY_CACHE_CAP)
         cy_s, cy_n, _ = sums
         cs = F.coalesce(cs, F.lit(0).cast(_SUM_T)) + cy_s
         cn = cn + cy_n
@@ -297,6 +303,68 @@ def _bucket_expr(hb: HotBucketSpec) -> Column:
 _HOT_CARRY_CACHE: dict[tuple, dict] = {}
 _STITCH_CACHE: dict[tuple, object] = {}
 
+# Session-memoization bounds (the caches' intent is "pay the stats job /
+# literal fold once per repeated query over a static input", not an
+# unbounded store: carry dicts hold buckets-length arrays per entity and
+# stitch entries hold large Column trees). FIFO eviction — insertion
+# order is recency enough for per-session reuse patterns.
+_STATS_CACHE_CAP = 32
+_CARRY_CACHE_CAP = 8
+
+
+def _cache_put(cache: dict, key, val, cap: int) -> None:
+    while len(cache) >= cap and key not in cache:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+
+
+def clear_plan_caches() -> None:
+    """Drop every memoized routing statistic, carry fold, and stitch
+    Column tree. The cache keys include each input file's (size, mtime)
+    for local files, so plain dataset regeneration invalidates naturally;
+    call this only after an in-place rewrite the listing cannot see
+    (e.g. an object-store overwrite preserving sizes)."""
+    _HOT_CARRY_CACHE.clear()
+    _STITCH_CACHE.clear()
+    _FRAME_EST_CACHE.clear()
+    _HOT_CUTS_CACHE.clear()
+
+
+def _files_sig(df: DataFrame) -> tuple:
+    """Cache signature of the plan's input files: (path, size, mtime_ns)
+    per file, so data rewritten AT THE SAME PATHS within a driver session
+    (INSERT OVERWRITE, regenerated .scale datasets) invalidates the
+    memoized stats/carries instead of silently reusing stale values.
+    Non-local URIs fall back to path-only entries (object stores write
+    immutable objects in practice; see :func:`clear_plan_caches`)."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return ()
+    sig = []
+    for p in files:
+        parsed = urlparse(p)
+        if parsed.scheme in ("file", ""):
+            try:
+                st = os.stat(parsed.path or p)
+                sig.append((p, st.st_size, st.st_mtime_ns))
+                continue
+            except OSError:
+                pass
+        sig.append((p, -1, -1))
+    return tuple(sig)
+
+
+def _jdiv(a: int, b: int) -> int:
+    """Integer division with Spark/SQL ``div`` semantics (truncation
+    toward zero). Python ``//`` floors, which diverges on negative
+    operands — the driver-side carry fold must bucket edge positions
+    with EXACTLY the arithmetic of the plan's ``div`` expressions or a
+    pre-1970 timestamp (negative epoch-ms) silently drops an extrema
+    carry."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
 
 def _hot_cache_key(
     df: DataFrame, spec: TrailingWindowSpec, hb: HotBucketSpec
@@ -305,10 +373,7 @@ def _hot_cache_key(
     trees (building ~30 literal-array Columns costs >1 s of py4j per
     plan build — Columns are immutable expression trees, safe to reuse
     across plans)."""
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
-        files = ()
+    files = _files_sig(df)
     if not files:
         return None
     return (
@@ -348,7 +413,23 @@ def _hot_carry_literals(
     Returns ``{ent: {"s"/"n"/"s2": exclusive-prefix arrays[buckets],
     "mk": {tag: arrays}, "ext": {window: (ck_lo, ck_hi, px, pn, sx, sn)
     arrays — the edge-chunk ids and the carry extrema that apply iff the
-    row's chunk equals that edge chunk}}}``."""
+    row's chunk equals that edge chunk}}}`` plus ``"__amt_t"``, the
+    amount column's Spark type (the stitch builds its extrema literal
+    arrays in that type so a decimal amount never coerces to double).
+
+    Collect bound (r11, VERDICT/ADVICE): the aggregate groups by
+    (entity, bucket) ONLY — ≤ cap × buckets rows regardless of the
+    span/window ratio. Extrema ride conditional aggregates restricted to
+    the chunk containing the row's own bucket's lower/upper edge (both
+    edge-chunk ids are row-level expressions of ``_b``); the driver fold
+    re-attributes them across buckets: rows of bucket b' < b inside
+    chunk ck_lo(b) are exactly the rows of the own-upper-edge aggregate
+    of b' when ck_hi(b') == ck_lo(b) (a chunk is an interval — holding a
+    point of bucket b' and the edge of bucket b ≥ b'+1 means it holds
+    edge b'+1 too), and symmetrically for the suffix side. An earlier
+    variant grouped by every window's chunk id jointly, whose group
+    count was span/narrowest-window per entity — unbounded in the span,
+    a driver OOM risk at exactly the scale this machinery targets."""
     from decimal import Decimal
 
     if key is None:
@@ -368,22 +449,37 @@ def _hot_carry_literals(
             *[F.col(d).alias(f"_v_{d}") for d in spec.distinct_cols],
         )
         .withColumn("_b", _bucket_expr(hb))
-    )
-    ck_cols = [
-        F.expr(f"_ms div {wsecs * 1000}").alias(f"_ck_{wname}")
-        for wname, wsecs in spec.windows.items()
-    ]
-    grouped = (
-        base.groupBy("_ent", "_b", *ck_cols)
-        .agg(
-            F.sum(F.col("_amt").cast(DEC)).alias("_s"),
-            F.count(F.lit(1)).alias("_n"),
-            F.sum((F.col("_amt") * F.col("_amt")).cast(DEC4)).alias("_s2"),
-            F.max("_amt").alias("_mx"),
-            F.min("_amt").alias("_mn"),
+        .withColumn(
+            "_lo",
+            _carry_case(
+                hb, lambda e: F.lit(hb.ents[e][0]).cast("long"), F.lit(0).cast("long")
+            ),
         )
-        .collect()
+        .withColumn(
+            "_w",
+            _carry_case(
+                hb, lambda e: F.lit(hb.ents[e][1]).cast("long"), F.lit(1).cast("long")
+            ),
+        )
     )
+    amt_t = dict(base.dtypes)["_amt"]
+    agg_exprs = [
+        F.sum(F.col("_amt").cast(DEC)).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("_amt") * F.col("_amt")).cast(DEC4)).alias("_s2"),
+    ]
+    for wname, wsecs in spec.windows.items():
+        wms_ = wsecs * 1000
+        ck = F.expr(f"_ms div {wms_}")
+        ck_lo_b = F.expr(f"(_lo + _b * _w) div {wms_}")
+        ck_hi_b = F.expr(f"(_lo + (_b + 1) * _w) div {wms_}")
+        agg_exprs += [
+            F.max(F.when(ck == ck_lo_b, F.col("_amt"))).alias(f"_lx_{wname}"),
+            F.min(F.when(ck == ck_lo_b, F.col("_amt"))).alias(f"_ln_{wname}"),
+            F.max(F.when(ck == ck_hi_b, F.col("_amt"))).alias(f"_hx_{wname}"),
+            F.min(F.when(ck == ck_hi_b, F.col("_amt"))).alias(f"_hn_{wname}"),
+        ]
+    grouped = base.groupBy("_ent", "_b").agg(*agg_exprs).collect()
     mrows = []
     if spec.distinct_cols:
         legs = []
@@ -455,28 +551,42 @@ def _hot_carry_literals(
         ext = {}
         for wname, wsecs in spec.windows.items():
             wms_ = wsecs * 1000
-            by_ck: dict[int, list] = {}
-            for r in rows:
-                if r["_mx"] is None:
-                    continue
-                by_ck.setdefault(r[f"_ck_{wname}"], []).append(
-                    (r["_b"], r["_mx"], r["_mn"])
-                )
-            ck_lo = [(lo + b * width) // wms_ for b in range(nb)]
-            ck_hi = [(lo + (b + 1) * width) // wms_ for b in range(nb)]
+            # _jdiv, not //: must match the plan's `div` (trunc-to-zero)
+            ck_lo = [_jdiv(lo + b * width, wms_) for b in range(nb)]
+            ck_hi = [_jdiv(lo + (b + 1) * width, wms_) for b in range(nb)]
+            lx = {r["_b"]: r[f"_lx_{wname}"] for r in rows}
+            ln = {r["_b"]: r[f"_ln_{wname}"] for r in rows}
+            hx = {r["_b"]: r[f"_hx_{wname}"] for r in rows}
+            hn = {r["_b"]: r[f"_hn_{wname}"] for r in rows}
             px: list = [None] * nb
             pn: list = [None] * nb
             sx: list = [None] * nb
             sn: list = [None] * nb
             for b in range(nb):
-                prev_e = [e for e in by_ck.get(ck_lo[b], []) if e[0] < b]
+                prev_e = [
+                    hx[b2]
+                    for b2 in range(b)
+                    if ck_hi[b2] == ck_lo[b] and hx.get(b2) is not None
+                ]
                 if prev_e:
-                    px[b] = max(e[1] for e in prev_e)
-                    pn[b] = min(e[2] for e in prev_e)
-                post_e = [e for e in by_ck.get(ck_hi[b], []) if e[0] > b]
+                    px[b] = max(prev_e)
+                    pn[b] = min(
+                        hn[b2]
+                        for b2 in range(b)
+                        if ck_hi[b2] == ck_lo[b] and hn.get(b2) is not None
+                    )
+                post_e = [
+                    lx[b2]
+                    for b2 in range(b + 1, nb)
+                    if ck_lo[b2] == ck_hi[b] and lx.get(b2) is not None
+                ]
                 if post_e:
-                    sx[b] = max(e[1] for e in post_e)
-                    sn[b] = min(e[2] for e in post_e)
+                    sx[b] = max(post_e)
+                    sn[b] = min(
+                        ln[b2]
+                        for b2 in range(b + 1, nb)
+                        if ck_lo[b2] == ck_hi[b] and ln.get(b2) is not None
+                    )
             ext[wname] = (ck_lo, ck_hi, px, pn, sx, sn)
         mk: dict[str, list] = {}
         for wname in spec.windows:
@@ -494,8 +604,9 @@ def _hot_carry_literals(
                     run += per_b.get(b, 0) or 0
                 mk[tag] = arr
         out[ent] = {"s": s_arr, "n": n_arr, "s2": s2_arr, "ext": ext, "mk": mk}
+    out["__amt_t"] = amt_t
     if key is not None:
-        _HOT_CARRY_CACHE[key] = out
+        _cache_put(_HOT_CARRY_CACHE, key, out, _CARRY_CACHE_CAP)
     return out
 
 
@@ -572,6 +683,10 @@ def _stitch_exprs(
     of (local, carry), where the carry applies only when the row's chunk
     is the bucket-edge chunk."""
     bidx = F.col("_b") + 1
+    # extrema literals in the amount column's own type — a double-typed
+    # carry under a decimal amount would coerce the bucketized plan's
+    # max/min to double, diverging from the unbucketized plan's type
+    amt_t = carry.get("__amt_t", "double")
 
     def case_over(builder, default):
         return _carry_case(hb, builder, default)
@@ -602,9 +717,9 @@ def _stitch_exprs(
                 lambda e, w=w, iv=iv, ic=ic: F.when(
                     ckw
                     == F.element_at(num_arr(carry[e]["ext"][w][ic], "long"), bidx),
-                    F.element_at(num_arr(carry[e]["ext"][w][iv], "double"), bidx),
+                    F.element_at(num_arr(carry[e]["ext"][w][iv], amt_t), bidx),
                 ),
-                F.lit(None).cast("double"),
+                F.lit(None).cast(amt_t),
             )
 
         glob[f"_pmx_{wname}"] = F.greatest(F.col(f"_pmx_{wname}"), ext_case(2, 0))
@@ -725,13 +840,15 @@ def trailing_features_scalable(
         F.lit(None).cast("string").alias("_mtag"),
         F.lit(0).alias("_mval"),
     )
+    # see trailing_sums_scalable: probe nulls in the amount's own type
+    amt_t = dict(base.dtypes)["_amt"]
     shadows = None
     for wname, wsecs in spec.windows.items():
         s = base.select(
             "_ent",
             "event_id",
             (F.col("_ms") - F.lit(wsecs * 1000)).alias("_ms"),
-            F.lit(None).cast("double").alias("_amt"),
+            F.lit(None).cast(amt_t).alias("_amt"),
             F.lit(wname).alias("_win"),
             F.lit(None).cast("string").alias("_mtag"),
             F.lit(0).alias("_mval"),
@@ -767,7 +884,7 @@ def trailing_features_scalable(
                 "_ent",
                 F.lit(None).cast("long").alias("event_id"),
                 F.col("_m.m").alias("_ms"),
-                F.lit(None).cast("double").alias("_amt"),
+                F.lit(None).cast(amt_t).alias("_amt"),
                 F.lit("__mk").alias("_win"),
                 F.col("_m.t").alias("_mtag"),
                 F.col("_m.v").alias("_mval"),
@@ -831,7 +948,7 @@ def trailing_features_scalable(
         if glob is None:
             glob = _stitch_exprs(spec, hot_buckets, carry, tags)
             if skey is not None:
-                _STITCH_CACHE[("full", skey)] = glob
+                _cache_put(_STITCH_CACHE, ("full", skey), glob, _CARRY_CACHE_CAP)
         cum = cum.withColumns(glob)
     cum = cum.filter(F.col("_win").isNull() | (F.col("_win") != "__mk"))
 
@@ -988,6 +1105,41 @@ HOT_BUCKETS = 64
 _FRAME_EST_CACHE: dict[tuple, float] = {}
 _HOT_CUTS_CACHE: dict[tuple, "HotBucketSpec | None"] = {}
 
+# Above this much input, the routing stats passes run on a seeded 1% ROW
+# sample instead of the full table (the full groupBy(entity) pass is one
+# cheap job at anchor scale but a real cost at warehouse scale). Row- —
+# not entity- — sampling is deliberate: a 1% entity sample would MISS the
+# one hot entity 99% of the time, while a 1% row sample keeps ~1000 rows
+# of any entity big enough to cross HOT_TASK_ROWS_THRESHOLD (±10% at 3σ).
+# 512 MB keeps every committed bench anchor (sf10 events = 194 MB) on the
+# full pass, so router decisions there are pinned unchanged.
+STATS_SAMPLE_BYTES = 512 * 1024 * 1024
+STATS_SAMPLE_FRAC = 0.01
+STATS_SAMPLE_SEED = 73
+# sampled-path noise floor: entities with fewer sampled rows than this
+# are dropped from the density estimate (≈800+ true rows — smaller
+# entities cannot meaningfully cross any routing threshold, and a
+# 1-sampled-row entity would otherwise scale to a spurious est of 1/frac)
+_STATS_SAMPLE_MIN_ROWS = 8
+
+
+def _stats_source(df: DataFrame, sample: bool | None) -> tuple[DataFrame, float]:
+    """(stats frame, count multiplier) for the routing stats passes.
+    ``sample=None`` auto-engages the 1% sample above STATS_SAMPLE_BYTES
+    of (local) input; True/False force it either way (tests pin
+    sample-vs-full routing agreement on the skew anchor)."""
+    if sample is None:
+        total = 0
+        for _, size, _ in _files_sig(df):
+            total += max(size, 0)
+        sample = total > STATS_SAMPLE_BYTES
+    if not sample:
+        return df, 1.0
+    return (
+        df.sample(STATS_SAMPLE_FRAC, seed=STATS_SAMPLE_SEED),
+        1.0 / STATS_SAMPLE_FRAC,
+    )
+
 
 def hot_entity_cuts(
     df: DataFrame,
@@ -997,6 +1149,7 @@ def hot_entity_cuts(
     min_rows: int = HOT_TASK_ROWS_THRESHOLD,
     buckets: int = HOT_BUCKETS,
     cap: int = 32,
+    sample: bool | None = None,
 ) -> HotBucketSpec | None:
     """Detect entities whose row count would serialize a single task and
     compute their fixed-width time cuts (one groupBy job, memoized per
@@ -1005,13 +1158,19 @@ def hot_entity_cuts(
     probes (ms − W) and interval markers (ms + W + 1) land inside the
     cut range; the bucket expression clamps anyway, which only affects
     balance, never correctness (bucket id stays monotone in ms).
-    Returns None when no entity crosses ``min_rows``."""
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
-        files = ()
+    Returns None when no entity crosses ``min_rows``.
+
+    At warehouse scale the pass runs on a 1% row sample (see
+    :func:`_stats_source`): a hot entity keeps ~min_rows/100 sampled
+    rows, counts scale by the inverse fraction, and the sample min/max
+    shrink the span by ~span/samples — far less than the window pad
+    already applied. Cuts are a LOAD-BALANCING plan, never a
+    correctness surface: any (lo, width) yields bit-identical results
+    (pytest-pinned), so sampling noise only moves bucket edges."""
+    stats_df, inv = _stats_source(df, sample)
+    files = _files_sig(df)
     key = (
-        (files, entity_col, ts_col, window_max_s, min_rows, buckets, cap)
+        (files, entity_col, ts_col, window_max_s, min_rows, buckets, cap, inv)
         if files
         else None
     )
@@ -1019,13 +1178,13 @@ def hot_entity_cuts(
         return _HOT_CUTS_CACHE[key]
     ms_col = F.unix_millis(F.col(ts_col))
     rows = (
-        df.groupBy(entity_col)
+        stats_df.groupBy(entity_col)
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.min(ms_col).alias("mn"),
             F.max(ms_col).alias("mx"),
         )
-        .filter(F.col("c") >= min_rows)
+        .filter(F.col("c") * F.lit(inv) >= min_rows)
         .orderBy(F.col("c").desc())
         .limit(cap)
         .collect()
@@ -1042,11 +1201,17 @@ def hot_entity_cuts(
             ents[r[entity_col]] = (lo, width)
         spec = HotBucketSpec(buckets=buckets, ents=ents)
     if key is not None:
-        _HOT_CUTS_CACHE[key] = spec
+        _cache_put(_HOT_CUTS_CACHE, key, spec, _STATS_CACHE_CAP)
     return spec
 
 
-def estimate_frame_rows(df: DataFrame, entity_col: str, ts_col: str, window_s: int) -> float:
+def estimate_frame_rows(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_s: int,
+    sample: bool | None = None,
+) -> float:
     """One cheap stats pass → expected rows per trailing frame of the
     DENSEST entity (per-entity rows × window/per-entity-span, maxed);
     the shared density heuristic for every adaptive trailing strategy.
@@ -1057,26 +1222,32 @@ def estimate_frame_rows(df: DataFrame, entity_col: str, ts_col: str, window_s: i
     The r6 skew anchor caught exactly that: mean density 2.3 rows/frame
     routed the hot anchor onto WindowExec and one task ran for minutes.
     Cost: a groupBy(entity) count — one extra small job in the stats
-    pass (at warehouse scale, run it on a sample; the max over a 1%
-    entity sample bounds the hot key with high probability). Memoized
-    per (input files, entity, window) for the session — same contract
-    as the persisted-index cache: the routing statistic of a static
-    input never changes, so repeated queries pay it once."""
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
-        files = ()
-    cache_key = (files, entity_col, ts_col, window_s) if files else None
+    pass. At warehouse scale (input > STATS_SAMPLE_BYTES, or
+    ``sample=True``) the pass runs on a 1% row sample: counts scale by
+    1/frac, entities with < _STATS_SAMPLE_MIN_ROWS sampled rows are
+    dropped (they cannot cross a routing threshold, and scaling a
+    1-row sample would fabricate density), and the shrunk sample span
+    only OVERestimates density — erring toward the O(rows) plan, the
+    safe direction since both strategies are bit-identical. Memoized
+    per (input files+sizes+mtimes, entity, window) for the session —
+    same contract as the persisted-index cache: the routing statistic
+    of a static input never changes, so repeated queries pay it once."""
+    stats_df, inv = _stats_source(df, sample)
+    files = _files_sig(df)
+    cache_key = (files, entity_col, ts_col, window_s, inv) if files else None
     if cache_key is not None and cache_key in _FRAME_EST_CACHE:
         return _FRAME_EST_CACHE[cache_key]
     ms_col = F.unix_millis(F.col(ts_col))
-    per = df.groupBy(entity_col).agg(
+    per = stats_df.groupBy(entity_col).agg(
         F.count(F.lit(1)).alias("c"),
         (F.max(ms_col) - F.min(ms_col)).alias("espan"),
     )
+    if inv != 1.0:
+        per = per.filter(F.col("c") >= _STATS_SAMPLE_MIN_ROWS)
     stats = per.select(
         F.max(
             F.col("c")
+            * F.lit(inv)
             * F.least(
                 F.lit(float(window_s * 1000))
                 / F.greatest(F.col("espan").cast("double"), F.lit(1.0)),
@@ -1086,7 +1257,7 @@ def estimate_frame_rows(df: DataFrame, entity_col: str, ts_col: str, window_s: i
     ).first()
     est = float(stats["hot"] or 0.0)
     if cache_key is not None:
-        _FRAME_EST_CACHE[cache_key] = est
+        _cache_put(_FRAME_EST_CACHE, cache_key, est, _STATS_CACHE_CAP)
     return est
 
 

@@ -384,3 +384,204 @@ def test_scalable_distinct_markers_bit_identical(spark):
     for eid, ra in a.items():
         for c in cols:
             assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
+
+
+def test_negative_epoch_ms_bucketized_bit_identical(spark):
+    """Pre-1970 timestamps (negative epoch-ms): the driver-side carry
+    fold must bucket edge positions with the plan's `div` semantics
+    (truncation toward zero), not Python floor division — a mismatch
+    silently drops an extrema carry at a bucket edge."""
+    import datetime as dt
+    import random
+
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        hot_entity_cuts,
+        trailing_features,
+        trailing_features_scalable,
+    )
+
+    t0 = dt.datetime(1969, 6, 1)  # epoch-ms ≈ -18.5e9
+    random.seed(11)
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=random.randint(0, 5 * 86400)),
+            1 + (i % 2),
+            float(random.randint(1, 100)),
+        )
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    spec = TrailingWindowSpec(windows={"1h": 3600, "24h": 86400})
+    hb = hot_entity_cuts(df, "user_id", "ts", 86400, min_rows=1, buckets=5,
+                         cap=10)
+    assert hb is not None and all(lo < 0 for lo, _ in hb.ents.values())
+    cols = ["event_id"] + [
+        f"{m}_{w}"
+        for w in spec.windows
+        for m in ("txn_count", "txn_amount_sum", "max_txn_amount",
+                  "min_txn_amount", "std_txn_amount")
+    ]
+    a = {r["event_id"]: r for r in
+         trailing_features(df, spec).select(*cols).collect()}
+    b = {r["event_id"]: r for r in
+         trailing_features_scalable(df, spec, hot_buckets=hb)
+         .select(*cols).collect()}
+    assert set(a) == set(b) and len(a) == 800
+    for eid, ra in a.items():
+        for c in cols:
+            assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
+
+
+def test_decimal_amount_scalable_preserves_type_and_values(spark):
+    """A decimal amount column must ride the scalable plans (bucketized
+    and not) without coercing extrema to double — same type and values
+    as the WindowExec plan."""
+    import datetime as dt
+    import random
+    from decimal import Decimal
+
+    from aml_feature_store_spark.operators.windows import (
+        TrailingWindowSpec,
+        hot_entity_cuts,
+        trailing_features,
+        trailing_features_scalable,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    random.seed(13)
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=random.randint(0, 2 * 86400)),
+            1 + (i % 3),
+            Decimal(random.randint(100, 99999)) / 100,
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value decimal(10,2)"
+    )
+    spec = TrailingWindowSpec(windows={"1h": 3600, "24h": 86400})
+    cols = ["event_id"] + [
+        f"{m}_{w}"
+        for w in spec.windows
+        for m in ("txn_count", "txn_amount_sum", "max_txn_amount",
+                  "min_txn_amount", "std_txn_amount")
+    ]
+    ref = trailing_features(df, spec).select(*cols)
+    plain = trailing_features_scalable(df, spec).select(*cols)
+    hb = hot_entity_cuts(df, "user_id", "ts", 86400, min_rows=1, buckets=4,
+                         cap=10)
+    bucketed = trailing_features_scalable(df, spec, hot_buckets=hb).select(*cols)
+    assert dict(ref.dtypes)["max_txn_amount_1h"] == "decimal(10,2)"
+    assert dict(plain.dtypes)["max_txn_amount_1h"] == "decimal(10,2)"
+    assert dict(bucketed.dtypes)["max_txn_amount_1h"] == "decimal(10,2)"
+    a = {r["event_id"]: r for r in ref.collect()}
+    for out in (plain, bucketed):
+        b = {r["event_id"]: r for r in out.collect()}
+        assert set(a) == set(b) and len(a) == 600
+        for eid, ra in a.items():
+            for c in cols:
+                assert ra[c] == b[eid][c], (eid, c, ra[c], b[eid][c])
+
+
+def test_routing_stats_sample_agrees_with_full(spark):
+    """The 1% row-sample stats pass (warehouse-scale path) must route a
+    hot-key frame the same way as the full pass: same hot entity
+    detected, density estimate on the same side of the threshold."""
+    from pyspark.sql import functions as F
+
+    from aml_feature_store_spark.operators.windows import (
+        AUTO_FRAME_ROWS_THRESHOLD,
+        estimate_frame_rows,
+        hot_entity_cuts,
+    )
+
+    # one entity owns 60k dense rows (span 6h << 24h window); 400 cold
+    # entities own 50 rows each across 30 days
+    hot = spark.range(60_000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 21600).alias("ts"),
+        F.lit(1).alias("user_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    cold = spark.range(20_000).select(
+        (F.col("id") + 100_000).alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 7919) % (30 * 86400)
+        ).alias("ts"),
+        (2 + F.col("id") % 400).alias("user_id"),
+        F.lit(1.0).alias("value"),
+    )
+    df = hot.unionByName(cold)
+    est_full = estimate_frame_rows(df, "user_id", "ts", 86400, sample=False)
+    est_samp = estimate_frame_rows(df, "user_id", "ts", 86400, sample=True)
+    assert (est_full > AUTO_FRAME_ROWS_THRESHOLD) == (
+        est_samp > AUTO_FRAME_ROWS_THRESHOLD
+    )
+    assert est_samp == pytest.approx(est_full, rel=0.25)
+    hb_full = hot_entity_cuts(df, "user_id", "ts", 86400, min_rows=30_000,
+                              sample=False)
+    hb_samp = hot_entity_cuts(df, "user_id", "ts", 86400, min_rows=30_000,
+                              sample=True)
+    assert hb_full is not None and hb_samp is not None
+    assert set(hb_full.ents) == set(hb_samp.ents) == {1}
+    # sampled cuts are a load-balancing plan over the same span (± pad)
+    lo_f, w_f = hb_full.ents[1]
+    lo_s, w_s = hb_samp.ents[1]
+    assert abs(lo_s - lo_f) < 600_000 and abs(w_s - w_f) < 600_000
+
+
+def test_stats_cache_invalidates_on_inplace_rewrite(spark, tmp_path):
+    """Memoized routing stats key on (path, size, mtime): rewriting data
+    at the SAME path must invalidate, not silently reuse stale stats."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aml_feature_store_spark.operators.windows import estimate_frame_rows
+
+    path = str(tmp_path / "ev.parquet")
+
+    def write(n_hot):
+        tbl = pa.table(
+            {
+                "event_id": list(range(n_hot)),
+                "ts": pa.array(
+                    [1700000000_000_000 + (i % 3600) * 1_000_000 for i in range(n_hot)],
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "user_id": [1] * n_hot,
+                "value": [float(i) for i in range(n_hot)],
+            }
+        )
+        pq.write_table(tbl, path)
+
+    write(500)
+    est1 = estimate_frame_rows(
+        spark.read.parquet(path), "user_id", "ts", 86400
+    )
+    _time.sleep(0.01)  # ensure a distinct mtime_ns
+    write(2000)
+    est2 = estimate_frame_rows(
+        spark.read.parquet(path), "user_id", "ts", 86400
+    )
+    assert est1 == pytest.approx(500.0) and est2 == pytest.approx(2000.0)
+
+
+def test_plan_cache_bounds_and_jdiv():
+    """FIFO cache bound + Spark-div arithmetic helpers (pure python)."""
+    from aml_feature_store_spark.operators.windows import _cache_put, _jdiv
+
+    c: dict = {}
+    for i in range(40):
+        _cache_put(c, i, i, 8)
+    assert len(c) == 8 and 39 in c and 0 not in c
+    # trunc-toward-zero vs floor: differs on negatives
+    assert _jdiv(7, 2) == 3 and _jdiv(-7, 2) == -3 and (-7) // 2 == -4
+    assert _jdiv(-86400001, 3600000) == -24
