@@ -93,6 +93,7 @@ def train_stacking(
     entity_col: str = "user_id",
     n_folds: int = 5,
     seed: int = 7,
+    fold_expr=None,
 ):
     """Out-of-fold stacking (advanced_models.py:247-295) with MLlib base
     learners and deterministic hash folds. Returns (meta_model,
@@ -103,12 +104,19 @@ def train_stacking(
     (the base model never saw that row), so the meta-model's input
     distribution matches serving — the property the reference's CV loop
     exists for, preserved under distributed execution.
+
+    ``fold_expr`` (r11): optional Column overriding the default
+    pmod(xxhash64(entity), k) fold assignment. The stacking oracle
+    passes pmod(entity, k) — equally deterministic, but recomputable by
+    DuckDB so fold MEMBERSHIP itself is oracle-certified.
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
+    if fold_expr is None:
+        fold_expr = F.pmod(F.xxhash64(F.col(entity_col)), F.lit(n_folds))
     assembled = _assemble(df, feature_cols, label_col).withColumn(
-        "fold", F.pmod(F.xxhash64(F.col(entity_col)), F.lit(n_folds))
+        "fold", fold_expr
     )
     assembled = assembled.cache()
     names = [n for n, _ in _base_learners(seed)]
