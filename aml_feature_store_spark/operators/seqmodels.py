@@ -521,6 +521,87 @@ def autoencoder_forward_contract(
     )
 
 
+def mlp_init(layer_sizes: list[int], seed: int = 19) -> list[dict]:
+    """Seeded Glorot init for the MLP forward contract — same PCG64
+    sharing rule as :func:`ae_init` / the ASHA config space: import-time
+    metadata, embedded as full-precision literals in the DuckDB oracle."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    out = []
+    for a, b in zip(layer_sizes, layer_sizes[1:]):
+        lim = math.sqrt(6.0 / (a + b))
+        out.append(
+            {"W": rng.uniform(-lim, lim, size=(a, b)), "b": np.zeros(b)}
+        )
+    return out
+
+
+def mlp_forward(layers: list[dict], X: np.ndarray) -> np.ndarray:
+    """ReLU hidden layers + linear 2-class head → (B, 2) logits."""
+    h = X
+    for p in layers[:-1]:
+        h = np.maximum(h @ p["W"] + p["b"], 0.0)
+    return h @ layers[-1]["W"] + layers[-1]["b"]
+
+
+def mlp_forward_contract(
+    feats: DataFrame,
+    feature_cols: list[str],
+    id_col: str = "user_id",
+    hidden: tuple[int, ...] = (16, 8),
+    seed: int = 19,
+) -> DataFrame:
+    """Iteration-0 forward pass of the feed-forward classifier at the
+    seeded Glorot init — the VALUE-contract slice of the otherwise
+    rows-only MLP trainer (r11, VERDICT #5, the autoencoder_iter0
+    machinery applied to the classifier shape): production
+    standardization (``_standard_scaled``), ``mlp_init`` seeding, two
+    ReLU hidden layers (EXACT in SQL — GREATEST(·, 0) over chained
+    linear maps, no transcendentals until the head), a linear 2-logit
+    head, and the 2-class softmax probability
+    p1 = 1/(1+exp(z0−z1)). The DuckDB oracle re-derives every logit and
+    the probability from the base tables alone with the init weights as
+    literals; logits and p1 round to 6 dp (house float rule — absorbs
+    numpy-dot vs chained-addition ULPs, the same contract the AE twin
+    certifies). The L-BFGS training loop stays honestly rows-only in
+    mlp_training_summary."""
+    import pandas as pd
+
+    spark = feats.sparkSession
+    f = len(feature_cols)
+    layers = mlp_init([f, *hidden, 2], seed=seed)
+    scaled = _standard_scaled(feats, feature_cols, id_col)
+    bc = spark.sparkContext.broadcast(
+        [(p["W"].tolist(), p["b"].tolist()) for p in layers]
+    )
+
+    def fwd(iterator):
+        ps = [
+            {"W": np.asarray(w), "b": np.asarray(b)} for w, b in bc.value
+        ]
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(r) for r in pdf["x"]], dtype=np.float64)
+            z = mlp_forward(ps, X)
+            p1 = 1.0 / (1.0 + np.exp(z[:, 0] - z[:, 1]))
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "logit_0": np.round(z[:, 0], 6),
+                    "logit_1": np.round(z[:, 1], 6),
+                    "p_class1": np.round(p1, 6),
+                }
+            )
+
+    out_schema = "key string, logit_0 double, logit_1 double, p_class1 double"
+    return scaled.mapInPandas(fwd, out_schema).select(
+        F.col("key").cast("long").alias(id_col),
+        "logit_0",
+        "logit_1",
+        "p_class1",
+    )
+
+
 def autoencoder_scores(
     feats: DataFrame,
     feature_cols: list[str],

@@ -683,8 +683,10 @@ def mlp_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed-forward neural classifier on the online feature table — the
     deep-learning parity slot (models/advanced_models.py:74-105, :256):
     MLlib MultilayerPerceptronClassifier, shrinking-width layers, one
-    row per layer with train AUC/accuracy. Rows-only; separable-model
-    recovery pytest-pinned."""
+    row per layer with train AUC/accuracy. Rows-only (L-BFGS convergence
+    is not bit-portable); separable-model recovery pytest-pinned, and
+    the forward-pass shape, standardization, and seeding are
+    oracle-certified by mlp_iter0_contract (r11)."""
     _, summary = training.train_mlp(
         _gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label"
     )
@@ -990,6 +992,102 @@ def autoencoder_iter0_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import seqmodels
 
     return seqmodels.autoencoder_forward_contract(
+        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, id_col="user_id"
+    )
+
+
+def _mlp_iter0_sql(hidden: tuple[int, ...] = (16, 8), seed: int = 19) -> str:
+    """DuckDB oracle for mlp_iter0_contract: re-derives the classifier's
+    iteration-0 forward pass ENTIRELY from the base tables — the online
+    feature view, NULL→0 fill, the production DECIMAL-moment
+    standardization (mean/std 6 dp, std 0 → 1.0), then two ReLU hidden
+    layers (GREATEST(Wᵀ·+b, 0) with the seeded Glorot init embedded as
+    full-precision literals from mlp_init — import-time metadata, the
+    ae_init sharing rule), a linear 2-logit head, and the 2-class softmax
+    p1 = 1/(1+EXP(z0−z1)); logits and p1 round to 6 dp on both engines."""
+    from ..operators.seqmodels import mlp_init
+
+    from .joins_scoring import _ONLINE_FEATURES_SQL
+
+    f = len(_GBT_FEATURES)
+    layers = mlp_init([f, *hidden, 2], seed=seed)
+
+    feat_sel = ", ".join(
+        f"COALESCE({c}, 0) AS f{j}" for j, c in enumerate(_GBT_FEATURES)
+    )
+    st = ", ".join(
+        f"ROUND(CAST(SUM(CAST(f{j} AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / COUNT(*), 6) AS m{j}, "
+        f"CAST(SUM(CAST(CAST(f{j} AS DECIMAL(25,6)) * CAST(f{j} AS "
+        f"DECIMAL(25,6)) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS q{j}"
+        for j in range(f)
+    )
+    sd = ", ".join(
+        f"CASE WHEN ROUND(SQRT(GREATEST(q{j} - m{j}*m{j}, 1e-12)), 6) = 0 "
+        f"THEN 1.0 ELSE ROUND(SQRT(GREATEST(q{j} - m{j}*m{j}, 1e-12)), 6) "
+        f"END AS s{j}"
+        for j in range(f)
+    )
+    xs = ", ".join(
+        f"(ft.f{j} - sd.m{j}) / sd.s{j} AS x{j}" for j in range(f)
+    )
+    h_ctes = []
+    prev = [f"x{j}" for j in range(f)]
+    for li, p in enumerate(layers[:-1]):
+        W, b = p["W"], p["b"]
+        exprs = ", ".join(
+            f"GREATEST({float(b[o])!r} + "
+            + " + ".join(
+                f"({float(W[i][o])!r}) * {prev[i]}" for i in range(len(prev))
+            )
+            + f", 0.0) AS h{li}_{o}"
+            for o in range(W.shape[1])
+        )
+        h_ctes.append(f"h{li} AS (SELECT *, {exprs} FROM " +
+                      ("x" if li == 0 else f"h{li - 1}") + ")")
+        prev = [f"h{li}_{o}" for o in range(W.shape[1])]
+    Wz, bz = layers[-1]["W"], layers[-1]["b"]
+    zs = ", ".join(
+        f"({float(bz[k])!r} + "
+        + " + ".join(
+            f"({float(Wz[i][k])!r}) * {prev[i]}" for i in range(len(prev))
+        )
+        + f") AS z{k}"
+        for k in range(2)
+    )
+    last = f"h{len(layers) - 2}"
+    return f"""
+WITH ft AS (
+  SELECT user_id, {feat_sel} FROM ({_ONLINE_FEATURES_SQL.strip()})
+),
+st AS (SELECT {st} FROM ft),
+sd AS (SELECT *, {sd} FROM st),
+x AS (SELECT ft.user_id, {xs} FROM ft CROSS JOIN sd),
+{",".join(h_ctes)},
+z AS (SELECT *, {zs} FROM {last})
+SELECT user_id, ROUND(z0, 6) + 0.0 AS logit_0, ROUND(z1, 6) + 0.0 AS logit_1,
+       ROUND(1.0/(1.0 + EXP(z0 - z1)), 6) + 0.0 AS p_class1
+FROM z
+"""
+
+
+@register("mlp_iter0_contract", oracle=_mlp_iter0_sql())
+def mlp_iter0_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial VALUE contract for the feed-forward classifier (r11,
+    VERDICT #5 — the autoencoder_iter0 machinery applied to the MLP
+    shape): the iteration-0 forward pass at the seeded Glorot init —
+    production standardization, mlp_init seeding, two ReLU hidden
+    layers, linear 2-logit head, 2-class softmax — emitted per entity as
+    (logit_0, logit_1, p_class1), all re-derived by the DuckDB oracle
+    from the base tables alone (see _mlp_iter0_sql). This certifies the
+    data plumbing, scaling arithmetic, seeding, and the layered forward
+    kernel with real value equalities; the distributed L-BFGS loop
+    remains honestly rows-only in mlp_training_summary (iterative float
+    recursion — no stable SQL form; separable-model recovery stays
+    pytest-pinned)."""
+    from ..operators import seqmodels
+
+    return seqmodels.mlp_forward_contract(
         _gbt_inputs(spark, sf_dir), _GBT_FEATURES, id_col="user_id"
     )
 
