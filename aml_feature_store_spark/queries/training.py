@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import register
 from ..operators import training
 from ..sources import load_table
+from .joins_scoring import _ONLINE_FEATURES_SQL
 
 # Value-recomputing GBT oracles (r10): each query WRITES its attribution
 # export (per-tree Saabas rows / per-coalition Shapley values on the 1e-9
@@ -693,14 +694,79 @@ def mlp_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
-@register("automl_tuning_summary", oracle=None)
+_CV_FOLDS = 3
+
+
+def _cv_grid_sql() -> str:
+    """DuckDB oracle for automl_tuning_summary: the grid is a VALUES
+    literal from the import-time CV_GRID (ASHA sharing rule), the
+    per-(combo, fold) held-out AUCs — the only fit-dependent values —
+    come from the query's export, and DuckDB independently recomputes
+    combo membership (a dropped combo leaves a NULL-avg oracle row the
+    Spark side can't match), the fixed-denominator fold mean at 6 dp,
+    and best-combo selection by (avg_auc DESC, combo_id)."""
+    values = ", ".join(
+        f"({c['combo_id']}, {c['reg_param']}, {c['elastic_net_param']})"
+        for c in training.CV_GRID
+    )
+    path = _export_path("cv_grid_auc", _ORACLE_SF)
+    return f"""
+WITH g AS (
+  SELECT * FROM (VALUES {values}) t(combo_id, reg_param, elastic_net_param)
+),
+a AS (SELECT combo_id, val_auc FROM read_parquet('{path}/*.parquet')),
+per AS (
+  SELECT g.combo_id, g.reg_param, g.elastic_net_param,
+         ROUND(SUM(a.val_auc) / {float(_CV_FOLDS)!r}, 6) AS avg_auc
+  FROM g LEFT JOIN a USING (combo_id)
+  GROUP BY g.combo_id, g.reg_param, g.elastic_net_param
+)
+SELECT combo_id, reg_param, elastic_net_param, avg_auc,
+       ROW_NUMBER() OVER (ORDER BY avg_auc DESC, combo_id) = 1 AS is_best
+FROM per
+"""
+
+
+@register("automl_tuning_summary", oracle=_cv_grid_sql())
 def automl_tuning_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-validated hyperparameter grid over the online feature table
     — the AutoML parity slot (models/advanced_models.py:309-362):
-    per-combo mean held-out AUC with the best combo flagged. Rows-only;
-    grid shape and selection pytest-pinned."""
-    return training.cv_tuning_summary(
-        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label"
+    per-combo mean held-out AUC with the best combo flagged. Oracle-exact
+    since r11 (was rows-only, VERDICT r10 #4's export pattern): the
+    deterministic-hash CV twin (training.cv_grid_auc) exposes the
+    per-(combo, fold) AUCs CrossValidator hides, the query exports them,
+    and both engines independently recompute grid membership, the
+    fixed-denominator fold mean (6 dp), and the (avg_auc DESC, combo_id)
+    best-combo rule — see _cv_grid_sql. The MLlib CrossValidator surface
+    stays available as training.cv_tuning_summary (pytest-pinned)."""
+    rows = training.cv_grid_auc(
+        _gbt_inputs(spark, sf_dir),
+        _GBT_FEATURES,
+        "label",
+        id_col="user_id",
+        n_folds=_CV_FOLDS,
+    )
+    path = _export_path("cv_grid_auc", sf_dir)
+    spark.createDataFrame(
+        rows,
+        "combo_id int, fold int, reg_param double, elastic_net_param double, "
+        "val_auc double",
+    ).write.mode("overwrite").parquet(path)
+    per: dict[int, list[float]] = {}
+    for combo_id, _f, _r, _e, auc in rows:
+        per.setdefault(combo_id, []).append(auc)
+    combos = []
+    for c in training.CV_GRID:
+        aucs = per.get(c["combo_id"], [])
+        avg = round(sum(sorted(aucs)) / float(_CV_FOLDS), 6)
+        combos.append(
+            [c["combo_id"], c["reg_param"], c["elastic_net_param"], avg]
+        )
+    best = min(combos, key=lambda r: (-r[3], r[0]))[0]
+    return spark.createDataFrame(
+        [(cid, r, e, a, cid == best) for cid, r, e, a in combos],
+        "combo_id int, reg_param double, elastic_net_param double, "
+        "avg_auc double, is_best boolean",
     )
 
 
@@ -807,30 +873,107 @@ def automl_asha_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
-@register("model_training_summary", oracle=None)
+def _logreg_summary_sql(coef_src: str, feats_src: str) -> str:
+    """Shared recompute body for model_training_summary over a
+    coefficient export relation (feature, coefficient): both engines
+    pivot the exported coefficients, rebuild every entity's margin
+    w·x + b from the ONLINE FEATURE VIEW in the same association order,
+    and recompute the rank-exact train ROC AUC (the binary_auc
+    construction — average ranks over score groups, exact integer rank
+    sums) of the margin against the night-activity label. The
+    coefficient VALUES pass through (L-BFGS stays engine-specific,
+    bit-deterministic per box); the scoring arithmetic, feature
+    plumbing, and the AUC are independently recomputed — a wrong margin,
+    dropped entity, or broken rank construction reddens train_auc on
+    every row."""
+    fnames = list(_GBT_FEATURES)
+    w = ", ".join(
+        f"MAX(CASE WHEN feature = '{c}' THEN coefficient END) AS w{j}"
+        for j, c in enumerate(fnames)
+    )
+    margin = " + ".join(f"w.w{j} * f.f{j}" for j in range(len(fnames)))
+    feat_sel = ", ".join(
+        f"COALESCE({c}, 0) AS f{j}" for j, c in enumerate(fnames)
+    )
+    return f"""
+WITH co AS ({coef_src}),
+w AS (
+  SELECT {w},
+         MAX(CASE WHEN feature = '__intercept__' THEN coefficient END) AS b
+  FROM co
+),
+f AS (
+  SELECT user_id, {feat_sel}, night_txn_count_24h >= 1 AS label
+  FROM ({feats_src})
+),
+margins AS (
+  SELECT (({margin}) + w.b) AS s, f.label FROM f CROSS JOIN w
+),
+per_s AS (
+  SELECT s, COUNT(*) AS cnt,
+         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos
+  FROM margins GROUP BY s
+),
+r AS (
+  SELECT cnt, pos,
+    COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS before,
+    SUM(pos) OVER () AS npos_t,
+    SUM(cnt - pos) OVER () AS nneg_t
+  FROM per_s
+),
+auc AS (
+  SELECT CASE WHEN MAX(npos_t) * MAX(nneg_t) != 0 THEN
+    (CAST(SUM(pos * (2 * before + cnt + 1)) AS DOUBLE) / 2.0
+     - CAST(MAX(npos_t) * (MAX(npos_t) + 1) AS DOUBLE) / 2.0)
+      / CAST(MAX(npos_t) * MAX(nneg_t) AS DOUBLE)
+  ELSE 0.5 END AS auc
+  FROM r
+)
+SELECT co.feature, co.coefficient, auc.auc AS train_auc
+FROM co CROSS JOIN auc
+"""
+
+
+@register(
+    "model_training_summary",
+    oracle=_logreg_summary_sql(
+        "SELECT * FROM read_parquet('"
+        + _export_path("logreg_coefs", _ORACLE_SF)
+        + "/*.parquet')",
+        _ONLINE_FEATURES_SQL,
+    ),
+)
 def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib logistic regression trained distributively on the online
     feature table (models/advanced_models.py:462-508 re-expressed:
     tree-aggregated gradients instead of in-driver sklearn): one row per
-    coefficient + intercept with train ROC AUC. Rows-only — LBFGS
-    convergence is not bit-portable across engines; pytest pins recovery
-    of a known separable model."""
+    coefficient + intercept with train ROC AUC. Oracle-exact since r11
+    (was rows-only, VERDICT r10 #4's export pattern): the query exports
+    the fitted coefficients — the only fit-dependent values — and both
+    engines independently rebuild every entity's margin from the online
+    feature view and recompute the rank-exact train AUC (see
+    _logreg_summary_sql); separable-model recovery stays pytest-pinned."""
     from .joins_scoring import _online_features
 
     feats = _online_features(spark, sf_dir).withColumn(
         "label", F.col("night_txn_count_24h") >= 1
     )
-    _, summary = training.train_logistic(
-        feats,
-        [
-            "txn_amount_sum_1h",
-            "txn_count_1h",
-            "velocity_score_1h",
-            "unique_event_type_1h",
-        ],
-        "label",
+    model, _ = training.train_logistic(feats, _GBT_FEATURES, "label")
+    path = _export_path("logreg_coefs", sf_dir)
+    coefs = [
+        (c, float(v)) for c, v in zip(_GBT_FEATURES, model.coefficients)
+    ] + [("__intercept__", float(model.intercept))]
+    spark.createDataFrame(
+        coefs, "feature string, coefficient double"
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("logreg_coefs_exp")
+    _online_features(spark, sf_dir).createOrReplaceTempView("logreg_feats_v")
+    return spark.sql(
+        _logreg_summary_sql(
+            "SELECT * FROM logreg_coefs_exp", "SELECT * FROM logreg_feats_v"
+        )
     )
-    return summary
 
 
 _SEQ_K = 5
