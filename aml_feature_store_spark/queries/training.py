@@ -96,18 +96,102 @@ def _gbt_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gbt_training_summary", oracle=None)
+def _gbt_summary_sql(imp_src: str, score_src: str, feats_src: str) -> str:
+    """Shared recompute body for gbt_training_summary over two exports:
+    (feature, importance) rows and per-entity GBT margins. Both engines
+    RE-DERIVE the training label from the online feature view
+    (night_txn_count_24h >= 1 — not from the export, so a mislabeled or
+    dropped entity reddens the value), join it to the exported margins,
+    and recompute the rank-exact train ROC AUC with the binary_auc
+    construction. Importance and margin VALUES pass through (tree fits
+    stay engine-specific, bit-deterministic per box)."""
+    return f"""
+WITH imp AS ({imp_src}),
+sc AS ({score_src}),
+lab AS (
+  SELECT user_id, night_txn_count_24h >= 1 AS label FROM ({feats_src})
+),
+margins AS (
+  SELECT sc.s, lab.label FROM lab LEFT JOIN sc USING (user_id)
+),
+per_s AS (
+  SELECT s, COUNT(*) AS cnt,
+         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos
+  FROM margins GROUP BY s
+),
+r AS (
+  SELECT cnt, pos,
+    COALESCE(SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS before,
+    SUM(pos) OVER () AS npos_t,
+    SUM(cnt - pos) OVER () AS nneg_t
+  FROM per_s
+),
+auc AS (
+  SELECT CASE WHEN MAX(npos_t) * MAX(nneg_t) != 0 THEN
+    (CAST(SUM(pos * (2 * before + cnt + 1)) AS DOUBLE) / 2.0
+     - CAST(MAX(npos_t) * (MAX(npos_t) + 1) AS DOUBLE) / 2.0)
+      / CAST(MAX(npos_t) * MAX(nneg_t) AS DOUBLE)
+  ELSE 0.5 END AS auc
+  FROM r
+)
+SELECT imp.feature, imp.importance, auc.auc AS train_auc
+FROM imp CROSS JOIN auc
+"""
+
+
+@register(
+    "gbt_training_summary",
+    oracle=_gbt_summary_sql(
+        "SELECT * FROM read_parquet('"
+        + _export_path("gbt_imps", _ORACLE_SF)
+        + "/*.parquet')",
+        "SELECT * FROM read_parquet('"
+        + _export_path("gbt_margins", _ORACLE_SF)
+        + "/*.parquet')",
+        _ONLINE_FEATURES_SQL,
+    ),
+)
 def gbt_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib gradient-boosted trees trained distributively on the online
     feature table (models/advanced_models.py:462-508's XGBoost side
     re-expressed as distributed boosting): one (feature, importance,
-    train_auc) row per feature. Rows-only — tree fitting is not
-    bit-portable across engines; pytest pins recovery of a separable
-    model."""
-    _, summary = training.train_gbt(
-        _gbt_inputs(spark, sf_dir), _GBT_FEATURES, "label"
+    train_auc) row per feature. Oracle-exact since r11 (the r10 export
+    pattern): the query exports the feature importances and per-entity
+    margins — the only fit-dependent values — and both engines re-derive
+    the label from the online feature view and recompute the rank-exact
+    train AUC (see _gbt_summary_sql); separable-model recovery stays
+    pytest-pinned."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _gbt_inputs(spark, sf_dir)
+    model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
+    from pyspark.ml.feature import VectorAssembler
+
+    assembled = VectorAssembler(
+        inputCols=_GBT_FEATURES, outputCol="features"
+    ).transform(feats.na.fill(0, _GBT_FEATURES))
+    margins = model.transform(assembled).select(
+        "user_id", vector_to_array("rawPrediction")[1].alias("s")
     )
-    return summary
+    mpath = _export_path("gbt_margins", sf_dir)
+    margins.write.mode("overwrite").parquet(mpath)
+    ipath = _export_path("gbt_imps", sf_dir)
+    imps = model.featureImportances
+    spark.createDataFrame(
+        [(name, float(imps[i])) for i, name in enumerate(_GBT_FEATURES)],
+        "feature string, importance double",
+    ).write.mode("overwrite").parquet(ipath)
+    spark.read.parquet(mpath).createOrReplaceTempView("gbt_margins_exp")
+    spark.read.parquet(ipath).createOrReplaceTempView("gbt_imps_exp")
+    _gbt_inputs(spark, sf_dir).createOrReplaceTempView("gbt_feats_v")
+    return spark.sql(
+        _gbt_summary_sql(
+            "SELECT * FROM gbt_imps_exp",
+            "SELECT * FROM gbt_margins_exp",
+            "SELECT user_id, night_txn_count_24h FROM gbt_feats_v",
+        )
+    )
 
 
 def _contrib_identity_sql(src: str, computed: bool) -> str:
