@@ -420,7 +420,81 @@ def gbt_lime_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.gbt_lime_weights(feats, model, _GBT_FEATURES)
 
 
-@register("gbt_nl_explanations", oracle=None)
+def _nl_explanations_sql(exp_src: str, feats_src: str, dialect: str) -> str:
+    """Shared recompute body for gbt_nl_explanations over a path-
+    attribution export (user_id, feature, contribution, margin): both
+    engines re-derive feature_value from the ONLINE FEATURE VIEW
+    (NULL→0, not from the export), rank the top-3 |contribution|
+    features, pick the top risk-raising factor, and recompute the whole
+    NL surface — the sentence (printf-family formatting, identical
+    %.3f/%+.3f renderings), the sigmoid risk probability (round 6), the
+    risk level and recommendation ladders, and the factor
+    recommendation. Only the contribution/margin VALUES pass through
+    (tree fits stay engine-specific). ``dialect`` switches the one
+    non-portable function name (Spark format_string / DuckDB printf)."""
+    fmt_fn = "format_string" if dialect == "spark" else "printf"
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    vals = " UNION ALL ".join(
+        f"SELECT user_id, '{c}' AS feature, "
+        f"CAST(COALESCE({c}, 0) AS DOUBLE) AS feature_value FROM feats"
+        for c in _GBT_FEATURES
+    )
+    return f"""
+WITH exp AS ({exp_src}),
+feats AS ({feats_src}),
+vals AS ({vals}),
+j AS (
+  SELECT e.user_id, e.feature, v.feature_value, e.contribution, e.margin
+  FROM exp e JOIN vals v ON v.user_id = e.user_id AND v.feature = e.feature
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ABS(contribution) DESC, feature) AS rnk
+  FROM j
+),
+toppos AS (
+  SELECT user_id, feature AS top_pos FROM (
+    SELECT user_id, feature, ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY contribution DESC, feature) AS prn
+    FROM j WHERE contribution > 0
+  ) WHERE prn = 1
+),
+base AS (
+  SELECT r.user_id, r.rnk, r.feature, r.feature_value, r.contribution,
+         1.0/(1.0 + EXP(-2.0 * r.margin)) AS prob, t.top_pos
+  FROM ranked r LEFT JOIN toppos t ON t.user_id = r.user_id
+  WHERE r.rnk <= 3
+)
+SELECT user_id, rnk AS rank, feature, feature_value, contribution,
+  {fmt_fn}('%s=%.3f %s risk %s (impact %+.3f)', feature, feature_value,
+    CASE WHEN contribution >= 0 THEN 'raises' ELSE 'lowers' END,
+    CASE WHEN ABS(contribution) > 0.1 THEN 'strongly' ELSE 'moderately' END,
+    contribution) AS explanation,
+  ROUND(prob, 6) AS risk_probability,
+  CASE WHEN prob <= 0.3 THEN 'LOW' WHEN prob <= 0.6 THEN 'MEDIUM'
+       ELSE 'HIGH' END AS risk_level,
+  CASE WHEN prob > 0.8 THEN 'block_and_investigate'
+       WHEN prob > 0.6 THEN 'approve_with_monitoring'
+       WHEN prob > 0.3 THEN 'approve_routine_monitoring'
+       ELSE 'approve' END AS recommendation,
+  CASE WHEN top_pos LIKE '%unique%' THEN 'verify_entity_diversity'
+       WHEN top_pos LIKE '%velocity%' THEN 'verify_velocity_justified'
+       WHEN top_pos LIKE '%night%' THEN 'investigate_night_activity'
+       ELSE CAST(NULL AS {str_t}) END AS factor_recommendation
+FROM base
+"""
+
+
+@register(
+    "gbt_nl_explanations",
+    oracle=_nl_explanations_sql(
+        "SELECT * FROM read_parquet('"
+        + _export_path("gbt_nl_contrib", _ORACLE_SF)
+        + "/*.parquet')",
+        _ONLINE_FEATURES_SQL,
+        "duckdb",
+    ),
+)
 def gbt_nl_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-language explanations for the FITTED model's decisions —
     the reference's ExplanationGenerator (shap_explainer.py:298-420)
@@ -432,75 +506,26 @@ def gbt_nl_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk level (LOW <= 0.3 < MEDIUM <= 0.6 < HIGH, api/main.py:100-104)
     and the recommendation ladder (>0.8 block+investigate, >0.6 approve
     with monitoring, >0.3 routine monitoring, else approve,
-    shap_explainer.py:396-420). Rows-only (tree fits are not
-    bit-portable); structure and wording pinned in pytest."""
-    from pyspark.sql import Window
-
+    shap_explainer.py:396-420). Oracle-exact since r11 (was rows-only):
+    the query exports the per-(user, feature) contributions + margins —
+    the only fit-dependent values — and both engines independently
+    re-derive feature values from the online view and recompute the
+    ranking, wording, formatting, probabilities, and every ladder (see
+    _nl_explanations_sql). Structure and wording stay pytest-pinned."""
     feats = _gbt_inputs(spark, sf_dir)
     model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
     contrib = training.gbt_path_contributions(feats, model, _GBT_FEATURES)
-    stack_expr = "stack({}, {}) as (feature, feature_value)".format(
-        len(_GBT_FEATURES),
-        ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _GBT_FEATURES),
-    )
-    vals = feats.na.fill(0, _GBT_FEATURES).selectExpr("user_id", stack_expr)
-    joined = contrib.join(vals, ["user_id", "feature"])
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-2.0) * F.col("margin")))
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy(
-            F.abs(F.col("contribution")).desc(), F.col("feature")
-        )
-    )
-    # the reference's factor-specific recommendation tail
-    # (shap_explainer.py:422-431): keyed on the TOP risk-RAISING factor —
-    # 'unique_*' -> verify the diversity is legitimate, 'velocity' ->
-    # verify the rate is justified, 'night' -> investigate night activity
-    top_pos = F.first(
-        F.when(F.col("contribution") > 0, F.col("feature")), ignorenulls=True
-    ).over(
-        Window.partitionBy("user_id")
-        .orderBy(F.col("contribution").desc(), F.col("feature"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    factor_rec = (
-        F.when(top_pos.contains("unique"), "verify_entity_diversity")
-        .when(top_pos.contains("velocity"), "verify_velocity_justified")
-        .when(top_pos.contains("night"), "investigate_night_activity")
-        .otherwise(F.lit(None).cast("string"))
-    )
-    direction = F.when(F.col("contribution") >= 0, "raises").otherwise("lowers")
-    strength = F.when(
-        F.abs(F.col("contribution")) > 0.1, "strongly"
-    ).otherwise("moderately")
-    return (
-        joined.withColumn("rank", rn)
-        .filter(F.col("rank") <= 3)
-        .withColumn("risk_probability", prob)
-        .select(
-            "user_id",
-            "rank",
-            "feature",
-            "feature_value",
-            "contribution",
-            F.format_string(
-                "%s=%.3f %s risk %s (impact %+.3f)",
-                F.col("feature"),
-                F.col("feature_value"),
-                direction,
-                strength,
-                F.col("contribution"),
-            ).alias("explanation"),
-            F.round("risk_probability", 6).alias("risk_probability"),
-            F.when(F.col("risk_probability") <= 0.3, "LOW")
-            .when(F.col("risk_probability") <= 0.6, "MEDIUM")
-            .otherwise("HIGH")
-            .alias("risk_level"),
-            F.when(F.col("risk_probability") > 0.8, "block_and_investigate")
-            .when(F.col("risk_probability") > 0.6, "approve_with_monitoring")
-            .when(F.col("risk_probability") > 0.3, "approve_routine_monitoring")
-            .otherwise("approve")
-            .alias("recommendation"),
-            factor_rec.alias("factor_recommendation"),
+    path = _export_path("gbt_nl_contrib", sf_dir)
+    contrib.select("user_id", "feature", "contribution", "margin").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("gbt_nl_exp")
+    _gbt_inputs(spark, sf_dir).createOrReplaceTempView("gbt_nl_feats_v")
+    return spark.sql(
+        _nl_explanations_sql(
+            "SELECT * FROM gbt_nl_exp",
+            "SELECT * FROM gbt_nl_feats_v",
+            "spark",
         )
     )
 
