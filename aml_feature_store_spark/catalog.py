@@ -53,8 +53,8 @@ CERTIFIED: dict[str, int] = {
     "bm25_rank": 8,
     "curate_training_docs": 8,
     "daily_counts_per_user": 8,
-    "dedup_components_lsh": 8,
-    "dedup_minhash_lsh": 8,
+    # "dedup_components_lsh" invalidated r11 s1: exact-dup guard memoized per fileset (values unchanged) — re-certify
+    # "dedup_minhash_lsh" invalidated r11 s1: exact-dup guard memoized per fileset (values unchanged) — re-certify
     "domain_mixture_weights": 8,
     "dow_entropy_per_user": 8,
     "embedding_near_dup_pairs": 8,
@@ -169,7 +169,7 @@ CERTIFIED: dict[str, int] = {
     "language_id": 10,
     "lstm_iter0_contract": 10,
     "merchant_graph_features": 10,
-    "merchant_trailing_features": 10,
+    # "merchant_trailing_features" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
     "min_balance_supplier_q2": 10,
     "multimodal_jpeg_features": 10,
     "pagerank_bipartite": 10,
@@ -182,9 +182,9 @@ CERTIFIED: dict[str, int] = {
     "suppliers_kept_waiting_q21": 10,
     "text_stats": 10,
     "top_events_global": 10,
-    "trailing_multiwindow_features": 10,
-    "trailing_sums_cumsum_strategy": 10,
-    "unique_counts_windows": 10,
+    # "trailing_multiwindow_features" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
+    # "trailing_sums_cumsum_strategy" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
+    # "unique_counts_windows" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
     "user_clustering_coeff": 10,
     "user_graph_degrees": 10,
     "user_shared_k_pairs": 10,
