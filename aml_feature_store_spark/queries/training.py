@@ -96,6 +96,20 @@ def _gbt_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gbt_margins_sql(score_src: str, feats_src: str) -> str:
+    """Margin front half shared by both engines of the gbt summary
+    contract: re-derive the label from the online view, LEFT-join the
+    exported margins (a dropped entity yields a NULL score that shifts
+    the rank construction), emit (s, label) rows."""
+    return f"""
+WITH sc AS ({score_src}),
+lab AS (
+  SELECT user_id, night_txn_count_24h >= 1 AS label FROM ({feats_src})
+)
+SELECT sc.s, lab.label FROM lab LEFT JOIN sc USING (user_id)
+"""
+
+
 def _gbt_summary_sql(imp_src: str, score_src: str, feats_src: str) -> str:
     """Shared recompute body for gbt_training_summary over two exports:
     (feature, importance) rows and per-entity GBT margins. Both engines
@@ -104,16 +118,13 @@ def _gbt_summary_sql(imp_src: str, score_src: str, feats_src: str) -> str:
     dropped entity reddens the value), join it to the exported margins,
     and recompute the rank-exact train ROC AUC with the binary_auc
     construction. Importance and margin VALUES pass through (tree fits
-    stay engine-specific, bit-deterministic per box)."""
+    stay engine-specific, bit-deterministic per box). (The Spark side
+    computes the identical rank arithmetic with the distributed prefix
+    scan — see _rank_auc_df; this windowed form is the DuckDB oracle
+    only.)"""
     return f"""
 WITH imp AS ({imp_src}),
-sc AS ({score_src}),
-lab AS (
-  SELECT user_id, night_txn_count_24h >= 1 AS label FROM ({feats_src})
-),
-margins AS (
-  SELECT sc.s, lab.label FROM lab LEFT JOIN sc USING (user_id)
-),
+margins AS ({_gbt_margins_sql(score_src, feats_src)}),
 per_s AS (
   SELECT s, COUNT(*) AS cnt,
          SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos
@@ -183,15 +194,19 @@ def gbt_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature string, importance double",
     ).write.mode("overwrite").parquet(ipath)
     spark.read.parquet(mpath).createOrReplaceTempView("gbt_margins_exp")
-    spark.read.parquet(ipath).createOrReplaceTempView("gbt_imps_exp")
+    imps_df = spark.read.parquet(ipath)
     _gbt_inputs(spark, sf_dir).createOrReplaceTempView("gbt_feats_v")
-    return spark.sql(
-        _gbt_summary_sql(
-            "SELECT * FROM gbt_imps_exp",
+    margins_df = spark.sql(
+        _gbt_margins_sql(
             "SELECT * FROM gbt_margins_exp",
             "SELECT user_id, night_txn_count_24h FROM gbt_feats_v",
         )
     )
+    return imps_df.crossJoin(
+        F.broadcast(
+            _rank_auc_df(margins_df).select(F.col("auc").alias("train_auc"))
+        )
+    ).select("feature", "importance", "train_auc")
 
 
 def _contrib_identity_sql(src: str, computed: bool) -> str:
@@ -982,19 +997,47 @@ def automl_asha_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary
 
 
-def _logreg_summary_sql(coef_src: str, feats_src: str) -> str:
-    """Shared recompute body for model_training_summary over a
-    coefficient export relation (feature, coefficient): both engines
-    pivot the exported coefficients, rebuild every entity's margin
-    w·x + b from the ONLINE FEATURE VIEW in the same association order,
-    and recompute the rank-exact train ROC AUC (the binary_auc
-    construction — average ranks over score groups, exact integer rank
-    sums) of the margin against the night-activity label. The
-    coefficient VALUES pass through (L-BFGS stays engine-specific,
-    bit-deterministic per box); the scoring arithmetic, feature
-    plumbing, and the AUC are independently recomputed — a wrong margin,
-    dropped entity, or broken rank construction reddens train_auc on
-    every row."""
+def _rank_auc_df(margins: DataFrame) -> DataFrame:
+    """Exact rank ROC AUC of (s, label) rows as a one-row (auc double)
+    frame — the SPARK side of the training-summary contracts. The
+    oracle's windowed construction (ORDER BY s with no partition) is the
+    named single-partition scale-killer, so the Spark plan computes the
+    same integer rank arithmetic with the two-pass distributed prefix
+    scan (prefix.global_cumsum): bucket by score range, per-bucket
+    cumsum, broadcast bucket offsets. Value-identical — rank sums are
+    exact integers on both constructions; one final double divide."""
+    from ..operators.prefix import global_cumsum
+
+    per_s = margins.groupBy(F.col("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("pos"),
+    )
+    cum = global_cumsum(per_s, "s", ["cnt"])
+    before = F.col("cum_cnt") - F.col("cnt")
+    agg = cum.agg(
+        F.sum(
+            F.col("pos") * (F.lit(2) * before + F.col("cnt") + F.lit(1))
+        ).alias("r2"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nneg"),
+    )
+    npos, nneg = F.col("npos"), F.col("nneg")
+    auc = F.when(
+        (npos * nneg) != 0,
+        (
+            F.col("r2").cast("double") / F.lit(2.0)
+            - (npos * (npos + 1)).cast("double") / F.lit(2.0)
+        )
+        / (npos * nneg).cast("double"),
+    ).otherwise(F.lit(0.5))
+    return agg.select(auc.alias("auc"))
+
+
+def _logreg_margins_sql(coef_src: str, feats_src: str) -> str:
+    """Margin-building front half shared by both engines: pivot the
+    exported coefficients, rebuild every entity's margin w·x + b from
+    the online feature view in the same association order, emit
+    (s, label) rows."""
     fnames = list(_GBT_FEATURES)
     w = ", ".join(
         f"MAX(CASE WHEN feature = '{c}' THEN coefficient END) AS w{j}"
@@ -1014,10 +1057,29 @@ w AS (
 f AS (
   SELECT user_id, {feat_sel}, night_txn_count_24h >= 1 AS label
   FROM ({feats_src})
-),
-margins AS (
-  SELECT (({margin}) + w.b) AS s, f.label FROM f CROSS JOIN w
-),
+)
+SELECT (({margin}) + w.b) AS s, f.label FROM f CROSS JOIN w
+"""
+
+
+def _logreg_summary_sql(coef_src: str, feats_src: str) -> str:
+    """Shared recompute body for model_training_summary over a
+    coefficient export relation (feature, coefficient): both engines
+    pivot the exported coefficients, rebuild every entity's margin
+    w·x + b from the ONLINE FEATURE VIEW in the same association order,
+    and recompute the rank-exact train ROC AUC (the binary_auc
+    construction — average ranks over score groups, exact integer rank
+    sums) of the margin against the night-activity label. The
+    coefficient VALUES pass through (L-BFGS stays engine-specific,
+    bit-deterministic per box); the scoring arithmetic, feature
+    plumbing, and the AUC are independently recomputed — a wrong margin,
+    dropped entity, or broken rank construction reddens train_auc on
+    every row. (The Spark side computes the identical rank arithmetic
+    with the distributed prefix scan — see _rank_auc_df; this windowed
+    form is the DuckDB oracle only.)"""
+    return f"""
+WITH co AS ({coef_src}),
+margins AS ({_logreg_margins_sql(coef_src, feats_src)}),
 per_s AS (
   SELECT s, COUNT(*) AS cnt,
          SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos
@@ -1076,13 +1138,17 @@ def model_training_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.createDataFrame(
         coefs, "feature string, coefficient double"
     ).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView("logreg_coefs_exp")
+    coefs_df = spark.read.parquet(path)
+    coefs_df.createOrReplaceTempView("logreg_coefs_exp")
     _online_features(spark, sf_dir).createOrReplaceTempView("logreg_feats_v")
-    return spark.sql(
-        _logreg_summary_sql(
+    margins = spark.sql(
+        _logreg_margins_sql(
             "SELECT * FROM logreg_coefs_exp", "SELECT * FROM logreg_feats_v"
         )
     )
+    return coefs_df.crossJoin(
+        F.broadcast(_rank_auc_df(margins).select(F.col("auc").alias("train_auc")))
+    ).select("feature", "coefficient", "train_auc")
 
 
 _SEQ_K = 5
