@@ -568,12 +568,18 @@ SECTION_WEIGHT = {
 # Slow-box detection (r10 postmortem): the initial warm pair
 # (pricing_summary cheap-plan + windowed_gini heavy-kernel at sf0.1)
 # took 14.2 s cold on a quiet box (measured r11, 32-core container).
-# When the same pair runs > 1.6x that, the box is degraded and the run
+# When the same pair runs > 1.35x that, the box is degraded and the run
 # sheds repeats (3->2 timed, hot +2 -> +1 extra) so every section still
 # fits its slice. A false positive only costs samples (min-of-2 with the
-# same discard rules), never coverage.
+# same discard rules), never coverage. 1.35 (was 1.6 at first cut): the
+# r11 run-2 box sat at 1.39x — under the old threshold yet over
+# capacity, so every section fell into degraded one-shot samples; a box
+# past ~1.35x cannot fit the full protocol in the slices either way,
+# and shedding repeats early yields strictly better samples than
+# degrading late (quiet-box warm pairs measure 13.5-14.5 s, so the
+# threshold keeps ~35% headroom against false positives).
 SLOW_REF_WARM_S = 14.0
-SLOW_BOX_FACTOR = 1.6
+SLOW_BOX_FACTOR = 1.35
 
 
 def main() -> None:
