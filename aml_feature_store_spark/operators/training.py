@@ -555,6 +555,86 @@ def gbt_shap_values(
     return feats.select(entity_col, *names).mapInPandas(kernel, schema=schema)
 
 
+def _tree_margin_fn(trees):
+    """Vectorized margin evaluator for an extracted GBT tree list: one
+    boolean-mask walk per tree node over the whole perturbation batch."""
+    import numpy as np
+
+    def margin_of(X: "object") -> "object":
+        out = np.zeros(len(X))
+
+        def walk(node, mask, w):
+            if "feat" not in node:
+                out[mask] += w * node["pred"]
+                return
+            left = mask & (X[:, node["feat"]] <= node["thr"])
+            walk(node["left"], left, w)
+            walk(node["right"], mask & ~left, w)
+
+        for w, tree in trees:
+            walk(tree, np.ones(len(X), dtype=bool), w)
+        return out
+
+    return margin_of
+
+
+def _lime_sigma(feats: DataFrame, names: list[str]):
+    """Default per-feature perturbation scale: population stddev (NULL→0),
+    non-positive/NULL falling back to 1.0. One bounded driver row (a 1-row
+    aggregate). Callers needing an exactly-reproducible scale pass
+    ``sigma_override`` instead (the registered query uses the house
+    DECIMAL-moment recipe so DuckDB can recompute sigma bit-exactly)."""
+    import numpy as np
+
+    sig_row = (
+        feats.na.fill(0, names)
+        .agg(*[F.stddev_pop(c).alias(c) for c in names])
+        .first()
+    )
+    return np.array(
+        [s if s and s > 0 else 1.0 for s in (sig_row[c] for c in names)],
+        dtype=np.float64,
+    )
+
+
+def _lime_local_fits(x, uids, margin_of, sigma, n_samples, kw, ridge, seed):
+    """Shared LIME core (weights query + evidence export): seeded
+    per-entity Gaussian perturbations, exponential kernel weights, one
+    vectorized tree walk for all n·S perturbed points, and the n batched
+    (d+1)×(d+1) weighted ridge solves. Returns (z, y, beta, marg, r2) —
+    standardized offsets, perturbed margins, surrogate coefficients
+    (intercept first), true margins, weighted R². Per-entity results are
+    independent of batch composition (each entity's arrays are
+    contiguous and its RNG is seeded by (seed, entity))."""
+    import numpy as np
+
+    n, d = x.shape
+    eye = np.eye(d + 1)
+    eye[0, 0] = 0.0  # no ridge on the intercept
+    z = np.empty((n, n_samples, d))
+    for i, uid in enumerate(uids):
+        z[i] = np.random.default_rng([seed, int(uid)]).standard_normal(
+            (n_samples, d)
+        )
+    xp = x[:, None, :] + z * sigma[None, None, :]
+    y = margin_of(xp.reshape(n * n_samples, d)).reshape(n, n_samples)
+    w = np.exp(-(z**2).sum(axis=2) / (kw * kw))
+    a = np.concatenate([np.ones((n, n_samples, 1)), z], axis=2)
+    aw = a * w[:, :, None]
+    g = np.einsum("nsi,nsj->nij", aw, a) + ridge * eye[None, :, :]
+    b = np.einsum("nsi,ns->ni", aw, y)
+    beta = np.linalg.solve(g, b)
+    yhat = np.einsum("nsi,ni->ns", a, beta)
+    wsum = w.sum(axis=1)
+    ybar = (w * y).sum(axis=1) / wsum
+    ss_res = (w * (y - yhat) ** 2).sum(axis=1)
+    ss_tot = (w * (y - ybar[:, None]) ** 2).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r2 = np.where(ss_tot > 0, 1.0 - ss_res / ss_tot, 1.0)
+    marg = margin_of(x)
+    return z, y, beta, marg, r2
+
+
 def gbt_lime_weights(
     feats: DataFrame,
     model,
@@ -564,6 +644,7 @@ def gbt_lime_weights(
     kernel_width: float | None = None,
     ridge: float = 1e-6,
     seed: int = 7,
+    sigma_override=None,
 ) -> DataFrame:
     """LIME local surrogate for a fitted GBT — library-free re-expression
     of the reference's LimeTabularExplainer serving surface
@@ -584,14 +665,20 @@ def gbt_lime_weights(
 
     Deterministic: the perturbation stream is seeded per (seed, entity
     id), so results are independent of partitioning and batching.
+    ``sigma_override`` replaces the default stddev_pop perturbation scale
+    (which costs one bounded 1-row driver aggregate at plan-build time)
+    with caller-supplied per-feature scales — the registered query passes
+    the house DECIMAL-moment stddev so an independent engine can
+    recompute sigma bit-exactly.
 
     Execution shape: trees + per-feature sigmas are closure metadata;
     each Arrow batch scores all n·S perturbations in ONE vectorized tree
     walk, then solves the n (d+1)×(d+1) weighted normal systems in a
     single batched ``np.linalg.solve``. No shuffle; the corpus streams
-    through mapInPandas. Rows-only query surface: local surrogates are
-    sampling-based by definition; determinism, SHAP top-feature
-    agreement, and fit quality are pytest-pinned.
+    through mapInPandas. Query surface: oracle-checked since r11 via the
+    evidence-export contract (gbt_lime_export / _lime_identity_sql);
+    determinism, SHAP top-feature agreement, and fit quality stay
+    pytest-pinned.
     """
     import numpy as np
     import pandas as pd
@@ -600,65 +687,27 @@ def gbt_lime_weights(
     d = len(names)
     trees = gbt_trees(model)
     kw = kernel_width if kernel_width is not None else 0.75 * float(np.sqrt(d))
-    sig_row = (
-        feats.na.fill(0, names)
-        .agg(*[F.stddev_pop(c).alias(c) for c in names])
-        .first()
+    sigma = (
+        np.asarray(sigma_override, dtype=np.float64)
+        if sigma_override is not None
+        else _lime_sigma(feats, names)
     )
-    sigma = np.array(
-        [s if s and s > 0 else 1.0 for s in (sig_row[c] for c in names)],
-        dtype=np.float64,
-    )
+    margin_of = _tree_margin_fn(trees)
     schema = (
         f"{entity_col} long, feature string, weight double, "
         "weight_per_sigma double, intercept double, margin double, r2 double"
     )
 
-    def margin_of(X: "np.ndarray") -> "np.ndarray":
-        out = np.zeros(len(X))
-
-        def walk(node, mask, w):
-            if "feat" not in node:
-                out[mask] += w * node["pred"]
-                return
-            left = mask & (X[:, node["feat"]] <= node["thr"])
-            walk(node["left"], left, w)
-            walk(node["right"], mask & ~left, w)
-
-        for w, tree in trees:
-            walk(tree, np.ones(len(X), dtype=bool), w)
-        return out
-
     def kernel(batches):
-        eye = np.eye(d + 1)
-        eye[0, 0] = 0.0  # no ridge on the intercept
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             x = pdf[names].fillna(0).to_numpy(np.float64)
             uids = pdf[entity_col].to_numpy(np.int64)
-            z = np.empty((n, n_samples, d))
-            for i, uid in enumerate(uids):
-                z[i] = np.random.default_rng([seed, int(uid)]).standard_normal(
-                    (n_samples, d)
-                )
-            xp = x[:, None, :] + z * sigma[None, None, :]
-            y = margin_of(xp.reshape(n * n_samples, d)).reshape(n, n_samples)
-            w = np.exp(-(z**2).sum(axis=2) / (kw * kw))
-            a = np.concatenate([np.ones((n, n_samples, 1)), z], axis=2)
-            aw = a * w[:, :, None]
-            g = np.einsum("nsi,nsj->nij", aw, a) + ridge * eye[None, :, :]
-            b = np.einsum("nsi,ns->ni", aw, y)
-            beta = np.linalg.solve(g, b)
-            yhat = np.einsum("nsi,ni->ns", a, beta)
-            wsum = w.sum(axis=1)
-            ybar = (w * y).sum(axis=1) / wsum
-            ss_res = (w * (y - yhat) ** 2).sum(axis=1)
-            ss_tot = (w * (y - ybar[:, None]) ** 2).sum(axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                r2 = np.where(ss_tot > 0, 1.0 - ss_res / ss_tot, 1.0)
-            marg = margin_of(x)
+            _z, _y, beta, marg, r2 = _lime_local_fits(
+                x, uids, margin_of, sigma, n_samples, kw, ridge, seed
+            )
             out = []
             for j, name in enumerate(names):
                 out.append(
@@ -675,6 +724,87 @@ def gbt_lime_weights(
                     )
                 )
             yield pd.concat(out, ignore_index=True)
+
+    return feats.select(entity_col, *names).mapInPandas(kernel, schema=schema)
+
+
+def gbt_lime_export(
+    feats: DataFrame,
+    model,
+    feature_cols: list[str],
+    entity_col: str = "user_id",
+    n_samples: int = 256,
+    kernel_width: float | None = None,
+    ridge: float = 1e-6,
+    seed: int = 7,
+    sigma_override=None,
+) -> DataFrame:
+    """LIME evidence export backing the value-recomputing oracle contract
+    (queries/training.py:_lime_identity_sql): per entity, the seeded
+    standardized perturbation offsets z and the model margin y at each
+    perturbed point (sample rows, s = 0..S−1) plus ONE fit row (s = −1)
+    carrying the solved surrogate beta (intercept first), the true
+    margin, the weighted R², and the per-feature perturbation scale g_j
+    actually used. From the sample rows alone an independent engine
+    rebuilds the kernel weights w = exp(−‖z‖²/kw²), the weighted normal
+    equations G = A'WA + ridge·diag(0,1,…,1) and b = A'Wy, and pins the
+    residual G·beta − b ≈ 0 against the exported beta — a wrong kernel,
+    dropped sample, or broken solve is observable without reproducing
+    numpy's RNG (np.linalg.solve is backward stable, so the honest
+    residual sits at ~1e-12 while any defect is O(1); the contract
+    rounds at 1e-6). Same deterministic per-(seed, entity) perturbation
+    stream and identical solves as gbt_lime_weights (shared
+    _lime_local_fits)."""
+    import numpy as np
+    import pandas as pd
+
+    names = list(feature_cols)
+    d = len(names)
+    trees = gbt_trees(model)
+    kw = kernel_width if kernel_width is not None else 0.75 * float(np.sqrt(d))
+    sigma = (
+        np.asarray(sigma_override, dtype=np.float64)
+        if sigma_override is not None
+        else _lime_sigma(feats, names)
+    )
+    margin_of = _tree_margin_fn(trees)
+    zcols = [f"z{j}" for j in range(1, d + 1)]
+    bcols = [f"b{j}" for j in range(d + 1)]
+    gcols = [f"g{j}" for j in range(1, d + 1)]
+    allcols = [entity_col, "s", *zcols, "y", *bcols, "margin", "r2", *gcols]
+    schema = ", ".join(
+        [f"{entity_col} long", "s long"] + [f"{c} double" for c in allcols[2:]]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = pdf[names].fillna(0).to_numpy(np.float64)
+            uids = pdf[entity_col].to_numpy(np.int64)
+            z, y, beta, marg, r2 = _lime_local_fits(
+                x, uids, margin_of, sigma, n_samples, kw, ridge, seed
+            )
+            samp = pd.DataFrame(
+                {
+                    entity_col: np.repeat(uids, n_samples),
+                    "s": np.tile(np.arange(n_samples, dtype=np.int64), n),
+                }
+            )
+            for j, c in enumerate(zcols):
+                samp[c] = z[:, :, j].reshape(-1)
+            samp["y"] = y.reshape(-1)
+            fit = pd.DataFrame({entity_col: uids, "s": np.int64(-1)})
+            for j, c in enumerate(bcols):
+                fit[c] = beta[:, j]
+            fit["margin"] = marg
+            fit["r2"] = r2
+            for j, c in enumerate(gcols):
+                fit[c] = sigma[j]
+            yield pd.concat([samp, fit], ignore_index=True).reindex(
+                columns=allcols
+            )
 
     return feats.select(entity_col, *names).mapInPandas(kernel, schema=schema)
 

@@ -421,18 +421,252 @@ def gbt_shap_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gbt_lime_weights", oracle=None)
+def _lime_house_sigma(
+    feats: DataFrame, names: list[str] | None = None
+) -> list[float]:
+    """Per-feature population stddev over the NULL→0-filled online
+    features, computed with the house exact-summation recipe (9-dp
+    addends summed in DECIMAL(38,12), ROUND(·/n, 9) after each stage) so
+    the value is order-independent and DuckDB recomputes it bit-exactly
+    from the base tables. Two bounded 1-row driver aggregates.
+    Non-positive/NULL stddev falls back to 1.0 (constant column)."""
+    names = list(names) if names is not None else _GBT_FEATURES
+    n = F.count(F.lit(1))
+    df = feats.select(
+        *[
+            F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+            for c in names
+        ]
+    )
+    mu_row = df.agg(
+        *[
+            F.round(
+                F.sum(F.round(F.col(c), 9).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / n,
+                9,
+            ).alias(c)
+            for c in names
+        ]
+    ).first()
+    sg_row = df.agg(
+        *[
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col(c) - F.lit(float(mu_row[c])))
+                            * (F.col(c) - F.lit(float(mu_row[c]))),
+                            9,
+                        ).cast("decimal(38,12)")
+                    ).cast("double")
+                    / n
+                ),
+                9,
+            ).alias(c)
+            for c in names
+        ]
+    ).first()
+    return [s if s and s > 0 else 1.0 for s in (sg_row[c] for c in names)]
+
+
+def _lime_identity_sql(
+    src: str,
+    feats_src: str,
+    computed: bool,
+    features: list[str] | None = None,
+) -> str:
+    """Shared CTE body over a LIME evidence export (sample rows s ≥ 0
+    carrying the seeded standardized offsets z + the perturbed-point
+    margin y; one fit row s = −1 per entity carrying beta b0..bd, the
+    true margin, the weighted R², and the sigma g1..gd actually used):
+
+    - rebuilds the kernel weights w = EXP(−‖z‖²/kw²) and the weighted
+      normal equations G = A'WA + ridge·diag(0,1,…,1), b = A'Wy from the
+      sample rows, and pins Σ_i |(G·beta − b)_i| ≈ 0 against the
+      exported beta (backward-stable solve → honest residual ~1e-12;
+      any wrong kernel / dropped sample / broken solve is O(1); rounded
+      at 1e-6 — ne_resid);
+    - recomputes the weighted R² from the same rows + exported beta and
+      pins it to the exported r2 at 1e-6 (skipped behind an
+      ss_tot > 1e-9·Σw relative floor: below it the ratio is FP noise in
+      BOTH engines — same epsilon-floor convention as the PSI query);
+    - recomputes sigma from the base feature view with the house
+      DECIMAL-moment recipe (bit-exact cross-engine) and pins the
+      exported g_j to it;
+    - returns the public surface (user_id, feature, weight = b_j/g_j,
+      weight_per_sigma = b_j, intercept = b0, margin, r2) read back from
+      the export — identical doubles in both engines.
+
+    ``computed`` selects which residual column carries the engine's own
+    arithmetic (mirror layout of _shap_identity_sql)."""
+    import math
+
+    names = list(features) if features is not None else _GBT_FEATURES
+    d = len(names)
+    kw2 = repr((0.75 * math.sqrt(d)) ** 2)
+    ridge = "1e-6"
+
+    def a_(i: int) -> str:
+        return "1" if i == 0 else f"z{i}"
+
+    znorm = " + ".join(f"z{j}*z{j}" for j in range(1, d + 1))
+    g_terms = ", ".join(
+        f"SUM(w*{a_(i)}*{a_(j)}) AS g{i}{j}"
+        for i in range(d + 1)
+        for j in range(i, d + 1)
+    )
+    c_terms = ", ".join(
+        f"SUM(w*{a_(i)}*y) AS c{i}" for i in range(d + 1)
+    )
+    resid_rows = []
+    for i in range(d + 1):
+        row = " + ".join(
+            f"n.g{min(i, j)}{max(i, j)}*f.b{j}" for j in range(d + 1)
+        )
+        if i > 0:
+            row += f" + {ridge}*f.b{i}"
+        resid_rows.append(f"ABS({row} - n.c{i})")
+    ne_resid = " + ".join(resid_rows)
+    yhat = "f.b0 + " + " + ".join(f"f.b{j}*p.z{j}" for j in range(1, d + 1))
+    fit_cols = ", ".join(
+        [f"b{j}" for j in range(d + 1)]
+        + ["margin", "r2"]
+        + [f"g{j}" for j in range(1, d + 1)]
+    )
+    sig_fill = ", ".join(
+        f"COALESCE(CAST({c} AS DOUBLE), 0.0) AS f{j}"
+        for j, c in enumerate(names, 1)
+    )
+    mu_terms = ", ".join(
+        f"ROUND(CAST(SUM(CAST(ROUND(f{j}, 9) AS DECIMAL(38,12))) AS DOUBLE)"
+        f" / COUNT(*), 9) AS mu{j}"
+        for j in range(1, d + 1)
+    )
+    sg_terms = ", ".join(
+        f"ROUND(SQRT(CAST(SUM(CAST(ROUND((f{j}-mu{j})*(f{j}-mu{j}), 9)"
+        f" AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), 9) AS s{j}"
+        for j in range(1, d + 1)
+    )
+    sadj_terms = ", ".join(
+        f"CASE WHEN s{j} IS NULL OR s{j} <= 0 THEN 1.0 ELSE s{j} END AS s{j}"
+        for j in range(1, d + 1)
+    )
+    surface_arms = " UNION ALL ".join(
+        f"SELECT user_id, '{name}' AS feature, b{j}/g{j} AS weight, "
+        f"b{j} AS weight_per_sigma, b0 AS intercept, margin, r2, "
+        f"g{j} AS sigma_used FROM fit"
+        for j, name in enumerate(names, 1)
+    )
+    sig_case = " ".join(
+        f"WHEN '{name}' THEN a.s{j}" for j, name in enumerate(names, 1)
+    )
+    ne = "CAST(ROUND(r.ne_resid * 1e6) AS BIGINT)"
+    r2r = "CAST(ROUND((q.r2_rec - s.r2) * 1e6) AS BIGINT)"
+    sg = (
+        f"CAST(ROUND((s.sigma_used - (CASE s.feature {sig_case} END))"
+        " * 1e6) AS BIGINT)"
+    )
+    zero = "CAST(0 AS BIGINT)"
+    ne_micro, ne_live = (zero, ne) if computed else (ne, zero)
+    r2_micro, r2_live = (zero, r2r) if computed else (r2r, zero)
+    sg_micro, sg_live = (zero, sg) if computed else (sg, zero)
+    return f"""
+WITH exp AS ({src}),
+feats AS ({feats_src}),
+samp AS (
+  SELECT user_id, {', '.join(f'z{j}' for j in range(1, d + 1))}, y,
+         EXP(-({znorm}) / {kw2}) AS w
+  FROM exp WHERE s >= 0
+),
+fit AS (SELECT user_id, {fit_cols} FROM exp WHERE s = -1),
+ne AS (SELECT user_id, {g_terms}, {c_terms} FROM samp GROUP BY user_id),
+resid AS (
+  SELECT f.user_id, {ne_resid} AS ne_resid
+  FROM fit f JOIN ne n ON n.user_id = f.user_id
+),
+r2parts AS (
+  SELECT p.user_id,
+         SUM(p.w * (p.y - ({yhat})) * (p.y - ({yhat}))) AS ss_res,
+         SUM(p.w * p.y) AS swy, SUM(p.w) AS sw
+  FROM samp p JOIN fit f ON f.user_id = p.user_id
+  GROUP BY p.user_id
+),
+r2tot AS (
+  SELECT p.user_id,
+         SUM(p.w * (p.y - t.swy / t.sw) * (p.y - t.swy / t.sw)) AS ss_tot
+  FROM samp p JOIN r2parts t ON t.user_id = p.user_id
+  GROUP BY p.user_id
+),
+r2rec AS (
+  SELECT f.user_id,
+         CASE WHEN t.ss_tot > 1e-9 * p.sw THEN 1.0 - p.ss_res / t.ss_tot
+              ELSE f.r2 END AS r2_rec
+  FROM fit f
+  JOIN r2parts p ON p.user_id = f.user_id
+  JOIN r2tot t ON t.user_id = f.user_id
+),
+sigsrc AS (SELECT {sig_fill} FROM feats),
+mus AS (SELECT {mu_terms} FROM sigsrc),
+sig AS (SELECT {sg_terms} FROM sigsrc CROSS JOIN mus),
+sadj AS (SELECT {sadj_terms} FROM sig),
+surface AS ({surface_arms})
+SELECT s.user_id, s.feature, s.weight, s.weight_per_sigma, s.intercept,
+       s.margin, s.r2,
+       {ne_micro} AS ne_resid_micro,
+       {ne_live} AS ne_resid_live_micro,
+       {r2_micro} AS r2_resid_micro,
+       {r2_live} AS r2_resid_live_micro,
+       {sg_micro} AS sigma_resid_micro,
+       {sg_live} AS sigma_resid_live_micro
+FROM surface s
+JOIN resid r ON r.user_id = s.user_id
+JOIN r2rec q ON q.user_id = s.user_id
+CROSS JOIN sadj a
+"""
+
+
+@register(
+    "gbt_lime_weights",
+    oracle=_lime_identity_sql(
+        "SELECT * FROM read_parquet('"
+        + _export_path("gbt_lime", _ORACLE_SF)
+        + "/*.parquet')",
+        _ONLINE_FEATURES_SQL,
+        computed=False,
+    ),
+)
 def gbt_lime_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIME local surrogate weights for the fitted GBT over every scored
     entity (explainability/shap_explainer.py:256-296 re-expressed
     library-free): perturbation + weighted local linear fit per row
     batch, long-format (user_id, feature, weight, weight_per_sigma,
-    intercept, margin, r2) rows. Rows-only — sampling-based by
-    definition; determinism, SHAP top-feature agreement and fit quality
-    are pytest-pinned."""
+    intercept, margin, r2) rows. Oracle-exact since r11 via the
+    evidence-export contract: the query exports the seeded perturbation
+    offsets and perturbed-point margins alongside the solved surrogate,
+    and the DuckDB oracle independently rebuilds the kernel weights and
+    weighted normal equations and pins G·beta − b ≈ 0, the weighted R²,
+    and the house DECIMAL-moment sigma (see _lime_identity_sql — only
+    the tree-margin values pass through, as in the SHAP contract).
+    Determinism, SHAP top-feature agreement and fit quality stay
+    pytest-pinned."""
     feats = _gbt_inputs(spark, sf_dir)
     model, _ = training.train_gbt(feats, _GBT_FEATURES, "label")
-    return training.gbt_lime_weights(feats, model, _GBT_FEATURES)
+    sigma = _lime_house_sigma(feats)
+    path = _export_path("gbt_lime", sf_dir)
+    training.gbt_lime_export(
+        feats, model, _GBT_FEATURES, sigma_override=sigma
+    ).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("gbt_lime_exp")
+    feats.createOrReplaceTempView("gbt_lime_feats_v")
+    return spark.sql(
+        _lime_identity_sql(
+            "SELECT * FROM gbt_lime_exp",
+            "SELECT * FROM gbt_lime_feats_v",
+            computed=True,
+        )
+    )
 
 
 def _nl_explanations_sql(exp_src: str, feats_src: str, dialect: str) -> str:

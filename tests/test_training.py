@@ -474,3 +474,88 @@ def test_gbt_export_identities_and_mutation_detection(spark, tmp_path):
     assert (sbad[sbad.user_id == 3].phi_resid_micro != 0).any()
     # and rows for untouched users stay zero
     assert (sbad[sbad.user_id != 3].phi_resid_micro == 0).all()
+
+
+def test_lime_export_contract_and_mutation_detection(spark, tmp_path):
+    """r11 value-recomputing LIME contract: DuckDB rebuilds the kernel
+    weights and weighted normal equations from the exported perturbation
+    evidence and pins G·beta − b ≈ 0, the weighted R², and the house
+    DECIMAL-moment sigma — all residuals land on exact lattice zero for
+    an honest export; corrupting one beta cell or one perturbation
+    offset reddens the affected user's residuals and no one else's."""
+    import duckdb
+
+    from aml_feature_store_spark.operators.training import (
+        gbt_lime_export,
+        gbt_lime_weights,
+        train_gbt,
+    )
+    from aml_feature_store_spark.queries.training import (
+        _lime_house_sigma,
+        _lime_identity_sql,
+    )
+
+    df = _separable_frame(spark)
+    model, _ = train_gbt(df, ["x1", "x2"], "label")
+    sigma = _lime_house_sigma(df, ["x1", "x2"])
+    path = str(tmp_path / "lime")
+    gbt_lime_export(
+        df, model, ["x1", "x2"], sigma_override=sigma
+    ).write.parquet(path)
+    fpath = str(tmp_path / "feats")
+    df.select("user_id", "x1", "x2").write.parquet(fpath)
+    src = f"SELECT * FROM read_parquet('{path}/*.parquet')"
+    fsrc = f"SELECT user_id, x1, x2 FROM read_parquet('{fpath}/*.parquet')"
+    out = duckdb.sql(
+        _lime_identity_sql(src, fsrc, computed=False, features=["x1", "x2"])
+    ).df()
+    assert len(out) == 400  # 200 users x 2 features
+    assert (out.ne_resid_micro == 0).all()
+    assert (out.r2_resid_micro == 0).all()
+    assert (out.sigma_resid_micro == 0).all()
+
+    # the read-back surface is the operator's own surface, bit-for-bit
+    rows = {
+        (r["user_id"], r["feature"]): r
+        for r in gbt_lime_weights(
+            df, model, ["x1", "x2"], sigma_override=sigma
+        ).collect()
+    }
+    for r in out.itertuples():
+        op = rows[(r.user_id, r.feature)]
+        assert op["weight_per_sigma"] == r.weight_per_sigma
+        assert op["weight"] == r.weight and op["r2"] == r.r2
+
+    # mutation 1: +1e-3 on one solved coefficient -> that user's normal
+    # equations no longer balance; untouched users stay zero
+    cols = "user_id, s, z1, z2, y, b0, {b1}, b2, margin, r2, g1, g2"
+    bad = duckdb.sql(
+        _lime_identity_sql(
+            "SELECT "
+            + cols.format(
+                b1="b1 + CASE WHEN user_id = 3 AND s = -1 THEN 0.001 "
+                "ELSE 0 END AS b1"
+            )
+            + f" FROM read_parquet('{path}/*.parquet')",
+            fsrc,
+            computed=False,
+            features=["x1", "x2"],
+        )
+    ).df()
+    assert (bad[bad.user_id == 3].ne_resid_micro != 0).all()
+    assert (bad[bad.user_id != 3].ne_resid_micro == 0).all()
+
+    # mutation 2: nudging one perturbation offset changes the rebuilt
+    # kernel weight + normal equations for that user
+    bad2 = duckdb.sql(
+        _lime_identity_sql(
+            "SELECT user_id, s, z1 + CASE WHEN user_id = 3 AND s = 0 THEN "
+            "0.5 ELSE 0 END AS z1, z2, y, b0, b1, b2, margin, r2, g1, g2"
+            + f" FROM read_parquet('{path}/*.parquet')",
+            fsrc,
+            computed=False,
+            features=["x1", "x2"],
+        )
+    ).df()
+    assert (bad2[bad2.user_id == 3].ne_resid_micro != 0).all()
+    assert (bad2[bad2.user_id != 3].ne_resid_micro == 0).all()
