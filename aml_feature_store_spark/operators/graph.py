@@ -877,9 +877,14 @@ def pagerank_bipartite_smallside(
       contribution and hash-aggregate — the shuffle carries only
       |b| × n_partitions partial rows.
 
-    Per iteration that is two array passes instead of the generic
-    kernel's two edge-join+agg phases; at the 10M-event anchor (~150k
-    users × 100 categories) it removes ~14M join-probe rows per round.
+    Per iteration that is ONE adjacency pass (r11): the a-side rank is a
+    pure expression of the previous b-side map, so it is folded INLINE in
+    the b-update scan and the big (a, bs) frame is never re-materialized
+    — only the |b|-row mb frame checkpoints each round (the r10 loop
+    paid two adjacency-scale passes plus a full-adjacency localCheckpoint
+    per round). At the 10M-event anchor (~150k users × 100 categories)
+    the generic kernel's two edge-join+agg phases are likewise avoided
+    (~14M join-probe rows per round).
 
     Scale contract: the map broadcast bounds the small side the same way
     a broadcast join bounds its build side — ~2M entries ≈ 32 MB. Above
@@ -924,33 +929,62 @@ def pagerank_bipartite_smallside(
         + F.lit(damping) * (F.col(c).cast("double") / F.lit(1e12)),
         12,
     )
-    ua = adj.withColumn("r", F.lit(1.0 / n))
-    mb = bdeg.withColumn("r", F.lit(1.0 / n))
-    for _ in range(n_iters):
-        bmap = _score_map(mb, "b", lattice("r"))
-        ua_next = ua.crossJoin(F.broadcast(bmap)).select(
-            "a",
-            "bs",
-            "outdeg",
-            F.aggregate(
-                "bs",
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + F.element_at(F.col("_m"), x),
-            ).alias("_c"),
-        ).select("a", "bs", "outdeg", rank_of("_c").alias("r"))
-        mb_next = (
-            ua.select(lattice("r").alias("_w"), F.explode("bs").alias("b"))
+    fold_bs = F.aggregate(  # Σ over bs of the broadcast map's lattice entries
+        "bs",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.element_at(F.col("_m"), x),
+    )
+    # r11 optimization (guide §2.4/§5): the a-side rank is a PURE
+    # EXPRESSION of the previous b-side map — rank_of(fold(bs, bmap)) —
+    # so the big (a, bs) frame is never re-materialized with rank
+    # columns. Only the |b|-row mb frame is checkpointed per iteration;
+    # each iteration is ONE adjacency pass (the old loop paid two
+    # adjacency-scale passes PLUS a full-adjacency localCheckpoint per
+    # round). mb_k consumes ua_{k-1}.r = rank_of(fold(bs, map(mb_{k-2}))),
+    # evaluated inline in the same scan — identical double arithmetic to
+    # the materialized column, bit-equal (pytest-pinned vs the generic
+    # kernel).
+    mb_hist = [bdeg.withColumn("r", F.lit(1.0 / n))]  # mb_0 = uniform init
+    for k in range(1, n_iters + 1):
+        if k == 1:
+            src = adj.withColumn("_r", F.lit(1.0 / n))
+        else:
+            bmap_prev = _score_map(mb_hist[k - 2], "b", lattice("r"))
+            src = adj.crossJoin(F.broadcast(bmap_prev)).withColumn(
+                "_r",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * (fold_bs.cast("double") / F.lit(1e12)),
+                    12,
+                ),
+            )
+        mb_k = (
+            src.select(
+                F.floor(
+                    F.col("_r") / F.col("outdeg") * F.lit(1e12) + F.lit(0.5)
+                ).alias("_w"),
+                F.explode("bs").alias("b"),
+            )
             .groupBy("b")
             .agg(F.sum("_w").alias("_c"))
             .join(F.broadcast(bdeg), "b")
             .select("b", "outdeg", rank_of("_c").alias("r"))
+            .localCheckpoint(eager=True)
         )
-        ua = ua_next.localCheckpoint(eager=True)
-        # eager mb materialization measured FASTER than leaving it lazy
-        # at both anchors (lazy folds the explode+agg into the next
-        # broadcast-map build, which runs driver-blocking inside the
-        # broadcast job): sf0.1 3.54 vs 3.85 s, so keep the extra job
-        mb = mb_next.localCheckpoint(eager=True)
+        mb_hist.append(mb_k)
+    mb = mb_hist[-1]
+    if n_iters == 0:
+        ua = adj.withColumn("r", F.lit(1.0 / n))
+    else:
+        bmap_final = _score_map(mb_hist[n_iters - 1], "b", lattice("r"))
+        ua = adj.crossJoin(F.broadcast(bmap_final)).select(
+            "a",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * (fold_bs.cast("double") / F.lit(1e12)),
+                12,
+            ).alias("r"),
+        )
     out = lambda df, key: df.select(  # noqa: E731
         F.col(key).alias("node"),
         (F.round(F.col("r"), 9) + F.lit(0.0)).alias("pagerank"),
