@@ -42,6 +42,31 @@ SHINGLE_N = 3
 _TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
 
+def _shingle_array_expr():
+    """The per-row DISTINCT word-3-gram shingle SET as an array column
+    (expects ``_toks`` to be materialized on the row already)."""
+    return F.expr(
+        f"""CASE WHEN size(_toks) >= {SHINGLE_N} THEN
+              array_distinct(
+                transform(sequence(0, size(_toks) - {SHINGLE_N}),
+                          i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])))
+            ELSE array() END"""
+    )
+
+
+def shingle_arrays(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, _ar) with _ar = the document's distinct shingle SET as an
+    array — the un-exploded twin of :func:`shingles`, shuffle-free.
+    Row size is bounded by the document's shingle count (one ~20-byte
+    string per distinct 3-gram); a pathological single document of 10⁶
+    tokens yields a ~20 MB row, comfortably inside Spark's 2 GB row
+    bound — same order as the blowup the exploded form produces per
+    candidate pair."""
+    return docs.withColumn("_toks", F.expr(_TOKS)).select(
+        F.col(id_col), _shingle_array_expr().alias("_ar")
+    )
+
+
 def shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct word-3-gram shingles per document: (id, shingle).
 
@@ -52,15 +77,8 @@ def shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (id, shingle) uniqueness needs no global distinct, so the whole
     operator is shuffle-free.
     """
-    sh = F.expr(
-        f"""CASE WHEN size(_toks) >= {SHINGLE_N} THEN
-              array_distinct(
-                transform(sequence(0, size(_toks) - {SHINGLE_N}),
-                          i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])))
-            ELSE array() END"""
-    )
     return docs.withColumn("_toks", F.expr(_TOKS)).select(
-        F.col(id_col), F.explode(sh).alias("shingle")
+        F.col(id_col), F.explode(_shingle_array_expr()).alias("shingle")
     )
 
 
@@ -357,10 +375,12 @@ def _rep_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                    id_col: str = "doc_id") -> DataFrame:
     """The banding → candidate → exact-Jaccard-verify pipeline (runs on
     exact-dup representatives; see minhash_lsh_pairs)."""
-    # sh and sig are re-read by several downstream branches (banding,
-    # signature-agreement join, Jaccard verify) — persist them or Spark
-    # recomputes the whole shingle pipeline once per branch
-    sh = shingles(docs, id_col).cache()
+    # sig is re-read by several downstream branches (banding and the
+    # signature-agreement join) — persist it or Spark recomputes the
+    # whole shingle+minhash pipeline once per branch. The exploded
+    # (id, shingle) relation itself feeds ONLY the signature build since
+    # the r11 array-verify rewrite, so it no longer needs its own cache.
+    sh = shingles(docs, id_col)
     sig = minhash_signatures(sh, id_col).cache()
     rows_per_band = MINHASH_K // LSH_BANDS
     # one pass per doc: explode an array of (band_id, band_sig) structs
@@ -392,27 +412,30 @@ def _rep_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .distinct()
     )
     # exact-Jaccard verify restricted to CANDIDATE pairs only (the whole
-    # point of LSH): explode candidates against the two shingle sides
-    # instead of the full inverted-index self-join — at scale this is the
-    # difference between O(candidates·|doc|) and O(Σ df(shingle)²)
-    sh1 = sh.select(F.col(id_col).alias("d1"), "shingle")
-    sh2 = sh.select(F.col(id_col).alias("d2"), "shingle")
-    inter = (
-        cand.join(sh1, "d1")
-        .join(sh2, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = sh.groupBy(F.col(id_col)).agg(F.count(F.lit(1)).alias("n"))
+    # point of LSH). r11 (guide §2.3 shuffle fewer bytes): the verify
+    # joins per-doc shingle SETS as ARRAYS — two id-joins + an in-row
+    # array_intersect — instead of exploding candidates against the
+    # (id, shingle) relation (cand·|doc| skinny rows through a shuffle +
+    # a (d1,d2) hash-agg + two more size joins). Under the gray
+    # adversary (~0.8M junk candidates × ~50 shingles) the old shape
+    # shuffled ~40M rows to verify; this shape shuffles the candidate
+    # list twice. The intersect counts the SAME distinct-string sets, so
+    # jaccard is bit-identical.
+    sharr = shingle_arrays(docs, id_col)
+    a1 = sharr.select(F.col(id_col).alias("d1"), F.col("_ar").alias("_ar1"))
+    a2 = sharr.select(F.col(id_col).alias("d2"), F.col("_ar").alias("_ar2"))
     true_j = (
-        inter.join(sizes.withColumnsRenamed({id_col: "d1", "n": "n1"}), "d1")
-        .join(sizes.withColumnsRenamed({id_col: "d2", "n": "n2"}), "d2")
+        cand.join(a1, "d1")
+        .join(a2, "d2")
+        .withColumn("_nc", F.size(F.array_intersect("_ar1", "_ar2")))
         .select(
             "d1",
             "d2",
             (
-                F.col("n_common").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
+                F.col("_nc").cast("double")
+                / (
+                    F.size("_ar1") + F.size("_ar2") - F.col("_nc")
+                ).cast("double")
             ).alias("jaccard"),
         )
     )
