@@ -38,55 +38,19 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # least-certified surface. Rows-only (oracle=None) queries sort last: a
 # driver slot spent there yields no hash signal.
 CERTIFIED: dict[str, int] = {
-    # r7-certified
-    "amount_trend_per_user": 7,
-    "moments_per_user": 7,
-    "pca_anomaly_scores": 7,
-    "population_zscore_per_user": 7,
-    "retrain_decision": 7,
-    "streaming_tdigest_quantiles": 7,
-    "streaming_tumbling_complete": 7,
-    "windowed_entropy_24h": 7,
     # r8-certified
-    "ann_ivf_index_topk": 8,
-    "benchmark_decontamination": 8,
-    "bm25_rank": 8,
-    "curate_training_docs": 8,
     "daily_counts_per_user": 8,
-    # "dedup_components_lsh" invalidated r11 s1: exact-dup guard memoized per fileset (values unchanged) — re-certify
-    # "dedup_minhash_lsh" invalidated r11 s1: exact-dup guard memoized per fileset (values unchanged) — re-certify
-    "domain_mixture_weights": 8,
     "dow_entropy_per_user": 8,
-    "embedding_near_dup_pairs": 8,
-    "event_type_pivot": 8,
-    "feature_target_correlation": 8,
     "interarrival_stats_per_user": 8,
     "mktsegment_acctbal_summary": 8,
-    "model_auc": 8,
-    "model_eval_metrics": 8,
-    "multimodal_binary_stats": 8,
-    "multimodal_decode_features": 8,
-    "multimodal_frame_sample": 8,
-    "multimodal_image_features": 8,
-    "multimodal_png_features": 8,
-    "online_feature_view": 8,
-    "pandas_udf_model_scores": 8,
     "pricing_summary": 8,
     "quantiles_by_event_type": 8,
     "regional_revenue": 8,
-    "repetition_stats": 8,
-    "revenue_rollup_region_nation": 8,
-    "salted_user_totals": 8,
     "sequence_lag_features": 8,
-    "span_dup_coverage": 8,
-    "stratified_sample": 8,
     "streaming_per_event_features": 8,
-    "tfidf_top_terms": 8,
     "time_bucket_rollup": 8,
-    "timestamp_functions": 8,
     "top_orders_per_customer": 8,
     "trailing_1h_features": 8,
-    "unigram_logprob_quality": 8,
     "windowed_gini_24h": 8,
     "windowed_hhi_24h": 8,
     # r9-certified
@@ -169,10 +133,9 @@ CERTIFIED: dict[str, int] = {
     "language_id": 10,
     "lstm_iter0_contract": 10,
     "merchant_graph_features": 10,
-    # "merchant_trailing_features" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
     "min_balance_supplier_q2": 10,
     "multimodal_jpeg_features": 10,
-    "pagerank_bipartite": 10,
+    # "pagerank_bipartite" invalidated r12: inline-fold kernel rewrite (r11 6576f7d) postdates its r10 row; driver must re-prove — re-certify
     "props_json_extract": 10,
     "risk_explanations": 10,
     "risk_shapley": 10,
@@ -182,12 +145,60 @@ CERTIFIED: dict[str, int] = {
     "suppliers_kept_waiting_q21": 10,
     "text_stats": 10,
     "top_events_global": 10,
-    # "trailing_multiwindow_features" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
-    # "trailing_sums_cumsum_strategy" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
-    # "unique_counts_windows" invalidated r11 s1: hot-carry fold rewrite + typed probe nulls (bit-equal pinned) — re-certify
     "user_clustering_coeff": 10,
     "user_graph_degrees": 10,
     "user_shared_k_pairs": 10,
+    # r11-certified
+    "amount_trend_per_user": 11,
+    "ann_ivf_index_topk": 11,
+    "automl_tuning_summary": 11,
+    "benchmark_decontamination": 11,
+    "bm25_rank": 11,
+    "curate_training_docs": 11,
+    "dedup_components_lsh": 11,
+    "dedup_minhash_lsh": 11,
+    "disjunctive_revenue_q19": 11,
+    "domain_mixture_weights": 11,
+    "embedding_near_dup_pairs": 11,
+    "event_type_pivot": 11,
+    "feature_target_correlation": 11,
+    "gbt_lime_weights": 11,
+    "gbt_nl_explanations": 11,
+    "gbt_training_summary": 11,
+    "merchant_trailing_features": 11,
+    "mlp_iter0_contract": 11,
+    "model_auc": 11,
+    "model_eval_metrics": 11,
+    "model_training_summary": 11,
+    "moments_per_user": 11,
+    "multimodal_binary_stats": 11,
+    "multimodal_decode_features": 11,
+    "multimodal_frame_sample": 11,
+    "multimodal_image_features": 11,
+    "multimodal_png_features": 11,
+    "online_feature_view": 11,
+    "pandas_udf_model_scores": 11,
+    "pca_anomaly_scores": 11,
+    "population_zscore_per_user": 11,
+    "repetition_stats": 11,
+    "retrain_decision": 11,
+    "returned_item_reporting_q10": 11,
+    "revenue_rollup_region_nation": 11,
+    "salted_user_totals": 11,
+    "span_dup_coverage": 11,
+    "stacking_ensemble_scores": 11,
+    "stratified_sample": 11,
+    "streaming_tdigest_quantiles": 11,
+    "streaming_tumbling_complete": 11,
+    "tfidf_top_terms": 11,
+    "timestamp_functions": 11,
+    "trailing_multiwindow_features": 11,
+    "trailing_sums_cumsum_strategy": 11,
+    "unigram_logprob_quality": 11,
+    "unique_counts_windows": 11,
+    "volume_shipping_q7": 11,
+    "voting_ensemble_scores": 11,
+    "windowed_entropy_24h": 11,
 }
 
 # The driver's correctness gate checks the first DRIVER_CAP registered
