@@ -1022,17 +1022,19 @@ def main() -> None:
             }
     slim["full_artifact"] = artifact_path
     print(json.dumps(slim))
-    # FINAL stdout line, guaranteed tiny (<1.5 kB): the driver archives
-    # only the last ~2000 chars of stdout and parses the tail — the slim
-    # line above is still ~4.6 kB with 40 queries, so r5/r6/r7 artifacts
-    # all recorded "parsed": null with the line's head cut mid-dict. This
-    # line carries the headline numbers + section totals + the 5 slowest
-    # query timings and points at the full artifact for everything else.
-    top5 = dict(
-        sorted(
-            ((n, t) for n, t in timings.items() if t is not None),
-            key=lambda kv: -kv[1],
-        )[:5]
+    # FINAL stdout line, guaranteed to fit the driver's ~2000-char stdout
+    # tail window (the slim line above is still ~4.6 kB with 40 queries,
+    # so r5/r6/r7 artifacts all recorded "parsed": null with the line's
+    # head cut mid-dict). r12 (VERDICT r11 #3): the line now carries EVERY
+    # headline query at 2 dp (~1.3 kB for 40 names), not just the 5
+    # slowest — the r11 tail cut left the driver's round-over-round
+    # comparator with n_common=2 and 3 improvements mislabeled
+    # "dropped_from_bench". Slowest-first ordering + a size guard that
+    # trims the fastest entries keeps the line under the window if the
+    # query list ever grows past what 2000 chars can hold.
+    by_slowest = sorted(
+        ((n, round(t, 2)) for n, t in timings.items() if t is not None),
+        key=lambda kv: -kv[1],
     )
     final = {
         "metric": "headline-query wall time, noop sink, min of repeats",
@@ -1044,14 +1046,22 @@ def main() -> None:
         "n_skipped": len(skipped),
         "degraded_sections": sorted(degraded_sections),
         "slow_box": slow_box["reduced"],
-        "queries": top5,
-        "queries_note": "5 slowest of n_queries; all in full_artifact",
+        "queries": dict(by_slowest),
+        "queries_note": "all headline queries, 2dp; raw samples in full_artifact",
         "full_artifact": artifact_path,
     }
     for sect in ("scale", "scale_hot", "scale_skew", "scale_lsh", "scale100"):
         if sect in out:
             final[sect + "_total"] = out[sect]["value"]
-    print(json.dumps(final))
+    line = json.dumps(final)
+    while len(line) > 1900 and len(by_slowest) > 5:
+        by_slowest = by_slowest[:-1]
+        final["queries"] = dict(by_slowest)
+        final["queries_note"] = (
+            f"{len(by_slowest)} slowest of n_queries; all in full_artifact"
+        )
+        line = json.dumps(final)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -47,18 +47,23 @@ def main() -> int:
     spark = get_spark("dump-plans")
     qs = queries()
     n_ok = 0
+    failed: list[str] = []
     for name in names:
         try:
             plan = _plan(qs[name](spark, sf_dir))
+            n_ok += 1  # only successful explains count (a failure stub is
+            # written below either way so the dump visits everything)
         except Exception as e:  # noqa: BLE001 - dump must visit everything
             plan = f"explain failed: {type(e).__name__}: {e}\n"
+            failed.append(name)
         path = os.path.join(out_dir, f"{name}{suffix}.txt")
         with open(path, "w") as f:
             f.write(f"== {name} @ {sf_dir} ==\n{plan}")
-        n_ok += 1
         print(f"{name} -> {path}", flush=True)
-    print(f"dumped {n_ok}/{len(names)} plans")
-    return 0
+    print(f"dumped {n_ok}/{len(names)} plans" + (
+        f"; FAILED: {', '.join(failed)}" if failed else ""
+    ))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
