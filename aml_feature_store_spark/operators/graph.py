@@ -944,12 +944,18 @@ def pagerank_bipartite_smallside(
     # evaluated inline in the same scan — identical double arithmetic to
     # the materialized column, bit-equal (pytest-pinned vs the generic
     # kernel).
-    mb_hist = [bdeg.withColumn("r", F.lit(1.0 / n))]  # mb_0 = uniform init
+    # only mb_{k-2}, mb_{k-1} and the final frame are ever read, so the
+    # loop keeps a two-slot window instead of the full history (r12): a
+    # dropped reference lets the ContextCleaner release that iteration's
+    # checkpoint blocks instead of pinning n_iters |b|-row snapshots in
+    # executor storage for the whole build.
+    mb_prev2 = None  # mb_{k-2} while building mb_k
+    mb_prev1 = bdeg.withColumn("r", F.lit(1.0 / n))  # mb_0 = uniform init
     for k in range(1, n_iters + 1):
         if k == 1:
             src = adj.withColumn("_r", F.lit(1.0 / n))
         else:
-            bmap_prev = _score_map(mb_hist[k - 2], "b", lattice("r"))
+            bmap_prev = _score_map(mb_prev2, "b", lattice("r"))
             src = adj.crossJoin(F.broadcast(bmap_prev)).withColumn(
                 "_r",
                 F.round(
@@ -971,12 +977,12 @@ def pagerank_bipartite_smallside(
             .select("b", "outdeg", rank_of("_c").alias("r"))
             .localCheckpoint(eager=True)
         )
-        mb_hist.append(mb_k)
-    mb = mb_hist[-1]
+        mb_prev2, mb_prev1 = mb_prev1, mb_k
+    mb = mb_prev1
     if n_iters == 0:
         ua = adj.withColumn("r", F.lit(1.0 / n))
     else:
-        bmap_final = _score_map(mb_hist[n_iters - 1], "b", lattice("r"))
+        bmap_final = _score_map(mb_prev2, "b", lattice("r"))
         ua = adj.crossJoin(F.broadcast(bmap_final)).select(
             "a",
             F.round(
@@ -1029,22 +1035,27 @@ def hits_smallside(
     hubs = adj.withColumn("h", F.lit(1.0))
     auths = None
     for _ in range(n_iters):
+        # a_raw is checkpointed EAGERLY at |dst| rows (r12, guide §2.4):
+        # the a_norm broadcast and the auths projection both consume it,
+        # and without the checkpoint each re-ran the adjacency-scale
+        # explode+aggregate — two fat passes per iteration where one
+        # suffices (interleaved A/B: 7% sf0.1 / 10-15% 1M / 7% 10M).
+        # auths then derives NARROWLY from the tiny checkpoint and needs
+        # no checkpoint of its own (its two consumers — amap and the
+        # final output — each redo one broadcast-crossJoin projection).
         a_raw = (
             hubs.select(snap("h").alias("_w"), F.explode("ds").alias("dst"))
             .groupBy("dst")
             .agg(F.sum("_w").alias("a_raw"))
+            .localCheckpoint(eager=True)
         )
         a_norm = a_raw.agg(norm_of("a_raw"))
-        auths = (
-            a_raw.crossJoin(F.broadcast(a_norm))
-            .select(
-                "dst",
-                F.round(
-                    F.col("a_raw").cast("double") / _guarded_norm("authority"),
-                    12,
-                ).alias("a"),
-            )
-            .localCheckpoint(eager=True)
+        auths = a_raw.crossJoin(F.broadcast(a_norm)).select(
+            "dst",
+            F.round(
+                F.col("a_raw").cast("double") / _guarded_norm("authority"),
+                12,
+            ).alias("a"),
         )
         amap = _score_map(auths, "dst", snap("a"))
         h_raw = adj.crossJoin(F.broadcast(amap)).select(
