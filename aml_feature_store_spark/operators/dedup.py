@@ -148,6 +148,82 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     )
 
 
+def jaccard_pairs_docs(docs: DataFrame, threshold: float = 0.5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs from the raw document table —
+    output-identical to ``jaccard_pairs(shingles(docs))`` (pytest-pinned)
+    with two structural wins (r12, guide §2.3/§3.2):
+
+    - every exploded (id, shingle) row carries its document's
+      distinct-shingle count ``n`` for free (``size`` of the shingle
+      array BEFORE the explode — no groupBy, no join), so the two
+      post-aggregate size joins and the extra groupBy(id) pass of the
+      generic path disappear (n1/n2 ride the pair-aggregate key, on
+      which they are functionally dependent);
+    - a SIZE PRE-FILTER drops candidate pairs before the (d1, d2)
+      aggregate: a pair's best achievable jaccard is
+      ``min(n1,n2) / max(n1,n2)`` (reached at n_common = min), computed
+      with the same double division as the final jaccard column —
+      jaccard is monotone in n_common and double division of growing
+      exact-integer quotients is monotone, so every dropped pair would
+      have failed the final ``>= threshold`` filter bit-for-bit.
+      Sub-threshold skew pairs (one giant doc sharing shingles with many
+      small ones) die before the aggregate instead of after it.
+    """
+    # Three plan-shape traps, each measured before this landed:
+    # - n is materialized in its OWN projection below the Generate:
+    #   size() next to explode() in one select lands ABOVE the Generate
+    #   and rebuilds the whole shingle array once per EXPLODED row (O(n²)
+    #   per doc — 10.3 s vs 0.6 s per side at sf0.1);
+    # - the array expression goes RAW into explode(): aliasing it to a
+    #   column first triggers InferFiltersFromGenerate (the rule skips
+    #   expensive generator children but fires on plain attributes) and
+    #   pushes a size>0 filter to the scan with the transform re-inlined;
+    # - text is pinned NON-NULL first: the final jaccard>=t filter's
+    #   isnotnull constraints otherwise propagate down to n = size(...)
+    #   and land in the scan filter with _toks inlined — every shingle
+    #   element re-splitting the text (~3 regex splits per element,
+    #   23.3 s vs 3.6 s at sf0.1). A null text produces zero shingle
+    #   rows on both spellings, so the coalesce is value-invisible.
+    ex = (
+        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("_toks", F.expr(_TOKS))
+        .select(
+            F.col(id_col),
+            F.size(_shingle_array_expr()).alias("n"),
+            "_toks",
+        )
+        .select(
+            F.col(id_col),
+            "n",
+            F.explode(_shingle_array_expr()).alias("shingle"),
+        )
+    )
+    a = ex.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"), "shingle")
+    b = ex.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            & (
+                F.least("n1", "n2").cast("double")
+                / F.greatest("n1", "n2").cast("double")
+                >= F.lit(threshold)
+            )
+        )
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = inter.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "d1", "d2", "n_common", "jaccard"
+    )
+
+
 def jaccard_pairs_sql(threshold: float = 0.5, table: str = "documents") -> str:
     return f"""
 WITH s AS ({shingles_sql(table)}),
@@ -428,6 +504,13 @@ def _rep_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         cand.join(a1, "d1")
         .join(a2, "d2")
         .withColumn("_nc", F.size(F.array_intersect("_ar1", "_ar2")))
+        # zero-overlap candidates are dropped HERE, exactly as the
+        # pre-r11 exploded-join shape dropped them (its inner join on
+        # shingle never emitted them): with any threshold > 0 the final
+        # filter made this a no-op, but a caller passing threshold <= 0
+        # must not receive pairs the old pipeline never produced (r12,
+        # ADVICE r11)
+        .filter(F.col("_nc") > 0)
         .select(
             "d1",
             "d2",

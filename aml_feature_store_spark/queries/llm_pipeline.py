@@ -22,9 +22,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_ngram_jaccard", oracle=dedup.jaccard_pairs_sql(threshold=0.5))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5 via inverted-index
-    self-join (X2 exact path)."""
+    self-join (X2 exact path). r12: the size-pruned docs path — carried
+    per-doc shingle counts kill the two post-aggregate size joins, and
+    pairs whose best achievable jaccard (min/max size ratio) is below
+    the threshold die before the pair aggregate. Output identical
+    (pytest-pinned vs the generic path; oracle unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(dedup.shingles(docs), threshold=0.5)
+    return dedup.jaccard_pairs_docs(docs, threshold=0.5)
 
 
 @register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_pairs_sql(threshold=0.5))

@@ -39,6 +39,30 @@ def test_jaccard_identical_docs(spark):
     assert (p["d1"], p["d2"]) == (0, 1) and p["jaccard"] == 1.0
 
 
+def test_jaccard_pairs_docs_equals_generic(spark):
+    """The r12 size-pruned docs path must be bit-equal to the generic
+    exploded path on a corpus mixing exact dups, boundary-jaccard pairs,
+    size-mismatched pairs the pre-filter kills, overlap-free docs, and
+    shingle-less short docs — at several thresholds including 0 (where
+    the prune must keep everything the generic path emits)."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta",            # 0
+        "alpha beta gamma delta epsilon zeta",            # 1: exact dup of 0
+        "alpha beta gamma delta epsilon eta theta iota",  # 2: partial overlap
+        "alpha beta gamma",                               # 3: 1 shingle, subset of 0
+        "unrelated totally different words here now",     # 4
+        "x y",                                            # 5: no shingles
+        "alpha beta gamma delta",                         # 6: 2 shingles, subset
+    ]
+    d = _docs(spark, texts)
+    for thr in (0.0, 0.25, 0.5, 1.0):
+        gen = sorted(
+            map(tuple, dedup.jaccard_pairs(dedup.shingles(d), thr).collect())
+        )
+        pru = sorted(map(tuple, dedup.jaccard_pairs_docs(d, thr).collect()))
+        assert pru == gen, f"threshold {thr}: {pru} != {gen}"
+
+
 def test_minhash_lsh_finds_identical(spark):
     t = "one two three four five six seven eight nine ten"
     d = _docs(spark, [t, t, "totally different text with other words in it"])
