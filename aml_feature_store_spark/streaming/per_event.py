@@ -606,6 +606,34 @@ def _run_tmpdir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_RUN_TMP_ROOT)
 
 
+_SMALL_INPUT_BYTES = 16 * 1024 * 1024
+_BUCKET_BYTES = 128 * 1024
+
+
+def _adaptive_buckets(source_dir: str) -> int:
+    """Bucket count for a BOUNDED run, derived from input bytes (r12,
+    guide §1.2/§2): the stateful processor pays a fixed per-group cost
+    every micro-batch (pandas frame assembly, Arrow round-trip, state
+    blob (de)serialization — measured ~3 ms/group), so a small replay
+    split 256 ways spends more on group plumbing than on window math
+    (sf0.1: 2.0 s at 256 buckets vs 1.5 s at 16, interleaved min). Above
+    ``_SMALL_INPUT_BYTES`` the production default stands untouched — a
+    mid-size probe (1M events, 140 buckets) measured ~6% WORSE than 256,
+    so this only shrinks where the win is proven, and the parallelism
+    story at real scale (buckets = the knob, raised to fit executor
+    memory) is unchanged. Explicit ``n_buckets`` args and the
+    ``SPARK_GRAFT_STATE_BUCKETS`` env override bypass it entirely."""
+    import glob as _g
+
+    size = sum(
+        os.path.getsize(p)
+        for p in _g.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
+    )
+    if size >= _SMALL_INPUT_BYTES:
+        return DEFAULT_BUCKETS
+    return max(16, min(DEFAULT_BUCKETS, -(-size // _BUCKET_BYTES)))
+
+
 def run_bounded(
     spark,
     source_dir: str,
@@ -636,21 +664,40 @@ def run_bounded(
 
     from ..sources.tables import stream_events
 
+    n_buckets = (
+        None  # per_event_features applies the env/default
+        if "SPARK_GRAFT_STATE_BUCKETS" in os.environ
+        else _adaptive_buckets(source_dir)
+    )
     events = stream_events(spark, source_dir, max_files_per_trigger)
-    out = per_event_features(events, windows, extended=extended)
+    out = per_event_features(events, windows, n_buckets=n_buckets, extended=extended)
     ckpt = _run_tmpdir("ckpt_per_event_")
     # parquet sink, not memory: the memory sink collects every output row
     # into the DRIVER — fine at test scale, the dominant cost at 1M rows
     # and a non-starter on a cluster. Executors write in parallel; the
     # bounded result reads back as a plain DataFrame.
     dst = _run_tmpdir("out_per_event_")
-    q = (
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", dst)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # stream-scoped shuffle partitions = min(cores, buckets): state
+    # partitions beyond the bucket count hold zero groups yet still pay
+    # a state-store commit per micro-batch (r12; only ever SHRINKS, and
+    # only for small bounded replays — each run has a fresh checkpoint,
+    # so the state-partition count pin is per-run)
+    eff_buckets = n_buckets or DEFAULT_BUCKETS
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(cores, eff_buckets))
     )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.schema(output_schema(windows, extended)).parquet(dst)
