@@ -101,36 +101,49 @@ def trailing_features(df: DataFrame, spec: TrailingWindowSpec) -> DataFrame:
     # materialize the order key once: if every frame orders by the SAME
     # attribute, EnsureRequirements drops the redundant per-Window sorts
     # (one Exchange + one Sort feed all WindowExec nodes).
+    #
+    # The ~42 window expressions are built as SQL strings and shipped in
+    # ONE selectExpr call (r12, guide §5 driver work): the Column-by-
+    # Column spelling cost ~460 py4j round-trips ≈ 0.65 s of driver wall
+    # PER PLAN BUILD at steady state — pure socket latency, re-paid on
+    # every invocation. The strings parse to the identical expression
+    # trees (pytest-pinned bit-equal vs the Column spelling; all
+    # fractional literals carry the D suffix so they stay DOUBLE — a
+    # bare 0.02 parses as DECIMAL(2,2)).
     out = df.withColumn("_ts_ms", _ms(spec.ts_col))
-    amt_dec = F.col(spec.amount_col).cast(DEC)
-    amt_sq_dec = (F.col(spec.amount_col) * F.col(spec.amount_col)).cast(DEC4)
-    base = Window.partitionBy(spec.entity_col).orderBy(F.col("_ts_ms"))
+    q = lambda c: f"`{c}`"  # noqa: E731
+    amt = q(spec.amount_col)
+    amt_dec = f"CAST({amt} AS {DEC})"
+    amt_sq_dec = f"CAST(({amt} * {amt}) AS {DEC4})"
+    exprs = ["*"]
     for wname, wsecs in spec.windows.items():
-        w = base.rangeBetween(-wsecs * 1000, 0)
-        n = F.count(F.lit(1)).over(w)
-        s = F.sum(amt_dec).over(w).cast("double")
-        s2 = F.sum(amt_sq_dec).over(w).cast("double")
-        mean = s / n
+        w = (
+            f"OVER (PARTITION BY {q(spec.entity_col)} ORDER BY _ts_ms "
+            f"RANGE BETWEEN {wsecs * 1000} PRECEDING AND CURRENT ROW)"
+        )
+        n = f"count(1) {w}"
+        s = f"CAST(sum({amt_dec}) {w} AS DOUBLE)"
+        s2 = f"CAST(sum({amt_sq_dec}) {w} AS DOUBLE)"
+        mean = f"({s} / {n})"
         # population variance via E[x^2] - E[x]^2 on exact sums
-        var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
-        cols = {
-            f"txn_count_{wname}": n,
-            f"txn_amount_sum_{wname}": s,
-            f"avg_txn_amount_{wname}": mean,
-            f"max_txn_amount_{wname}": F.max(spec.amount_col).over(w),
-            f"min_txn_amount_{wname}": F.min(spec.amount_col).over(w),
-            f"std_txn_amount_{wname}": F.round(F.sqrt(var), 6),
-            f"velocity_score_{wname}": n.cast("double")
-            / F.lit(wsecs / spec.velocity_unit_s),
-        }
+        var = f"greatest({s2} / {n} - {mean} * {mean}, 0.0D)"
+        vel = repr(wsecs / spec.velocity_unit_s)
+        exprs += [
+            f"{n} AS {q(f'txn_count_{wname}')}",
+            f"{s} AS {q(f'txn_amount_sum_{wname}')}",
+            f"{mean} AS {q(f'avg_txn_amount_{wname}')}",
+            f"max({amt}) {w} AS {q(f'max_txn_amount_{wname}')}",
+            f"min({amt}) {w} AS {q(f'min_txn_amount_{wname}')}",
+            f"round(sqrt({var}), 6) AS {q(f'std_txn_amount_{wname}')}",
+            f"CAST({n} AS DOUBLE) / {vel}D AS {q(f'velocity_score_{wname}')}",
+        ]
         for dcol in spec.distinct_cols:
             if spec.distinct_exact:
-                dexpr = F.size(F.collect_set(dcol).over(w)).cast("long")
+                dexpr = f"CAST(size(collect_set({q(dcol)}) {w}) AS BIGINT)"
             else:
-                dexpr = F.approx_count_distinct(dcol, 0.02).over(w)
-            cols[f"unique_{dcol}_{wname}"] = dexpr
-        out = out.withColumns(cols)
-    return out.drop("_ts_ms")
+                dexpr = f"approx_count_distinct({q(dcol)}, 0.02D) {w}"
+            exprs.append(f"{dexpr} AS {q(f'unique_{dcol}_{wname}')}")
+    return out.selectExpr(*exprs).drop("_ts_ms")
 
 
 def trailing_sums_scalable(

@@ -23,6 +23,68 @@ def _mk(spark, rows):
     )
 
 
+def _trailing_features_columns(df, spec):
+    """The pre-r12 Column-by-Column spelling of trailing_features, kept
+    as the bit-equality reference for the batched selectExpr spelling
+    (the rewrite is a plan-BUILD optimization; values must not move)."""
+    from pyspark.sql import Window
+    from aml_feature_store_spark.operators.windows import DEC, DEC4, _ms
+
+    out = df.withColumn("_ts_ms", _ms(spec.ts_col))
+    amt_dec = F.col(spec.amount_col).cast(DEC)
+    amt_sq_dec = (F.col(spec.amount_col) * F.col(spec.amount_col)).cast(DEC4)
+    base = Window.partitionBy(spec.entity_col).orderBy(F.col("_ts_ms"))
+    for wname, wsecs in spec.windows.items():
+        w = base.rangeBetween(-wsecs * 1000, 0)
+        n = F.count(F.lit(1)).over(w)
+        s = F.sum(amt_dec).over(w).cast("double")
+        s2 = F.sum(amt_sq_dec).over(w).cast("double")
+        mean = s / n
+        var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+        cols = {
+            f"txn_count_{wname}": n,
+            f"txn_amount_sum_{wname}": s,
+            f"avg_txn_amount_{wname}": mean,
+            f"max_txn_amount_{wname}": F.max(spec.amount_col).over(w),
+            f"min_txn_amount_{wname}": F.min(spec.amount_col).over(w),
+            f"std_txn_amount_{wname}": F.round(F.sqrt(var), 6),
+            f"velocity_score_{wname}": n.cast("double")
+            / F.lit(wsecs / spec.velocity_unit_s),
+        }
+        for dcol in spec.distinct_cols:
+            if spec.distinct_exact:
+                dexpr = F.size(F.collect_set(dcol).over(w)).cast("long")
+            else:
+                dexpr = F.approx_count_distinct(dcol, 0.02).over(w)
+            cols[f"unique_{dcol}_{wname}"] = dexpr
+        out = out.withColumns(cols)
+    return out.drop("_ts_ms")
+
+
+def test_selectexpr_spelling_equals_column_spelling(spark):
+    """The r12 batched-selectExpr build must be bit-equal (values, names,
+    dtypes, row multiplicity) to the Column spelling across all six
+    windows, exact and approximate distincts, and awkward values
+    (zero-variance frames, negative amounts, timestamp ties)."""
+    rows = [
+        (0, 1, 10.0), (30, 1, 10.0), (30, 1, -3.25), (3601, 1, 40.0),
+        (90000, 1, 7.5), (0, 2, 0.01), (59, 2, 0.01), (86460, 2, 100.0),
+    ]
+    df = _mk(spark, rows).withColumn(
+        "event_type", (F.col("event_id") % 3).cast("string")
+    )
+    for exact in (True, False):
+        spec = TrailingWindowSpec(
+            distinct_cols=("event_type",), distinct_exact=exact
+        )
+        new = trailing_features(df, spec)
+        ref = _trailing_features_columns(df, spec)
+        assert new.schema == ref.schema
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+
 def test_trailing_counts_and_sums(spark):
     # user 1: events at t=0, 30s, 3601s. 1h window at the 3rd event must
     # include only events within [ts-3600s, ts] → itself + t=30s event.
