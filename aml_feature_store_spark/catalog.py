@@ -47,10 +47,10 @@ CERTIFIED: dict[str, int] = {
     "quantiles_by_event_type": 8,
     "regional_revenue": 8,
     "sequence_lag_features": 8,
-    "streaming_per_event_features": 8,
+    # "streaming_per_event_features" invalidated r12: adaptive bucket count for bounded runs (stream==batch pinned) — re-certify
     "time_bucket_rollup": 8,
     "top_orders_per_customer": 8,
-    "trailing_1h_features": 8,
+    # "trailing_1h_features" invalidated r12: selectExpr-batched build (bit-equal pinned) — re-certify
     "windowed_gini_24h": 8,
     "windowed_hhi_24h": 8,
     # r9-certified
@@ -115,7 +115,7 @@ CERTIFIED: dict[str, int] = {
     "conditional_window_counts": 10,
     "dbscan_outliers_sliced": 10,
     "dedup_exact": 10,
-    "dedup_ngram_jaccard": 10,
+    # "dedup_ngram_jaccard" invalidated r12: size-pruned jaccard_pairs_docs path (pinned vs generic) — re-certify
     "dedup_simhash": 10,
     "derived_time_flags": 10,
     "doc_fingerprints": 10,
@@ -126,7 +126,7 @@ CERTIFIED: dict[str, int] = {
     "graph_edge_list": 10,
     "graph_global_centralities": 10,
     "hhi_per_user": 10,
-    "hits_bipartite": 10,
+    # "hits_bipartite" invalidated r12: hits_smallside a_raw checkpoint (bit-equal pinned) — re-certify
     "hour_entropy_per_user": 10,
     "knn_cosine_bruteforce": 10,
     "landmark_closeness": 10,
@@ -141,7 +141,7 @@ CERTIFIED: dict[str, int] = {
     "risk_shapley": 10,
     "running_totals_per_user": 10,
     "streaming_graph_edges": 10,
-    "streaming_per_event_extended": 10,
+    # "streaming_per_event_extended" invalidated r12: adaptive bucket count for bounded runs (stream==batch pinned) — re-certify
     "suppliers_kept_waiting_q21": 10,
     "text_stats": 10,
     "top_events_global": 10,
@@ -155,8 +155,8 @@ CERTIFIED: dict[str, int] = {
     "benchmark_decontamination": 11,
     "bm25_rank": 11,
     "curate_training_docs": 11,
-    "dedup_components_lsh": 11,
-    "dedup_minhash_lsh": 11,
+    # "dedup_components_lsh" invalidated r12: verify zero-overlap filter (output-identical at threshold 0.5) — re-certify
+    # "dedup_minhash_lsh" invalidated r12: verify zero-overlap filter (output-identical at threshold 0.5) — re-certify
     "disjunctive_revenue_q19": 11,
     "domain_mixture_weights": 11,
     "embedding_near_dup_pairs": 11,
@@ -165,7 +165,7 @@ CERTIFIED: dict[str, int] = {
     "gbt_lime_weights": 11,
     "gbt_nl_explanations": 11,
     "gbt_training_summary": 11,
-    "merchant_trailing_features": 11,
+    # "merchant_trailing_features" invalidated r12: selectExpr-batched build (bit-equal pinned) — re-certify
     "mlp_iter0_contract": 11,
     "model_auc": 11,
     "model_eval_metrics": 11,
@@ -192,7 +192,7 @@ CERTIFIED: dict[str, int] = {
     "streaming_tumbling_complete": 11,
     "tfidf_top_terms": 11,
     "timestamp_functions": 11,
-    "trailing_multiwindow_features": 11,
+    # "trailing_multiwindow_features" invalidated r12: selectExpr-batched build (bit-equal pinned) — re-certify
     "trailing_sums_cumsum_strategy": 11,
     "unigram_logprob_quality": 11,
     "unique_counts_windows": 11,

@@ -222,8 +222,8 @@ def stale_warnings(root: str, certified: dict[str, int]) -> list[str]:
     warns = []
     for name, rnd in sorted(certified.items()):
         q = catalog.QUERIES.get(name)
-        if q is None:
-            continue
+        if q is None or name not in catalog.CERTIFIED:
+            continue  # unregistered, or already invalidated by hand
         files = {_module_file(q.fn.__module__, root)}
         for m in _fn_modules(q.fn.__module__, q.fn.__name__, root):
             files |= _import_closure(m, root, seen)
